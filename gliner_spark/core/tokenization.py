@@ -1,0 +1,40 @@
+"""Word-level tokenization with character offsets.
+
+Parity target: the reference's WhitespaceTokenSplitter
+(gliner/data_processing/tokenizer.py:40-61) — regex ``\\w+(?:[-_]\\w+)*|\\S``,
+yielding (token, start_char, end_char) with end exclusive. Identical regex
+=> identical offsets => span parity.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+WORD_RE = re.compile(r"\w+(?:[-_]\w+)*|\S")
+
+
+def tokenize_with_offsets(text: str) -> Tuple[List[str], List[int], List[int]]:
+    """Return (tokens, start_chars, end_chars); end exclusive.
+
+    Matches reference tokenizer.py:49-61 exactly.
+    """
+    toks: List[str] = []
+    starts: List[int] = []
+    ends: List[int] = []
+    for m in WORD_RE.finditer(text):
+        toks.append(m.group())
+        starts.append(m.start())
+        ends.append(m.end())
+    return toks, starts, ends
+
+
+def word_to_char_maps(starts: List[int], ends: List[int]) -> Tuple[dict, dict]:
+    """Word-index -> char-offset maps.
+
+    Mirrors reference model.py:1825-1852: ``start_token_idx_to_text_idx[i]``
+    is the start char of word i; ``end_token_idx_to_text_idx[i]`` the
+    EXCLUSIVE end char. Output mention char spans slice as text[s:e]
+    (model.py:1955-1961).
+    """
+    return dict(enumerate(starts)), dict(enumerate(ends))
