@@ -1,0 +1,151 @@
+"""Stage 1+2: mention + raw-triple extraction as ONE mapInPandas pass.
+
+Mirrors the reference's relex forward, which emits entities and relations in
+a single model pass (gliner/modeling/base.py:2256-2495, decoder.py:1121-93):
+per document there is zero cross-document communication (SURVEY §3.3), so
+the whole neural stage is embarrassingly parallel — one Arrow-vectorized
+UDF, no shuffle, no second scan of the corpus for relations.
+
+The model object is broadcast once per job (the reference's frozen-prompt
+mode, model.py:2455-2541, proves label embeddings can be precomputed and
+reused for every batch — our broadcast variable is exactly that).
+
+Scale notes (100 TB):
+- input scan only reads (doc_id, spans) — column pruning reaches parquet;
+- optional repartition by hash(doc_id) balances Arrow batches when the
+  upstream layout is skewed by document size;
+- output is nested per doc (mentions[], triples[]) then exploded — explode
+  is narrow (no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gliner_spark.core.model import GlinerSparkModel, normalize_surface
+
+GRAPH_DDL = (
+    "doc_id string, "
+    "span_fp string, "
+    "mentions array<struct<ent_idx:int,start:int,end:int,text:string,"
+    "label:string,score:double,norm:string>>, "
+    "triples array<struct<subj:string,pred:string,obj:string,"
+    "subj_type:string,obj_type:string,score:double>>"
+)
+
+
+def span_fingerprint(spans) -> str:
+    """Order-sensitive fingerprint of the (kind, text, media_ref) sequence —
+    the per-row invariant the pipeline must preserve (input_hint)."""
+    h = hashlib.blake2b(digest_size=16)
+    for sp in spans:
+        kind = sp["kind"] if isinstance(sp, dict) else sp.kind
+        text = sp["text"] if isinstance(sp, dict) else sp.text
+        ref = sp["media_ref"] if isinstance(sp, dict) else sp.media_ref
+        h.update(f"{kind}\x00{text}\x00{ref or ''}\x01".encode("utf-8"))
+    return h.hexdigest()
+
+
+def _process_batches(model: GlinerSparkModel):
+    """Returns the mapInPandas function. `model` rides the closure -> it is
+    serialized ONCE into the task binary and reused for every Arrow batch
+    (executor-side; the sigmoid gather tables are materialized lazily per
+    process)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                spans = list(spans)
+                text = " ".join(
+                    sp["text"] for sp in spans if sp["kind"] == "text"
+                )
+                mentions, tokens, _, _ = model.predict_doc(text)
+                rels = model.predict_relations_doc(tokens, mentions)
+                m_rows = [
+                    {
+                        "ent_idx": k,
+                        "start": m["start"],
+                        "end": m["end"],
+                        "text": m["text"],
+                        "label": m["label"],
+                        "score": m["score"],
+                        "norm": normalize_surface(m["text"]),
+                    }
+                    for k, m in enumerate(mentions)
+                ]
+                t_rows = [
+                    {
+                        "subj": m_rows[r["head_idx"]]["norm"],
+                        "pred": r["relation"],
+                        "obj": m_rows[r["tail_idx"]]["norm"],
+                        "subj_type": m_rows[r["head_idx"]]["label"],
+                        "obj_type": m_rows[r["tail_idx"]]["label"],
+                        "score": r["score"],
+                    }
+                    for r in rels
+                ]
+                if m_rows:  # media spans participate as triple objects
+                    anchor = m_rows[0]
+                    for sp in spans:
+                        if sp["kind"] == "media":
+                            t_rows.append(
+                                {
+                                    "subj": anchor["norm"],
+                                    "pred": "depicts",
+                                    "obj": sp["media_ref"],
+                                    "subj_type": anchor["label"],
+                                    "obj_type": "media",
+                                    "score": 1.0,
+                                }
+                            )
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "span_fp": span_fingerprint(spans),
+                        "mentions": m_rows,
+                        "triples": t_rows,
+                    }
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "span_fp", "mentions", "triples"]
+            )
+
+    return fn
+
+
+def extract_graph(docs: DataFrame, model: GlinerSparkModel) -> DataFrame:
+    """docs(doc_id, spans) -> nested per-doc graph rows (GRAPH_DDL)."""
+    cfg = model.config
+    src = docs.select("doc_id", "spans")  # column pruning to the scan
+    if cfg.doc_partitions:
+        src = src.repartition(cfg.doc_partitions, "doc_id")
+    return src.mapInPandas(_process_batches(model), schema=GRAPH_DDL)
+
+
+def mentions_table(graph: DataFrame) -> DataFrame:
+    """Explode to the mentions schema (FIXTURES.md §4)."""
+    return graph.select(
+        "doc_id", F.explode("mentions").alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.ent_idx").alias("ent_idx"),
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.text").alias("text"),
+        F.col("m.label").alias("label"),
+        F.col("m.score").alias("score"),
+        F.col("m.norm").alias("norm"),
+    )
+
+
+def triples_raw_table(graph: DataFrame) -> DataFrame:
+    """Explode to raw (surface-form) triples."""
+    return graph.select(
+        "doc_id", F.explode("triples").alias("t")
+    ).select("doc_id", "t.*")

