@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (array<float>).
+
+Exact cross-engine determinism: embeddings are quantized to integers
+(round(x * 10^4)) so dot products and squared norms are EXACT bigint
+arithmetic in both Spark and the SQL oracle; only the final
+sim = dot / sqrt(na * nb) touches floating point (single IEEE op chain,
+bit-identical across engines).
+
+- cosine_topk: brute-force top-k (the correctness baseline). The query set
+  is broadcast; the scan side streams — at scale this is one pass over the
+  corpus per query batch with a partial top-k per partition (Spark's window
+  + AQE handle it; for >>1e9 rows use the IVF variant).
+- ivf_topk: bucketed (IVF-style) variant — search only the query's cell
+  (here: the pre-assigned `label` as the coarse centroid id), which is the
+  100 TB path: the bucket join prunes the candidate set by ~nlist x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 10000
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * QUANT).cast("long")
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        q.alias("q"),
+    ).withColumn(
+        "norm2",
+        F.aggregate(
+            F.zip_with("q", "q", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _pair_sim(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cross-scored pairs with exact integer dot products."""
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("query_id") != F.col("vec_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "sim",
+            F.col("dot").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        )
+    )
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k of each query (vec_id < n_queries) vs all."""
+    qz = _quantized(emb)
+    queries = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    corpus = qz.select("vec_id", F.col("q").alias("qb"), F.col("norm2").alias("nb"))
+    scored = _pair_sim(F.broadcast(queries), corpus)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """IVF-bucketed ANN: candidates restricted to the query's cell (label)."""
+    qz = _quantized(emb)
+    queries = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("q").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    corpus = qz.select(
+        "vec_id", F.col("label").alias("cell"),
+        F.col("q").alias("qb"), F.col("norm2").alias("nb"),
+    )
+    joined = F.broadcast(queries).join(corpus, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.withColumn("dot", dot).withColumn(
+        "sim",
+        F.col("dot").cast("double")
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, blocked by cell (label):
+    the embedding analog of LSH blocking — never an unblocked cross join."""
+    qz = _quantized(emb)
+    a = qz.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"),
+        F.col("q").alias("qa"), F.col("norm2").alias("na"),
+    )
+    b = qz.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("cell"),
+        F.col("q").alias("qb"), F.col("norm2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "sim",
+            F.col("dot").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )

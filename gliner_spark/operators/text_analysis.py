@@ -1,0 +1,114 @@
+"""Text-analysis operators over a documents(doc_id, text, ...) table:
+token stats, quality scoring, language ID, document fingerprinting.
+
+All pure DataFrame ops (JVM-side, whole-stage codegen) — no Python UDFs.
+Each has an exact ANSI-SQL oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gliner_spark.functions.text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    P31,
+    STOPWORDS,
+    affine_hash,
+    token_ids,
+    tokens_table,
+)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counting: whitespace tokens + distinct + char stats."""
+    arr = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword / distinct-ratio quality heuristic.
+
+    All ratios are exact integer divisions in double — bit-identical across
+    engines.
+    """
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    sw = F.size(F.filter(arr, lambda t: t.isin(STOPWORDS)))
+    nd = F.size(F.array_distinct(arr))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        sw.alias("n_stopwords"),
+        (sw.cast("double") / n).alias("stopword_ratio"),
+        (nd.cast("double") / n).alias("distinct_ratio"),
+        (F.length("text").cast("double") / n).alias("avg_token_span"),
+    ).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Keyword-marker language ID: argmax of per-language marker counts,
+    deterministic tie-break by LANG_ORDER; 'und' when all scores are 0."""
+    arr = F.split("text", " ")
+    scores = {
+        lang: F.size(F.filter(arr, lambda t: t.isin(LANG_MARKERS[lang])))
+        for lang in LANG_ORDER
+    }
+    best = F.greatest(*[scores[l] for l in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties -> apply last
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        *[scores[l].alias(f"score_{l}") for l in LANG_ORDER],
+        pred.alias("pred_lang"),
+        F.col("lang").alias("true_lang"),
+    )
+    return out.orderBy("doc_id")
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint from dense token ids:
+
+    unigram part: sum(h1(token_id)) mod P31
+    bigram part:  sum((id_i * 131 + id_{i+1}) mod P31) mod P31
+    fingerprint = (unigram + bigram) mod P31 — arithmetic only, so the SQL
+    oracle reproduces it exactly (a rolling-hash family; reference has no
+    analog, this is pipeline-native).
+    """
+    ids = token_ids(docs)
+    uni = ids.groupBy("doc_id").agg(
+        (F.sum(affine_hash(F.col("token_id"), 1)) % P31).alias("uni")
+    )
+    a = ids.alias("a")
+    b = ids.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            ((F.col("a.token_id") * 131 + F.col("b.token_id")) % P31).alias("bg"),
+        )
+        .groupBy("doc_id")
+        .agg((F.sum("bg") % P31).alias("bi"))
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            ((F.col("uni") + F.coalesce(F.col("bi"), F.lit(0))) % P31).alias(
+                "fingerprint"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,97 @@
+"""Local stand-in for the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count,
+column names, and values (exact for ints/strings, bit-exact target for
+doubles with max-abs-diff reporting)."""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+from gliner_spark.session import get_spark  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                vals.append(("f", round(v, 9)))
+            else:
+                vals.append(("x", v))
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    spark = get_spark(app_name="check-oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF)
+            pdf = df.toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            od = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error {str(e)[:300]}")
+            continue
+        cols_s = sorted(pdf.columns)
+        cols_d = sorted(od.columns)
+        if cols_s != cols_d:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {cols_s} vs {cols_d}")
+            continue
+        if len(pdf) != len(od):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(pdf)} vs {len(od)}")
+            continue
+        a = norm(pdf.to_dict("records"), cols_s)
+        b = norm(od.to_dict("records"), cols_s)
+        if a != b:
+            failures.append(name)
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
+            continue
+        print(f"OK    {name}: {len(pdf)} rows [{time.time()-t0:.1f}s]")
+    print("\n%d failures" % len(failures), failures)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
