@@ -68,7 +68,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
     model = _model()
     docs = _synth(spark, SF_DEFAULT)
-    graph = extract_graph(docs, model)
+    # persist: the nested graph feeds two branches (mentions -> linking,
+    # triples) and the iterative CC loop — without it every downstream
+    # action re-runs the extraction UDF
+    graph = extract_graph(docs, model).persist()
     mentions = mentions_table(graph)
     _, surface_map = canonicalize(mentions, model.config)
     return rewrite_triples(triples_raw_table(graph), surface_map)
@@ -92,7 +95,7 @@ def q_kg_entities(spark, sf_dir):
     from gliner_spark.operators.linking import canonicalize
 
     model = _model()
-    mentions = mentions_table(extract_graph(_synth(spark, sf_dir), model))
+    mentions = mentions_table(extract_graph(_synth(spark, sf_dir), model)).persist()
     entities, _ = canonicalize(mentions, model.config)
     return entities.orderBy("entity_id")
 
@@ -106,7 +109,7 @@ def q_kg_triples(spark, sf_dir):
     from gliner_spark.operators.linking import canonicalize, rewrite_triples
 
     model = _model()
-    graph = extract_graph(_synth(spark, sf_dir), model)
+    graph = extract_graph(_synth(spark, sf_dir), model).persist()
     _, smap = canonicalize(mentions_table(graph), model.config)
     return rewrite_triples(triples_raw_table(graph), smap)
 

