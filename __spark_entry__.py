@@ -127,6 +127,33 @@ def q_kg_span_f1(spark, sf_dir):
     return span_prf(pred, gold)
 
 
+def q_kg_mentions_zeroshot(spark, sf_dir):
+    """Per-request label subset (zero-shot surface): persons+locations only."""
+    from gliner_spark.operators.extraction import extract_mentions_only
+
+    return extract_mentions_only(
+        _synth(spark, sf_dir), _model(), labels=["person", "location"]
+    )
+
+
+def q_kg_eval_ner(spark, sf_dir):
+    """CrossNER-style evaluate() harness over the synthetic fixture."""
+    from gliner_spark.operators.ner_eval import char_to_word_ner, evaluate_ner
+
+    docs = _synth(spark, sf_dir, with_gold=True)
+    with_text = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s.kind == "text"), lambda s: s.text
+            ),
+            " ",
+        ).alias("text"),
+        F.col("gold_mentions").alias("char_ner"),
+    )
+    return evaluate_ner(char_to_word_ner(with_text), _model())
+
+
 def q_kg_media_nodes(spark, sf_dir):
     from gliner_spark.operators.multimodal import media_nodes
 
@@ -385,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "kg_triples": q_kg_triples,
         "kg_span_f1": q_kg_span_f1,
+        "kg_mentions_zeroshot": q_kg_mentions_zeroshot,
+        "kg_eval_ner": q_kg_eval_ner,
         "kg_media_nodes": q_kg_media_nodes,
         "kg_media_features": q_kg_media_features,
         # text analysis

@@ -229,22 +229,56 @@ class GlinerSparkModel:
         self,
         text: str,
         cache: Optional[Dict[str, np.ndarray]] = None,
+        labels: Optional[Sequence[str]] = None,
+        allowed_spans: Optional[Sequence[Tuple[int, int]]] = None,
+        threshold: Optional[float] = None,
+        top_k_probs: int = 0,
     ) -> Tuple[List[dict], List[str], List[int], List[int]]:
         """Mentions for one document (reference predict_entities semantics,
         model.py:2333). Returns (mentions, tokens, starts, ends); mention
         char offsets are start-inclusive / end-exclusive (model.py:1955-61).
+
+        labels: per-request label subset (zero-shot: entity types chosen at
+            query time; order-preserving dedup like make_mapping,
+            utils.py:182-212). Defaults to all model labels.
+        allowed_spans: word-level (start, end_inclusive) restriction —
+            scoring limited to caller-specified spans (decoder.py:279-287,
+            model.py:1887-1921).
+        threshold: per-request override (per-sample thresholds,
+            decoder.py:229-309).
+        top_k_probs: attach top-k class probabilities per kept span
+            (decoder.py:180-209).
         """
         cfg = self.config
         tokens, starts, ends = tokenize_with_offsets(text)
         if not tokens:
             return [], tokens, starts, ends
         span_idx, valid = enumerate_spans(len(tokens), cfg.max_width)
+        if allowed_spans is not None:
+            allow = set((int(s), int(e)) for s, e in allowed_spans)
+            mask = np.array(
+                [(int(s), int(e)) in allow for s, e in span_idx], dtype=bool
+            )
+            valid = valid & mask
         probs = self._probs_grid(tokens, span_idx, valid)
+        if labels is not None:
+            use = list(dict.fromkeys(labels))  # order-preserving dedup
+            cols = [self.labels.index(l) for l in use if l in self.labels]
+            probs = probs[:, cols]
+            id_to_class = [self.labels[c] for c in cols]
+        else:
+            id_to_class = self.labels
         decoded = decode_scores(
-            probs, span_idx, valid, self.labels,
-            threshold=cfg.threshold, flat_ner=cfg.flat_ner,
+            probs, span_idx, valid, id_to_class,
+            threshold=cfg.threshold if threshold is None else threshold,
+            flat_ner=cfg.flat_ner,
             multi_label=cfg.multi_label,
         )
+        if top_k_probs:
+            for sp in decoded:
+                row = probs[sp.start * cfg.max_width + (sp.end - sp.start)]
+                top = np.argsort(-row)[:top_k_probs]
+                sp.class_probs = {id_to_class[c]: float(row[c]) for c in top}
         mentions = [
             {
                 "start": starts[sp.start],
@@ -254,6 +288,7 @@ class GlinerSparkModel:
                 "score": sp.score,
                 "word_start": sp.start,
                 "word_end": sp.end,
+                **({"class_probs": sp.class_probs} if sp.class_probs else {}),
             }
             for sp in decoded
         ]

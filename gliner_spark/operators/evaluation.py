@@ -17,24 +17,33 @@ def micro_prf(pred: DataFrame, gold: DataFrame, keys: List[str]) -> DataFrame:
     """One-row (n_pred, n_gold, tp, precision, recall, f1).
 
     Exact-match on `keys`, duplicates collapsed (set semantics, matching the
-    reference's set-style counting).
+    reference's set-style counting). SINGLE-PASS: one full-outer join + one
+    aggregation — three separate count() actions would re-run the entire
+    upstream (including any model UDFs) once each.
     """
-    p = pred.select(*keys).distinct()
-    g = gold.select(*keys).distinct()
-    tp = p.join(g, keys, "inner").count()
-    n_pred = p.count()
-    n_gold = g.count()
-    precision = tp / n_pred if n_pred else 0.0
-    recall = tp / n_gold if n_gold else 0.0
-    f1 = (
-        2 * precision * recall / (precision + recall)
-        if (precision + recall) > 0
-        else 0.0
+    p = pred.select(*keys).distinct().withColumn("in_p", F.lit(1))
+    g = gold.select(*keys).distinct().withColumn("in_g", F.lit(1))
+    agg = p.join(g, keys, "full_outer").agg(
+        F.coalesce(F.sum("in_p"), F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce(F.sum("in_g"), F.lit(0)).cast("long").alias("n_gold"),
+        F.coalesce(F.sum(F.col("in_p") * F.col("in_g")), F.lit(0))
+        .cast("long")
+        .alias("tp"),
     )
-    spark = pred.sparkSession
-    return spark.createDataFrame(
-        [(n_pred, n_gold, tp, precision, recall, f1)],
-        "n_pred long, n_gold long, tp long, precision double, recall double, f1 double",
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    return (
+        agg.withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0),
+        )
+        .select("n_pred", "n_gold", "tp", "precision", "recall", "f1")
     )
 
 
@@ -57,16 +66,4 @@ def keyword_extractor_prf(docs: DataFrame, set_a: List[str], set_b: List[str]) -
     )
     pred = toks.filter(F.col("tok").isin(set_a))
     gold = toks.filter(F.col("tok").isin(set_b))
-    tp = pred.join(gold, ["doc_id", "tok"], "inner").count()
-    n_pred, n_gold = pred.count(), gold.count()
-    precision = tp / n_pred if n_pred else 0.0
-    recall = tp / n_gold if n_gold else 0.0
-    f1 = (
-        2 * precision * recall / (precision + recall)
-        if (precision + recall) > 0
-        else 0.0
-    )
-    return docs.sparkSession.createDataFrame(
-        [(n_pred, n_gold, tp, precision, recall, f1)],
-        "n_pred long, n_gold long, tp long, precision double, recall double, f1 double",
-    )
+    return micro_prf(pred, gold, ["doc_id", "tok"])

@@ -128,6 +128,52 @@ def extract_graph(docs: DataFrame, model: GlinerSparkModel) -> DataFrame:
     return src.mapInPandas(_process_batches(model), schema=GRAPH_DDL)
 
 
+MENTIONS_DDL = (
+    "doc_id string, ent_idx int, start int, end int, text string, "
+    "label string, score double, norm string"
+)
+
+
+def extract_mentions_only(
+    docs: DataFrame, model: GlinerSparkModel, labels=None
+) -> DataFrame:
+    """NER-only mode with an optional per-request label subset — the
+    zero-shot surface (labels chosen at query time, reference
+    predict_entities model.py:2333 + make_mapping utils.py:182-212).
+    Flat mention rows, no relation pass."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                text = " ".join(
+                    sp["text"] for sp in spans if sp["kind"] == "text"
+                )
+                mentions, _, _, _ = model.predict_doc(text, labels=labels)
+                for k, m in enumerate(mentions):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ent_idx": k,
+                            "start": m["start"],
+                            "end": m["end"],
+                            "text": m["text"],
+                            "label": m["label"],
+                            "score": m["score"],
+                            "norm": normalize_surface(m["text"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ent_idx", "start", "end", "text", "label",
+                    "score", "norm",
+                ],
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(fn, schema=MENTIONS_DDL)
+
+
 def mentions_table(graph: DataFrame) -> DataFrame:
     """Explode to the mentions schema (FIXTURES.md §4)."""
     return graph.select(
