@@ -353,11 +353,36 @@ class GlinerSparkModel:
         sig, base = self._rel_sig_table()
         if base > cfg.rel_threshold:  # degenerate config; nothing to prune
             raise ValueError("rel_threshold below the no-context baseline score")
+
+        allowed = None
+        if cfg.adjacency_mode == "dot":
+            # adjacency-layer pair pruning (reference modeling/base.py:2373-
+            # 2402 + build_entity_pairs modeling/utils.py:209-291): score all
+            # directed pairs with a cheap adjacency head, keep adj > thr.
+            # Deterministic stand-in for the learned dot adjacency: sigmoid
+            # of a proximity kernel — pairs whose gap fits the context
+            # window score > 0.5, others below (same keep/drop shape).
+            allowed = set()
+            for i in range(E):
+                for j in range(E):
+                    if i == j:
+                        continue
+                    gap = mentions[j]["word_start"] - (mentions[i]["word_end"] + 1)
+                    adj = float(
+                        sigmoid(
+                            np.array([cfg.rel_context_window - gap + 0.5])
+                        )[0]
+                    ) if gap >= 0 else 0.0
+                    if adj > cfg.adjacency_threshold:
+                        allowed.add((i, j))
+
         low = [t.lower() for t in tokens]
         out = []
         for i in range(E):
             for j in range(E):
                 if i == j:
+                    continue
+                if allowed is not None and (i, j) not in allowed:
                     continue
                 h, t = mentions[i], mentions[j]
                 gap0, gap1 = h["word_end"] + 1, t["word_start"]

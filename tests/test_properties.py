@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the core invariants."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gliner_spark.core.decode import greedy_search, has_overlapping
+from gliner_spark.core.spans import Span, enumerate_spans
+from gliner_spark.core.tokenization import tokenize_with_offsets
+from gliner_spark.sources.synth import assembled_text, gen_doc
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_offsets_are_exact_slices(text):
+    toks, starts, ends = tokenize_with_offsets(text)
+    assert len(toks) == len(starts) == len(ends)
+    prev_end = -1
+    for t, s, e in zip(toks, starts, ends):
+        assert 0 <= s < e <= len(text)
+        assert text[s:e] == t
+        assert s >= prev_end  # non-overlapping, left-to-right
+        prev_end = e
+        assert not t.strip() == "" and "\n" not in t and " " not in t
+
+
+@given(st.integers(0, 40), st.integers(1, 15))
+@settings(max_examples=100, deadline=None)
+def test_enumerate_spans_invariants(n, k):
+    idx, valid = enumerate_spans(n, k)
+    assert idx.shape == (n * k, 2)
+    for (s, e), v in zip(idx.tolist(), valid.tolist()):
+        assert e - s < k and s >= 0
+        assert v == (e <= n - 1)
+
+
+_span = st.builds(
+    Span,
+    start=st.integers(0, 30),
+    end=st.integers(0, 40),
+    entity_type=st.sampled_from(["a", "b", "c"]),
+    score=st.floats(0.01, 1.0, allow_nan=False),
+).filter(lambda s: s.end >= s.start)
+
+
+@given(st.lists(_span, max_size=25), st.booleans(), st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_greedy_invariants(spans, flat, multi):
+    out = greedy_search(list(spans), flat_ner=flat, multi_label=multi)
+    # subset of the input, sorted by start
+    assert all(any(o is s for s in spans) for o in out)
+    assert [o.start for o in out] == sorted(o.start for o in out)
+    if flat:  # pairwise non-overlapping in flat mode
+        for i, a in enumerate(out):
+            for b in out[i + 1 :]:
+                assert not has_overlapping(
+                    (a.start, a.end, a.entity_type),
+                    (b.start, b.end, b.entity_type),
+                    multi,
+                )
+    # idempotence: greedy(greedy(x)) == greedy(x)
+    again = greedy_search(list(out), flat_ner=flat, multi_label=multi)
+    assert [(s.start, s.end, s.entity_type) for s in again] == [
+        (s.start, s.end, s.entity_type) for s in out
+    ]
+
+
+@given(st.integers(0, 100000))
+@settings(max_examples=60, deadline=None)
+def test_synth_gold_offsets_always_slice_exactly(i):
+    doc = gen_doc(i)
+    text = assembled_text(doc["spans"])
+    for g in doc["gold_mentions"]:
+        assert text[g["start"] : g["end"]] == g["text"]
+    # span offsets point at their own text
+    for sp in doc["spans"]:
+        if sp["kind"] == "text":
+            assert text[sp["offset"] : sp["offset"] + len(sp["text"])] == sp["text"]

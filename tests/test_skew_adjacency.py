@@ -1,0 +1,49 @@
+"""Skew-salting equivalence + adjacency-mode parity tests."""
+
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from gliner_spark.config import PipelineConfig
+from gliner_spark.operators.skew import hot_keys, salted_equi_join
+from gliner_spark.presets import default_model
+from gliner_spark.sources.synth import assembled_text, gen_doc
+
+
+def test_salted_join_equals_plain_join(spark):
+    # Zipfian fact table: key 'k0' dominates
+    fact = spark.createDataFrame(
+        [(f"k{min(i % 100, i % 7)}", i) for i in range(5000)], "k string, v long"
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"d{i}") for i in range(100)], "k string, d string"
+    )
+    plain = fact.join(dim, ["k"]).orderBy("v")
+    salted = salted_equi_join(fact, dim, ["k"], salt=8).orderBy("v")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_hot_key_detection(spark):
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [(f"k{i}", i) for i in range(50)],
+        "k string, v long",
+    )
+    hot = [r.k for r in hot_keys(fact, ["k"], min_count=100).collect()]
+    assert hot == ["hot"]
+
+
+def test_adjacency_mode_prunes_to_same_triples():
+    """dot-adjacency pruning (reference base.py:2373-2402) must keep every
+    pair the relation head would score > threshold — final triples equal
+    the all-pairs mode (the prune is sound, just cheaper)."""
+    base = default_model()
+    cfg_dot = dataclasses.replace(base.config, adjacency_mode="dot")
+    m_dot = dataclasses.replace(base, config=cfg_dot)
+    for i in range(60):
+        text = assembled_text(gen_doc(i)["spans"])
+        mentions, tokens, _, _ = base.predict_doc(text)
+        a = base.predict_relations_doc(tokens, mentions)
+        b = m_dot.predict_relations_doc(tokens, mentions)
+        assert a == b, i
