@@ -214,14 +214,26 @@ class GlinerSparkModel:
         S = span_idx.shape[0]
         probs = np.full((S, sig.shape[0]), base, dtype=np.float64)
         low = [t.lower() for t in tokens]
-        mkw = self.max_known_width
-        for i in np.nonzero(valid)[0]:
-            s, e = int(span_idx[i, 0]), int(span_idx[i, 1])
-            if e - s + 1 > mkw:
-                continue
-            k = self.known_surfaces.get(" ".join(low[s : e + 1]))
-            if k is not None:
-                probs[i] = sig[:, k]
+        n = len(low)
+        K = self.config.max_width
+        mkw = min(self.max_known_width, K)
+        lookup = self.known_surfaces.get
+        # only spans of width <= max gazetteer width can score above base;
+        # build each start's surface incrementally (no re-join per width).
+        # `valid` is already implied by e = s+w <= n-1 here; an explicit
+        # caller-restricted mask (allowed_spans) is applied by the caller
+        # on the decoded grid via `valid`, which decode_scores consults.
+        for s in range(n):
+            surface = low[s]
+            row = s * K
+            for w in range(min(mkw, n - s)):
+                if w:
+                    surface = surface + " " + low[s + w]
+                if not valid[row + w]:
+                    continue
+                k = lookup(surface)
+                if k is not None:
+                    probs[row + w] = sig[:, k]
         return probs
 
     # ----- NER (per document) ------------------------------------------
