@@ -404,6 +404,36 @@ def q_rel_events_sessions(spark, sf_dir):
     )
 
 
+def q_rel_events_windowed(spark, sf_dir):
+    """Tumbling-window aggregation over the event stream table (the batch
+    view of the streaming windowed-agg operator; F.window -> 1h tumbling)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n_events",
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_rel_global_topn(spark, sf_dir):
+    """Global ORDER BY + LIMIT (SURVEY §2.6): top-20 orders by totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction (correctness gate: tests/test_pipeline.py)
@@ -440,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_revenue_region": q_rel_revenue_region,
         "rel_setops": q_rel_setops,
         "rel_events_sessions": q_rel_events_sessions,
+        "rel_events_windowed": q_rel_events_windowed,
+        "rel_global_topn": q_rel_global_topn,
     }
 
 
@@ -773,5 +805,15 @@ SELECT user_id, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+""",
+        "rel_events_windowed": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+""",
+        "rel_global_topn": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """,
     }

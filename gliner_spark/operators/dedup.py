@@ -45,9 +45,10 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, ids: DataFrame = None) -> DataFrame:
     """(doc_id, mh_0..mh_{R-1}) minhash over distinct token ids."""
-    ids = token_ids(docs).select("doc_id", "token_id").distinct()
+    if ids is None:
+        ids = token_ids(docs).select("doc_id", "token_id").distinct()
     aggs = [
         F.min(affine_hash(F.col("token_id"), j)).alias(f"mh_{j}")
         for j in range(MINHASH_ROWS)
@@ -68,9 +69,9 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bkey")
 
 
-def candidate_pairs(docs: DataFrame) -> DataFrame:
+def candidate_pairs(docs: DataFrame, ids: DataFrame = None) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b), dedup'd across bands."""
-    buckets = _band_buckets(minhash_signatures(docs))
+    buckets = _band_buckets(minhash_signatures(docs, ids=ids))
     w = Window.partitionBy("band", "bkey")
     buckets = (
         buckets.withColumn("n", F.count(F.lit(1)).over(w))
@@ -93,9 +94,15 @@ def candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact token-set Jaccard."""
-    pairs = candidate_pairs(docs)
-    ids = token_ids(docs).select("doc_id", "token_id").distinct()
+    """Near-dup pairs: LSH candidates verified by exact token-set Jaccard.
+
+    The distinct (doc_id, token_id) table feeds four branches (signatures,
+    per-doc counts, both sides of the intersection join) — persisted so the
+    tokenize+vocab-join subtree runs once; production at corpus scale
+    materializes it as a table instead.
+    """
+    ids = token_ids(docs).select("doc_id", "token_id").distinct().persist()
+    pairs = candidate_pairs(docs, ids=ids)
     na = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
 
     # intersection via relational join on token_id (oracle-identical plan)

@@ -47,3 +47,28 @@ def test_adjacency_mode_prunes_to_same_triples():
         a = base.predict_relations_doc(tokens, mentions)
         b = m_dot.predict_relations_doc(tokens, mentions)
         assert a == b, i
+
+
+def test_entity_pair_table_matches_udf_enumeration(spark):
+    """Relational self-join pair plan == the UDF's all-pairs enumeration."""
+    from gliner_spark.operators.extraction import extract_graph, mentions_table
+    from gliner_spark.operators.pairs import entity_pair_table
+    from gliner_spark.sources.synth import synth_docs
+
+    model = default_model()
+    mentions = mentions_table(
+        extract_graph(synth_docs(spark, 100, partitions=4), model)
+    ).cache()
+    pairs = entity_pair_table(mentions, model.config.max_pairs_per_doc)
+    got = pairs.groupBy("doc_id").count().collect()
+    ment_counts = {
+        r.doc_id: r.n for r in mentions.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got:
+        e = ment_counts[r.doc_id]
+        assert r["count"] == e * (e - 1)
+    # directed: both (i,j) and (j,i) present
+    sample = pairs.filter(F.col("head_idx") == 0).count()
+    rev = pairs.filter(F.col("tail_idx") == 0).count()
+    assert sample == rev
