@@ -43,7 +43,8 @@ from gliner_spark.operators.extraction import (
 from gliner_spark.operators.linking import canonicalize, rewrite_triples
 
 LINEAGE_SCHEMA = (
-    "bucket int, run_id string, status string, n_docs long, n_mentions long, "
+    "bucket int, run_id string, status string, doc_id_min string, "
+    "doc_id_max string, n_docs long, n_mentions long, "
     "n_triples long, wall_ms long, ts double"
 )
 
@@ -131,7 +132,11 @@ def run_extraction(
         .join(
             with_bucket(todo.select("doc_id"), cfg.lineage_buckets)
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n_docs")),
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("doc_id_min"),
+                F.max("doc_id").alias("doc_id_max"),
+            ),
             "bucket",
             "left",
         )
@@ -150,6 +155,8 @@ def run_extraction(
             "bucket",
             F.lit(run_id).alias("run_id"),
             F.lit("done").alias("status"),
+            "doc_id_min",
+            "doc_id_max",
             "n_docs",
             F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
             F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
@@ -163,9 +170,12 @@ def run_extraction(
     return {"run_id": run_id, "buckets": len(pending), "n_docs": n_docs, "wall_ms": wall_ms}
 
 
-def finalize_graph(spark: SparkSession, base: str, cfg: PipelineConfig) -> dict:
+def finalize_graph(
+    spark: SparkSession, base: str, cfg: PipelineConfig, run_id: str = ""
+) -> dict:
     """Canonicalize entities over the full mentions table and rewrite triples
     onto canonical ids; write entities/triples/metrics."""
+    run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     mentions = spark.read.parquet(os.path.join(base, "mentions"))
     triples_raw = spark.read.parquet(os.path.join(base, "triples_raw"))
@@ -178,11 +188,11 @@ def finalize_graph(spark: SparkSession, base: str, cfg: PipelineConfig) -> dict:
     n_t = spark.read.parquet(os.path.join(base, "triples")).count()
     metrics = spark.createDataFrame(
         [
-            ("finalize", "entities", float(n_e), time.time()),
-            ("finalize", "triples", float(n_t), time.time()),
-            ("finalize", "wall_ms", float(wall_ms), time.time()),
+            (run_id, "finalize", "entities", float(n_e), time.time()),
+            (run_id, "finalize", "triples", float(n_t), time.time()),
+            (run_id, "finalize", "wall_ms", float(wall_ms), time.time()),
         ],
-        "stage string, metric string, value double, ts double",
+        "run_id string, stage string, metric string, value double, ts double",
     )
     metrics.write.mode("append").parquet(os.path.join(base, "metrics"))
     return {"entities": n_e, "triples": n_t, "wall_ms": wall_ms}
@@ -197,5 +207,5 @@ def run_pipeline(
 ) -> dict:
     """End-to-end: resumable extraction + global finalize."""
     ext = run_extraction(spark, docs, model, base, bucket_limit=bucket_limit)
-    fin = finalize_graph(spark, base, model.config)
+    fin = finalize_graph(spark, base, model.config, run_id=ext["run_id"])
     return {**ext, **fin}
