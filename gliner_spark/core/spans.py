@@ -29,18 +29,31 @@ class Span:
     class_probs: Optional[Dict[str, float]] = None
 
 
-def enumerate_spans(num_tokens: int, max_width: int):
-    """Vectorized span table.
+from functools import lru_cache
 
-    Returns (span_idx, valid) where span_idx is int64 (num_tokens*max_width, 2)
-    [start, end_inclusive] in the exact row-major order of the reference's
-    prepare_span_idx, and valid marks end <= num_tokens-1.
-    """
-    if num_tokens <= 0:
-        return np.zeros((0, 2), dtype=np.int64), np.zeros((0,), dtype=bool)
+
+@lru_cache(maxsize=4096)
+def _enumerate_cached(num_tokens: int, max_width: int):
     starts = np.repeat(np.arange(num_tokens, dtype=np.int64), max_width)
     widths = np.tile(np.arange(max_width, dtype=np.int64), num_tokens)
     ends = starts + widths
     span_idx = np.stack([starts, ends], axis=1)
     valid = ends <= (num_tokens - 1)
+    span_idx.setflags(write=False)
+    valid.setflags(write=False)
     return span_idx, valid
+
+
+def enumerate_spans(num_tokens: int, max_width: int):
+    """Vectorized span table.
+
+    Returns (span_idx, valid) where span_idx is int64 (num_tokens*max_width, 2)
+    [start, end_inclusive] in the exact row-major order of the reference's
+    prepare_span_idx, and valid marks end <= num_tokens-1. Cached per
+    (L, K) — the arrays are READ-ONLY; callers needing a mutable mask
+    (allowed_spans) must copy, which predict_doc does via the `&` operator
+    creating a new array.
+    """
+    if num_tokens <= 0:
+        return np.zeros((0, 2), dtype=np.int64), np.zeros((0,), dtype=bool)
+    return _enumerate_cached(num_tokens, max_width)

@@ -35,11 +35,16 @@ def _zipf_probs(n: int, a: float = 1.1) -> np.ndarray:
     return p / p.sum()
 
 _ZIPF = {t: _zipf_probs(len(s)) for t, s in _SURFACES.items()}
+# inverse-CDF sampling: rng.choice(p=...) re-validates the probability
+# vector on every call (~30us); searchsorted against the precomputed CDF is
+# ~1us with the identical distribution
+_ZIPF_CDF = {t: np.cumsum(p) for t, p in _ZIPF.items()}
 
 
 def _pick(rng: Generator, etype: str) -> str:
-    i = rng.choice(len(_SURFACES[etype]), p=_ZIPF[etype])
-    return _SURFACES[etype][int(i)]
+    i = int(np.searchsorted(_ZIPF_CDF[etype], rng.random(), side="right"))
+    i = min(i, len(_SURFACES[etype]) - 1)
+    return _SURFACES[etype][i]
 
 
 def gen_doc(i: int, seed: int = 42) -> dict:

@@ -99,15 +99,24 @@ spark.stop()
 """
     subprocess.run([sys.executable, "-c", gen], check=True)
 
+    # best-of-REPS per level: the shared hypervisor's delivered CPU varies
+    # minute to minute (see hardware_spin_ceiling across runs); max
+    # throughput per level estimates the uncontended rate at both levels
+    reps = int(os.environ.get("SCALE_REPS", "2"))
     results = {}
     for cores in LEVELS:
-        p = subprocess.run(
-            [sys.executable, "-c", WORKER, docs_path, str(cores)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
-        results[cores] = json.loads(line[len("RESULT "):])
-        print(results[cores])
+        best = None
+        for _ in range(reps):
+            p = subprocess.run(
+                [sys.executable, "-c", WORKER, docs_path, str(cores)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
+            r = json.loads(line[len("RESULT "):])
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[cores] = best
+        print(best)
 
     def eff(lo, hi):
         return results[hi]["docs_per_sec"] / (
