@@ -185,6 +185,13 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     # surfaces is the root of every downstream branch (edges, CC nodes,
     # cluster join) — persist the tiny post-agg table, not the mentions
     surfaces = surface_table(mentions).persist()
+    # adaptive parallelism: the distinct-surface table is usually orders of
+    # magnitude smaller than mentions (vocabulary saturates). When it fits
+    # one task comfortably, collapse the LSH/CC subplan to a single
+    # partition — every per-round shuffle becomes a single-task exchange
+    # (the count is already paid: it materializes the persist).
+    if surfaces.count() <= 100_000:
+        surfaces = surfaces.coalesce(1)
     edges_s = similarity_edges(surfaces, cfg)
 
     keyed = surfaces.withColumn("id", F.xxhash64("label", "norm"))
