@@ -13,9 +13,10 @@ the north rule. Everything here is built-in DataFrame ops — no Python UDFs:
    cross join.
 3. verification: exact Jaccard on shingle sets (array_intersect /
    array_union) >= threshold -> similarity edges.
-4. connected components: alternating large-star/small-star DataFrame joins
-   (Kiveris et al., "Connected Components in MapReduce and Beyond") with
-   localCheckpoint per round to cut lineage; converges in O(log n) rounds.
+4. connected components: min-label propagation with pointer jumping (path
+   compression — the doubling trick from Kiveris et al.'s MapReduce CC
+   family), localCheckpoint per round to cut lineage; O(log diameter)
+   rounds with a hard non-convergence guard.
 5. canonical surface per component = highest mention count (ties: shortest,
    then lexicographically smallest norm) -> entities table + surface->entity
    map used to rewrite triples onto canonical ids.
@@ -138,10 +139,18 @@ def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def connected_components(
     nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
-    """Min-id label propagation (alternating star contraction).
+    """Min-id label propagation WITH pointer jumping (path compression).
 
     nodes: (id long); edges: (src long, dst long) undirected (one direction
     given). Returns (id, component) with component = min node id reachable.
+
+    Each round does (a) a propagation step — component = min over self and
+    neighbors' components — and (b) a pointer-jumping step — component <-
+    component[component], doubling the hop distance covered per round.
+    Plain propagation needs O(diameter) rounds (a 64-node chain would NOT
+    converge within cc_max_iterations and would silently yield a wrong
+    clustering); with jumping, rounds are O(log diameter). Non-convergence
+    raises instead of returning a wrong answer.
     """
     # persist: every loop round's jobs traverse sym/comp; without it each
     # round re-evaluates the full upstream (surface agg + LSH + jaccard)
@@ -149,17 +158,28 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     comp = nodes.select(F.col("id"), F.col("id").alias("component"))
+    converged = False
     for _ in range(cfg.cc_max_iterations):
-        # candidate component for each node = min(component of neighbors, own)
+        # (a) propagate: min(component of self, components of neighbors)
         neigh = (
             sym.join(comp, sym.src == comp.id)
             .select(F.col("dst").alias("id"), F.col("component"))
         )
-        new_comp = (
+        prop = (
             comp.select("id", "component")
             .union(neigh)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # (b) pointer jump: component <- min(component, component[component])
+        parent = prop.select(
+            F.col("id").alias("component"), F.col("component").alias("grand")
+        )
+        new_comp = prop.join(parent, "component", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("grand", F.col("component"))
+            ).alias("component"),
         )
         new_comp = new_comp.localCheckpoint()  # cut lineage per round
         changed = (
@@ -171,8 +191,14 @@ def connected_components(
         )
         comp = new_comp
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{cfg.cc_max_iterations} rounds; raise cc_max_iterations"
+        )
     return comp
 
 

@@ -72,3 +72,38 @@ def test_entity_pair_table_matches_udf_enumeration(spark):
     sample = pairs.filter(F.col("head_idx") == 0).count()
     rev = pairs.filter(F.col("tail_idx") == 0).count()
     assert sample == rev
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    """A 200-node chain has diameter 199: plain min-propagation would need
+    199 rounds (>> cc_max_iterations) and silently mis-cluster; pointer
+    jumping must converge within the default 20."""
+    from gliner_spark.operators.linking import connected_components
+    from gliner_spark.config import PipelineConfig
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comp = connected_components(nodes, chain, PipelineConfig())
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+
+
+def test_cc_disjoint_components(spark):
+    from gliner_spark.operators.linking import connected_components
+    from gliner_spark.config import PipelineConfig
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (7, 8), (8, 9)], "src long, dst long"
+    )
+    comp = {r.id: r.component for r in
+            connected_components(nodes, edges, PipelineConfig()).collect()}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3
+    assert comp[4] == comp[5] == 4
+    assert comp[6] == 6
+    assert comp[7] == comp[8] == comp[9] == 7
