@@ -143,3 +143,40 @@ def test_streaming_extraction_matches_batch(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_incremental_graph_equals_batch(spark):
+    """foreachBatch incremental ingestion + batch finalize == one-shot batch
+    pipeline (entities and triples identical)."""
+    import shutil as sh
+    import tempfile as tf
+
+    from gliner_spark.sinks.materialize import finalize_graph, run_pipeline
+    from gliner_spark.streaming.pipeline import run_stream_pipeline
+
+    src = tf.mkdtemp(prefix="gs_sp_src_")
+    base_s = tf.mkdtemp(prefix="gs_sp_stream_")
+    base_b = tf.mkdtemp(prefix="gs_sp_batch_")
+    ckpt = tf.mkdtemp(prefix="gs_sp_ckpt_")
+    try:
+        docs = synth_docs(spark, 120, partitions=4)
+        # two file drops -> at least two micro-batches (maxFilesPerTrigger=8
+        # with 4+4 files still one trigger each availableNow pass; split
+        # writes to force multiple input files)
+        docs.filter(F.crc32("doc_id") % 2 == 0).write.mode("append").parquet(src)
+        docs.filter(F.crc32("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+        q = run_stream_pipeline(spark, src, base_s, MODEL, ckpt)
+        q.awaitTermination(180)
+        finalize_graph(spark, base_s, MODEL.config)
+
+        run_pipeline(spark, docs, MODEL, base_b)
+
+        for tbl in ["entities", "triples"]:
+            a = spark.read.parquet(f"{base_s}/{tbl}")
+            b = spark.read.parquet(f"{base_b}/{tbl}")
+            assert a.count() == b.count(), tbl
+            assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tbl
+    finally:
+        for d in (src, base_s, base_b, ckpt):
+            sh.rmtree(d, ignore_errors=True)
