@@ -18,7 +18,10 @@ Determinism contract with the oracle:
 - all hashing is affine arithmetic mod 2^31-1 over those ids;
 - embeddings are quantized to bigint (round(x*1e4)) so dot/norms are exact
   integer math; only the final divide/sqrt touches IEEE doubles;
-- money aggregates are summed as DECIMAL(18,4) (exact) then cast to double.
+- money aggregates are summed as DECIMAL (exact) and emitted as SCALED
+  BIGINTS (value * 10^scale): a final decimal->double cast differs by 1 ULP
+  between engines at 14+ significant digits (DuckDB divides the hugeint by
+  10^scale in floating point), so comparisons stay in integer space.
 """
 
 from __future__ import annotations
@@ -285,18 +288,25 @@ def q_rel_q1(spark, sf_dir):
     (SURVEY §2.4 — partial+final aggregation via Catalyst)."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # exact decimal sums are emitted as SCALED BIGINTS (value * 10^scale):
+    # a decimal->double cast differs by 1 ULP between engines at 14+
+    # significant digits (DuckDB divides hugeint by 10^scale in floating
+    # point), so the oracle compare must stay in integer space
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
-                    "decimal(28,8)"
+            (F.sum(dec("l_quantity")) * 10000).cast("long").alias("sum_qty_e4"),
+            (F.sum(dec("l_extendedprice")) * 10000).cast("long").alias("sum_base_price_e4"),
+            (
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
                 )
+                * 100000000
             )
-            .cast("double")
-            .alias("sum_disc_price"),
+            .cast("long")
+            .alias("sum_disc_price_e8"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -368,7 +378,7 @@ def q_rel_revenue_region(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev) * 100000000).cast("long").alias("revenue_e8"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy("r_name")
@@ -752,10 +762,10 @@ FROM c
         # ---- relational ----
         "rel_q1": """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_e4,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_base_price_e4,
   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) * 100000000 AS BIGINT) AS sum_disc_price_e8,
   CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
@@ -783,7 +793,7 @@ GROUP BY p_brand ORDER BY p_brand
         "rel_revenue_region": """
 SELECT r_name,
   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) * 100000000 AS BIGINT) AS revenue_e8,
   CAST(count(*) AS BIGINT) AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
