@@ -84,13 +84,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_kg_mentions(spark, sf_dir):
     from gliner_spark.operators.extraction import extract_graph, mentions_table
 
-    return mentions_table(extract_graph(_synth(spark, sf_dir), _model()))
+    df = mentions_table(extract_graph(_synth(spark, sf_dir), _model()))
+    return df.withColumn("score", F.round("score", 6))
 
 
 def q_kg_triples_raw(spark, sf_dir):
     from gliner_spark.operators.extraction import extract_graph, triples_raw_table
 
-    return triples_raw_table(extract_graph(_synth(spark, sf_dir), _model()))
+    df = triples_raw_table(extract_graph(_synth(spark, sf_dir), _model()))
+    return df.withColumn("score", F.round("score", 6))
 
 
 def q_kg_entities(spark, sf_dir):
@@ -582,6 +584,97 @@ qn AS (
 _DOT = "list_aggregate(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2]), 'sum')"
 
 
+_ORACLE_N_DOCS = 5000  # documents rows at sf0.01 x 10 (the driver's sf)
+
+
+def _kg_snapshot() -> str:
+    from gliner_spark.sources.oracle_fixtures import materialize
+
+    return materialize(_ORACLE_N_DOCS)
+
+
+def _kg_mentions_sql_base(snap: str) -> str:
+    """Shared CTE block: token positions + char offsets + gazetteer matches."""
+    return f"""
+kdocs AS (SELECT * FROM '{snap}/docs_text.parquet'),
+gaz AS (SELECT surface, label, len(string_split(surface,' ')) AS nt
+        FROM '{snap}/gazetteer.parquet'),
+ktoks AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text,' ')))) AS pos,
+         unnest(string_split(text,' ')) AS tok
+  FROM kdocs
+),
+koffs AS (
+  SELECT doc_id, pos, tok,
+    CAST(coalesce(sum(length(tok)+1) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS cs
+  FROM ktoks
+),
+matches AS (
+  SELECT o1.doc_id, o1.cs AS start, g.surface, g.label
+  FROM koffs o1 JOIN gaz g ON g.nt = 1 AND o1.tok = g.surface
+  UNION ALL
+  SELECT o1.doc_id, o1.cs, g.surface, g.label
+  FROM koffs o1
+  JOIN koffs o2 ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
+  JOIN gaz g ON g.nt = 2 AND o1.tok || ' ' || o2.tok = g.surface
+  UNION ALL
+  SELECT o1.doc_id, o1.cs, g.surface, g.label
+  FROM koffs o1
+  JOIN koffs o2 ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
+  JOIN koffs o3 ON o1.doc_id = o3.doc_id AND o3.pos = o1.pos + 2
+  JOIN gaz g ON g.nt = 3 AND o1.tok || ' ' || o2.tok || ' ' || o3.tok = g.surface
+),
+kmentions AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INTEGER) AS ent_idx,
+    start,
+    CAST(start + length(surface) AS INTEGER) AS "end",
+    surface AS text, label,
+    round(1.0/(1.0 + exp(-2.4)), 6) AS score,
+    surface AS norm
+  FROM matches
+)"""
+
+
+def _kg_mentions_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)}
+SELECT doc_id, ent_idx, start, "end", text, label, score, norm
+FROM kmentions ORDER BY doc_id, ent_idx
+"""
+
+
+def _kg_triples_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet'),
+rel_triples AS (
+  SELECT h.doc_id, h.norm AS subj, r.rel AS pred, t.norm AS obj,
+         h.label AS subj_type, t.label AS obj_type,
+         round(1.0/(1.0 + exp(-2.4)), 6) AS score
+  FROM kmentions h
+  JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
+  JOIN kdocs d ON d.doc_id = h.doc_id
+  JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
+),
+anchors AS (
+  SELECT doc_id, norm, label FROM kmentions WHERE ent_idx = 0
+),
+depicts AS (
+  SELECT m.doc_id, a.norm AS subj, 'depicts' AS pred, m.media_ref AS obj,
+         a.label AS subj_type, 'media' AS obj_type, 1.0 AS score
+  FROM '{snap}/media.parquet' m JOIN anchors a ON a.doc_id = m.doc_id
+)
+SELECT * FROM rel_triples UNION ALL SELECT * FROM depicts
+ORDER BY doc_id, subj, pred, obj
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     ev_a = ", ".join(f"'{s}'" for s in _EV_A)
@@ -826,4 +919,12 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """,
+        # ---- KG extraction oracles (deterministic fixture snapshot) ----
+        # The synthetic corpus is a pure function of (seed, doc_index); the
+        # snapshot under /tmp gives DuckDB the SAME input, and the SQL
+        # below re-derives mentions/triples INDEPENDENTLY (token-position
+        # joins against the gazetteer / connective tables). Valid at the
+        # driver's sf=0.01 comparison (5000-doc corpus).
+        "kg_mentions": _kg_mentions_oracle(),
+        "kg_triples_raw": _kg_triples_oracle(),
     }

@@ -49,6 +49,14 @@ def main():
         )
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # KG extraction oracles snapshot a 5000-doc corpus (= documents x 10 at
+    # the driver's sf0.01); skip their compare at other scales
+    n_documents = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    if n_documents != 500:
+        oracles.pop("kg_mentions", None)
+        oracles.pop("kg_triples_raw", None)
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
