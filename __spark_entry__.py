@@ -116,7 +116,8 @@ def q_kg_triples(spark, sf_dir):
     model = _model()
     graph = extract_graph(_synth(spark, sf_dir), model).persist()
     _, smap = canonicalize(mentions_table(graph), model.config)
-    return rewrite_triples(triples_raw_table(graph), smap)
+    df = rewrite_triples(triples_raw_table(graph), smap)
+    return df.withColumn("score", F.round("score", 6))
 
 
 def q_kg_span_f1(spark, sf_dir):
@@ -605,7 +606,7 @@ ktoks AS (
          unnest(string_split(text,' ')) AS tok
   FROM kdocs
 ),
-koffs AS (
+koffs AS MATERIALIZED (
   SELECT doc_id, pos, tok,
     CAST(coalesce(sum(length(tok)+1) OVER (
       PARTITION BY doc_id ORDER BY pos
@@ -627,7 +628,7 @@ matches AS (
   JOIN koffs o3 ON o1.doc_id = o3.doc_id AND o3.pos = o1.pos + 2
   JOIN gaz g ON g.nt = 3 AND o1.tok || ' ' || o2.tok || ' ' || o3.tok = g.surface
 ),
-kmentions AS (
+kmentions AS MATERIALIZED (
   SELECT doc_id,
     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INTEGER) AS ent_idx,
     start,
@@ -672,6 +673,165 @@ depicts AS (
 )
 SELECT * FROM rel_triples UNION ALL SELECT * FROM depicts
 ORDER BY doc_id, subj, pred, obj
+"""
+
+
+
+def _link_consts():
+    P = P31
+    a = [2 * ((j * 0x9E3779B1) % (P // 2 - 1)) + 1 for j in range(16)]
+    b = [(j * 0x85EBCA77) % P for j in range(16)]
+    return a, b
+
+
+def _kg_canonical_sql_base(snap: str) -> str:
+    """Canonicalization as pure SQL: shingles -> arithmetic minhash -> LSH
+    bands -> exact Jaccard edges -> transitive closure (recursive CTE) ->
+    canonical pick -> entity ids. Mirrors operators/linking.py exactly
+    (same fold hashes, same constants, same tie-breaks)."""
+    a, b = _link_consts()
+    P = P31
+    mh_cols = ",\n    ".join(
+        f"min(({a[j]}*sh_hash + {b[j]}) % {P}) AS mh_{j}" for j in range(16)
+    )
+    bands = []
+    for bd in range(4):
+        sig = "0"
+        for j in range(4 * bd, 4 * bd + 4):
+            sig = f"(({sig}) * 1000003 + mh_{j}) % {P}"
+        bands.append(f"SELECT label, norm, {bd} AS band, {sig} AS sig FROM sigs")
+    bands_union = "\n  UNION ALL\n  ".join(bands)
+    return f"""
+surfaces AS MATERIALIZED (
+  SELECT label, norm, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM kmentions GROUP BY label, norm
+),
+shingle_rows AS (
+  SELECT DISTINCT label, norm, shingle FROM (
+    SELECT label, norm,
+      substring(' ' || norm || ' ', unnest(range(greatest(length(' ' || norm || ' ') - 2, 1))) + 1, 3) AS shingle
+    FROM surfaces
+  )
+),
+sh_hashed AS MATERIALIZED (
+  SELECT label, norm,
+    ((CAST(ascii(substring(shingle,1,1)) AS BIGINT) * 1000003
+        + ascii(substring(shingle,2,1))) % {P}
+      * 1000003 + ascii(substring(shingle,3,1))) % {P} AS sh_hash,
+    shingle
+  FROM shingle_rows
+),
+sh_count AS (SELECT label, norm, count(*) AS n_sh FROM sh_hashed GROUP BY label, norm),
+sigs AS (
+  SELECT label, norm,
+    {mh_cols}
+  FROM sh_hashed GROUP BY label, norm
+),
+lsh_all AS (
+  {bands_union}
+),
+lsh AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT l.*, count(*) OVER (PARTITION BY label, band, sig) AS block_n FROM lsh_all l
+  ) WHERE block_n <= 1000
+),
+cand AS (
+  SELECT DISTINCT x.label, x.norm AS norm_a, y.norm AS norm_b
+  FROM lsh x JOIN lsh y
+    ON x.label = y.label AND x.band = y.band AND x.sig = y.sig AND x.norm < y.norm
+),
+pair_inter AS (
+  SELECT c.label, c.norm_a, c.norm_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh_hashed sa ON sa.label = c.label AND sa.norm = c.norm_a
+  JOIN sh_hashed sb ON sb.label = c.label AND sb.norm = c.norm_b AND sb.shingle = sa.shingle
+  GROUP BY c.label, c.norm_a, c.norm_b
+),
+link_edges AS (
+  SELECT i.label, i.norm_a, i.norm_b
+  FROM pair_inter i
+  JOIN sh_count ca ON ca.label = i.label AND ca.norm = i.norm_a
+  JOIN sh_count cb ON cb.label = i.label AND cb.norm = i.norm_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.6
+),
+sym_edges AS (
+  SELECT label, norm_a AS na, norm_b AS nb FROM link_edges
+  UNION ALL
+  SELECT label, norm_b, norm_a FROM link_edges
+),
+reach AS (
+  SELECT label, norm AS a, norm AS b FROM surfaces
+  UNION
+  SELECT r.label, r.a, e.nb FROM reach r JOIN sym_edges e
+    ON r.label = e.label AND r.b = e.na
+),
+comp AS (
+  SELECT label, a AS norm, min(b) AS component FROM reach GROUP BY label, a
+),
+clustered AS (
+  SELECT s.label, s.norm, s.n_mentions, c.component
+  FROM surfaces s JOIN comp c ON s.label = c.label AND s.norm = c.norm
+),
+canon AS (
+  SELECT label AS canon_label, component, norm AS canonical FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY label, component
+      ORDER BY n_mentions DESC, length(norm) ASC, norm ASC
+    ) AS rk FROM clustered
+  ) WHERE rk = 1
+),
+surface_map AS MATERIALIZED (
+  SELECT cl.label, cl.norm,
+    ca.canon_label || ':' ||
+      substring(md5(ca.canon_label || chr(0) || ca.canonical), 1, 16) AS entity_id,
+    ca.canonical, cl.n_mentions
+  FROM clustered cl
+  JOIN canon ca ON ca.component = cl.component AND ca.canon_label = cl.label
+)"""
+
+
+def _kg_entities_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_mentions_sql_base(snap)},
+{_kg_canonical_sql_base(snap)}
+SELECT entity_id, canonical,
+  min(label) AS label, CAST(sum(n_mentions) AS BIGINT) AS n_mentions
+FROM surface_map GROUP BY entity_id, canonical
+ORDER BY entity_id
+"""
+
+
+def _kg_triples_canonical_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_mentions_sql_base(snap)},
+{_kg_canonical_sql_base(snap)},
+rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet'),
+raw_triples AS (
+  SELECT h.doc_id, h.norm AS subj, r.rel AS pred, t.norm AS obj,
+         h.label AS subj_type, t.label AS obj_type,
+         round(1.0/(1.0 + exp(-2.4)), 6) AS score
+  FROM kmentions h
+  JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
+  JOIN kdocs d ON d.doc_id = h.doc_id
+  JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
+  UNION ALL
+  SELECT m.doc_id, a.norm, 'depicts', m.media_ref, a.label, 'media', 1.0
+  FROM '{snap}/media.parquet' m
+  JOIN (SELECT doc_id, norm, label FROM kmentions WHERE ent_idx = 0) a
+    ON a.doc_id = m.doc_id
+)
+SELECT rt.doc_id,
+  coalesce(ms.entity_id, rt.subj) AS subj,
+  rt.pred,
+  CASE WHEN rt.obj_type = 'media' THEN rt.obj
+       ELSE coalesce(mo.entity_id, rt.obj) END AS obj,
+  rt.subj_type, rt.obj_type, rt.score
+FROM raw_triples rt
+LEFT JOIN surface_map ms ON ms.label = rt.subj_type AND ms.norm = rt.subj
+LEFT JOIN surface_map mo ON mo.label = rt.obj_type AND mo.norm = rt.obj
+ORDER BY rt.doc_id, subj, pred, obj
 """
 
 
@@ -927,4 +1087,6 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
         # driver's sf=0.01 comparison (5000-doc corpus).
         "kg_mentions": _kg_mentions_oracle(),
         "kg_triples_raw": _kg_triples_oracle(),
+        "kg_entities": _kg_entities_oracle(),
+        "kg_triples": _kg_triples_canonical_oracle(),
     }

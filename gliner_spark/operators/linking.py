@@ -66,7 +66,19 @@ def surface_table(mentions: DataFrame) -> DataFrame:
     )
 
 
+def _char_fold_hash(s):
+    """Arithmetic shingle hash from codepoints (engine-neutral: the SQL
+    oracle reproduces it exactly; xxhash64 would not be). For k=3:
+    ((cp1 * 1000003 + cp2) % P31 * 1000003 + cp3) % P31 — ANSI-overflow-safe
+    (cp <= 0x10FFFF, every product < 2^62)."""
+    h = F.ascii(F.substring(s, 1, 1)).cast("long")
+    for i in (2, 3):
+        h = (h * F.lit(1000003) + F.ascii(F.substring(s, i, 1)).cast("long")) % F.lit(_P31)
+    return h
+
+
 def _with_shingles(surfaces: DataFrame, k: int) -> DataFrame:
+    assert k == 3, "char-fold hash below is specialized for k=3"
     pad = F.concat(F.lit(" "), F.col("norm"), F.lit(" "))
     n = F.greatest(F.length(pad) - (k - 1), F.lit(1))
     # dynamic-start substring via Column.substr(expr, expr) — JVM-side
@@ -74,7 +86,7 @@ def _with_shingles(surfaces: DataFrame, k: int) -> DataFrame:
         F.transform(F.sequence(F.lit(1), n), lambda i: pad.substr(i, F.lit(k)))
     )
     return surfaces.withColumn("shingles", shingles).withColumn(
-        "sh_hash", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        "sh_hash", F.transform(F.col("shingles"), _char_fold_hash)
     )
 
 
@@ -90,10 +102,10 @@ def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh_{j}") for j in range(b * per_band, (b + 1) * per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
-        )
+        sig = F.lit(0).cast("long")
+        for j in range(b * per_band, (b + 1) * per_band):
+            sig = (sig * F.lit(1000003) + F.col(f"mh_{j}")) % F.lit(_P31)
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
     blocked = sh.select(
         "label", "norm", "shingles",
         F.explode(F.array(*band_cols)).alias("bk"),

@@ -55,8 +55,8 @@ def main():
         f"SELECT count(*) FROM '{SF}/documents.parquet'"
     ).fetchone()[0]
     if n_documents != 500:
-        oracles.pop("kg_mentions", None)
-        oracles.pop("kg_triples_raw", None)
+        for k in ("kg_mentions", "kg_triples_raw", "kg_entities", "kg_triples"):
+            oracles.pop(k, None)
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
