@@ -137,9 +137,10 @@ def q_kg_mentions_zeroshot(spark, sf_dir):
     """Per-request label subset (zero-shot surface): persons+locations only."""
     from gliner_spark.operators.extraction import extract_mentions_only
 
-    return extract_mentions_only(
+    df = extract_mentions_only(
         _synth(spark, sf_dir), _model(), labels=["person", "location"]
     )
+    return df.withColumn("score", F.round("score", 6))
 
 
 def q_kg_eval_ner(spark, sf_dir):
@@ -835,6 +836,92 @@ ORDER BY rt.doc_id, subj, pred, obj
 """
 
 
+def _kg_zeroshot_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)}
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INTEGER) AS ent_idx,
+  start, "end", text, label, score, norm
+FROM kmentions WHERE label IN ('person', 'location')
+ORDER BY doc_id, ent_idx
+"""
+
+
+def _kg_media_nodes_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+SELECT media_ref, 'image' AS kind,
+  CAST(count(*) AS BIGINT) AS n_occurrences, min(caption) AS caption
+FROM '{snap}/media.parquet'
+GROUP BY media_ref ORDER BY media_ref
+"""
+
+
+def _kg_span_f1_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+pred AS (SELECT DISTINCT doc_id, label, start, "end" FROM kmentions),
+gold AS (SELECT DISTINCT doc_id, label, start, "end"
+         FROM '{snap}/gold_mentions.parquet'),
+c AS (
+  SELECT
+    CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+    CAST((SELECT count(*) FROM gold) AS BIGINT) AS n_gold,
+    CAST((SELECT count(*) FROM pred JOIN gold
+          USING (doc_id, label, start, "end")) AS BIGINT) AS tp
+)
+SELECT n_pred, n_gold, tp,
+  CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_pred END AS precision,
+  CASE WHEN n_gold = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_gold END AS recall,
+  CASE WHEN tp = 0 THEN 0.0 ELSE
+    2.0 * (CAST(tp AS DOUBLE)/n_pred) * (CAST(tp AS DOUBLE)/n_gold)
+      / ((CAST(tp AS DOUBLE)/n_pred) + (CAST(tp AS DOUBLE)/n_gold)) END AS f1
+FROM c
+"""
+
+
+def _kg_eval_ner_oracle() -> str:
+    snap = _kg_snapshot()
+    # word-level spans: a mention's word_start is the token position whose
+    # char offset equals the mention start (matches align to token starts by
+    # construction); width = token count of the surface. Gold converts the
+    # same way (char_to_word semantics, evaluate_ner.py:48-99).
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+pred_w AS (
+  SELECT DISTINCT m.doc_id, m.label,
+    o.pos AS ws,
+    CAST(o.pos + len(string_split(m.text, ' ')) - 1 AS BIGINT) AS we
+  FROM kmentions m
+  JOIN koffs o ON o.doc_id = m.doc_id AND o.cs = m.start
+),
+gold_w AS (
+  SELECT DISTINCT g.doc_id, g.label,
+    o.pos AS ws,
+    CAST(o.pos + len(string_split(substring(d.text, g.start + 1, g."end" - g.start), ' ')) - 1 AS BIGINT) AS we
+  FROM '{snap}/gold_mentions.parquet' g
+  JOIN kdocs d ON d.doc_id = g.doc_id
+  JOIN koffs o ON o.doc_id = g.doc_id AND o.cs = g.start
+),
+c AS (
+  SELECT
+    CAST((SELECT count(*) FROM pred_w) AS BIGINT) AS n_pred,
+    CAST((SELECT count(*) FROM gold_w) AS BIGINT) AS n_gold,
+    CAST((SELECT count(*) FROM pred_w JOIN gold_w
+          USING (doc_id, label, ws, we)) AS BIGINT) AS tp
+)
+SELECT n_pred, n_gold, tp,
+  CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_pred END AS precision,
+  CASE WHEN n_gold = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_gold END AS recall,
+  CASE WHEN tp = 0 THEN 0.0 ELSE
+    2.0 * (CAST(tp AS DOUBLE)/n_pred) * (CAST(tp AS DOUBLE)/n_gold)
+      / ((CAST(tp AS DOUBLE)/n_pred) + (CAST(tp AS DOUBLE)/n_gold)) END AS f1
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     ev_a = ", ".join(f"'{s}'" for s in _EV_A)
@@ -1089,4 +1176,8 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
         "kg_triples_raw": _kg_triples_oracle(),
         "kg_entities": _kg_entities_oracle(),
         "kg_triples": _kg_triples_canonical_oracle(),
+        "kg_mentions_zeroshot": _kg_zeroshot_oracle(),
+        "kg_media_nodes": _kg_media_nodes_oracle(),
+        "kg_span_f1": _kg_span_f1_oracle(),
+        "kg_eval_ner": _kg_eval_ner_oracle(),
     }

@@ -40,7 +40,8 @@ def materialize(n_docs: int, seed: int = 42) -> str:
     os.makedirs(out, exist_ok=True)
 
     doc_ids, texts = [], []
-    m_doc, m_ref = [], []
+    m_doc, m_ref, m_cap = [], [], []
+    g_doc, g_start, g_end, g_label = [], [], [], []
     for i in range(n_docs):
         d = gen_doc(i, seed)
         doc_ids.append(d["doc_id"])
@@ -49,13 +50,30 @@ def materialize(n_docs: int, seed: int = 42) -> str:
             if sp["kind"] == "media":
                 m_doc.append(d["doc_id"])
                 m_ref.append(sp["media_ref"])
+                m_cap.append(sp["text"])
+        for g in d["gold_mentions"]:
+            g_doc.append(d["doc_id"])
+            g_start.append(g["start"])
+            g_end.append(g["end"])
+            g_label.append(g["label"])
     pq.write_table(
         pa.table({"doc_id": doc_ids, "text": texts}),
         os.path.join(out, "docs_text.parquet"),
     )
     pq.write_table(
-        pa.table({"doc_id": m_doc, "media_ref": m_ref}),
+        pa.table({"doc_id": m_doc, "media_ref": m_ref, "caption": m_cap}),
         os.path.join(out, "media.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": g_doc,
+                "start": pa.array(g_start, pa.int32()),
+                "end": pa.array(g_end, pa.int32()),
+                "label": g_label,
+            }
+        ),
+        os.path.join(out, "gold_mentions.parquet"),
     )
 
     surf, lab = [], []

@@ -55,7 +55,9 @@ def main():
         f"SELECT count(*) FROM '{SF}/documents.parquet'"
     ).fetchone()[0]
     if n_documents != 500:
-        for k in ("kg_mentions", "kg_triples_raw", "kg_entities", "kg_triples"):
+        for k in ("kg_mentions", "kg_triples_raw", "kg_entities", "kg_triples",
+                  "kg_mentions_zeroshot", "kg_media_nodes", "kg_span_f1",
+                  "kg_eval_ner"):
             oracles.pop(k, None)
     failures = []
     for name, fn in qs.items():
