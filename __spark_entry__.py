@@ -922,6 +922,42 @@ FROM c
 """
 
 
+def _kg_media_features_oracle() -> str:
+    snap = _kg_snapshot()
+    P = 2147483647
+    feat = ", ".join(
+        f"CAST(((((base * {2*i+5} + {i}) % {P}) % 256) * 2 - 255) / 256.0 AS FLOAT)"
+        for i in range(32)
+    )
+    return f"""
+WITH nodes AS (
+  SELECT media_ref, 'image' AS kind FROM '{snap}/media.parquet'
+  GROUP BY media_ref
+),
+folded AS (
+  SELECT media_ref, kind,
+    list_aggregate(
+      list_transform(range(length(media_ref)), i -> ascii(substring(media_ref, i+1, 1))),
+      'sum') AS _chk,
+    (SELECT 1) AS _one
+  FROM nodes
+),
+-- codepoint fold h = (h*1000003 + cp) % P via recursive per-char reduce is
+-- awkward in SQL; media refs are 'media://' + 12 hex chars, so the fold is
+-- expanded positionally (fixed length 20)
+base_t AS (
+  SELECT media_ref, kind,
+    ((((((((((((((((((((((((((((((((((((((((CAST(0 AS BIGINT)) * 1000003 + ascii(substring(media_ref, 1, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 2, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 3, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 4, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 5, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 6, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 7, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 8, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 9, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 10, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 11, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 12, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 13, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 14, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 15, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 16, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 17, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 18, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 19, 1))) % 2147483647) * 1000003 + ascii(substring(media_ref, 20, 1))) % 2147483647 AS base
+  FROM nodes
+)
+SELECT media_ref, kind, CAST(0 AS BIGINT) AS n_bytes,
+  CAST(64 + ((base * 7 + 1) % {P}) % 192 AS INTEGER) AS width,
+  CAST(64 + ((base * 11 + 3) % {P}) % 192 AS INTEGER) AS height,
+  [{feat}] AS feature
+FROM base_t ORDER BY media_ref
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     ev_a = ", ".join(f"'{s}'" for s in _EV_A)
@@ -1180,4 +1216,5 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
         "kg_media_nodes": _kg_media_nodes_oracle(),
         "kg_span_f1": _kg_span_f1_oracle(),
         "kg_eval_ner": _kg_eval_ner_oracle(),
+        "kg_media_features": _kg_media_features_oracle(),
     }

@@ -14,7 +14,6 @@ narrow mapInPandas directly over the scan; only small typed features
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -28,19 +27,35 @@ MEDIA_FEATURES_DDL = (
 )
 
 
+_P31 = 2147483647
+_FEAT_DIM = 32
+
+
+def _ref_fold(ref: str) -> int:
+    """Codepoint fold hash of the ref (engine-neutral arithmetic — the SQL
+    oracle reproduces the whole decode stub exactly)."""
+    h = 0
+    for ch in ref:
+        h = (h * 1000003 + ord(ch)) % _P31
+    return h
+
+
 def _fake_decode(ref: str, payload: bytes | None):
     """Deterministic stand-in for the codec layer.
 
     A real implementation would be:
         img = PIL.Image.open(io.BytesIO(payload))   # or torchaudio/av
         ...resize / frame-sample / embed...
-    which is unavailable in this container; features are derived from a
-    stable hash instead so tests are reproducible end-to-end.
+    which is unavailable in this container; features derive from an
+    arithmetic hash of the ref: reproducible end-to-end AND by the SQL
+    oracle. Feature values are dyadic rationals ((2k-255)/256), exactly
+    representable in float32 -> bit-identical across engines.
     """
-    h = hashlib.blake2b(ref.encode("utf-8"), digest_size=32).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    feat = (np.frombuffer(h, dtype=np.uint8).astype(np.float32) - 127.5) / 128.0
+    base = _ref_fold(ref)
+    width = 64 + ((base * 7 + 1) % _P31) % 192
+    height = 64 + ((base * 11 + 3) % _P31) % 192
+    ks = [((base * (2 * i + 5) + i) % _P31) % 256 for i in range(_FEAT_DIM)]
+    feat = np.array([(k - 127.5) / 128.0 for k in ks], dtype=np.float32)
     return width, height, feat
 
 

@@ -25,17 +25,20 @@ TABLES = [
 ]
 
 
+def _nv(v):
+    import numpy as np
+
+    if isinstance(v, float):
+        return ("f", round(v, 9))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(_nv(x) for x in v))
+    if isinstance(v, np.generic):
+        return _nv(v.item())
+    return ("x", v)
+
+
 def norm(rows, cols):
-    out = []
-    for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float):
-                vals.append(("f", round(v, 9)))
-            else:
-                vals.append(("x", v))
-        out.append(tuple(vals))
+    out = [tuple(_nv(r[c]) for c in cols) for r in rows]
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
@@ -57,7 +60,7 @@ def main():
     if n_documents != 500:
         for k in ("kg_mentions", "kg_triples_raw", "kg_entities", "kg_triples",
                   "kg_mentions_zeroshot", "kg_media_nodes", "kg_span_f1",
-                  "kg_eval_ner"):
+                  "kg_eval_ner", "kg_media_features"):
             oracles.pop(k, None)
     failures = []
     for name, fn in qs.items():
