@@ -38,7 +38,9 @@ def load_docs(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
                 "a configured catalog (spark.sql.catalog.<name>=...)."
             ) from e
     if fmt == "json":
-        return spark.read.json(path).select("doc_id", "spans")
+        # explicit schema: inference would order struct fields alphabetically
+        # and drop all-null columns (media_ref) — the DDL pins both
+        return spark.read.schema(DOCS_DDL).json(path).select("doc_id", "spans")
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -46,8 +48,13 @@ def load_ner_eval_json(spark: SparkSession, path: str) -> DataFrame:
     """Reference-format eval fixtures: {"tokenized_text", "ner": [[s,e,l]]}
     (evaluate_ner.py:72-97) -> NER_EVAL_DDL rows."""
     raw = spark.read.json(path)
+    doc_id = (
+        F.col("doc_id").cast("string")
+        if "doc_id" in raw.columns
+        else F.monotonically_increasing_id().cast("string")
+    )
     return raw.select(
-        F.coalesce(F.col("doc_id"), F.monotonically_increasing_id().cast("string")).alias("doc_id"),
+        doc_id.alias("doc_id"),
         F.col("tokenized_text").cast("array<string>"),
         F.expr(
             "transform(ner, x -> named_struct("
