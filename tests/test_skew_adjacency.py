@@ -107,3 +107,21 @@ def test_cc_disjoint_components(spark):
     assert comp[4] == comp[5] == 4
     assert comp[6] == 6
     assert comp[7] == comp[8] == comp[9] == 7
+
+
+def test_lsh_block_cap_drops_degenerate_blocks(spark):
+    """Oversized LSH blocks (the degenerate-shingle skew case) are dropped
+    from pair generation instead of producing a quadratic join."""
+    from gliner_spark.operators.linking import similarity_edges
+    from gliner_spark.config import PipelineConfig
+
+    # 40 near-identical surfaces -> one giant block under every band
+    rows = [("org", f"acme corp {i}", 10) for i in range(40)]
+    surfaces = spark.createDataFrame(rows, "label string, norm string, n_mentions long")
+    open_cfg = PipelineConfig(link_max_block_size=1000, link_jaccard_threshold=0.5)
+    # cap=1: any block with >= 2 members is "oversized" -> no pairs at all
+    capped_cfg = PipelineConfig(link_max_block_size=1, link_jaccard_threshold=0.5)
+    n_open = similarity_edges(surfaces, open_cfg).count()
+    n_capped = similarity_edges(surfaces, capped_cfg).count()
+    assert n_open > 0
+    assert n_capped == 0
