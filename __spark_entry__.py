@@ -448,6 +448,67 @@ def q_rel_global_topn(spark, sf_dir):
     )
 
 
+def q_rel_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the event stream (lead/lag window
+    functions, SURVEY §2.5): a >30-minute silence starts a new session."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ wall-clock epoch via NTZ-NTZ diff: timezone-independent in any
+    # session (casting NTZ to long is illegal; LTZ conversions are tz-bound)
+    epoch = F.expr("timestampdiff(SECOND, timestamp_ntz '1970-01-01 00:00:00', ts)")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_ta_top_terms(spark, sf_dir):
+    """Per-doc top-3 terms by a rational tf-idf surrogate
+    (tf * N_docs / doc_freq — exact integer ratio, no logs, so the oracle
+    matches bit-for-bit; ties broken by token)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_, "tok").withColumn(
+        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", F.col("rank").cast("long").alias("rank"), "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"), "score",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction (correctness gate: tests/test_pipeline.py)
@@ -486,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_sessions": q_rel_events_sessions,
         "rel_events_windowed": q_rel_events_windowed,
         "rel_global_topn": q_rel_global_topn,
+        "rel_sessionize": q_rel_sessionize,
+        "ta_top_terms": q_ta_top_terms,
     }
 
 
@@ -1201,6 +1264,39 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         "rel_global_topn": """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+""",
+        "rel_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM g
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+""",
+        "ta_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+    t.tf * CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df AS score
+  FROM tf t JOIN dfq d USING (tok)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """,
         # ---- KG extraction oracles (deterministic fixture snapshot) ----
         # The synthetic corpus is a pure function of (seed, doc_index); the
