@@ -509,6 +509,40 @@ def q_ta_top_terms(spark, sf_dir):
     )
 
 
+def q_rel_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (SURVEY §2.4 n/a-in-ref row): subtotals over
+    (returnflag, linestatus) with exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rel_cardinality(spark, sf_dir):
+    """Entity-cardinality metrics: exact distinct counts (the oracle-able
+    form; production uses approx_count_distinct at 10^12 scale — HLL
+    sketches are engine-specific, so the gated query stays exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return spark.createDataFrame(
+        [
+            (
+                li.select("l_partkey").distinct().count(),
+                li.select("l_suppkey").distinct().count(),
+                o.select("o_custkey").distinct().count(),
+            )
+        ],
+        "n_parts long, n_suppliers long, n_customers long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction (correctness gate: tests/test_pipeline.py)
@@ -549,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_global_topn": q_rel_global_topn,
         "rel_sessionize": q_rel_sessionize,
         "ta_top_terms": q_ta_top_terms,
+        "rel_rollup": q_rel_rollup,
+        "rel_cardinality": q_rel_cardinality,
     }
 
 
@@ -1297,6 +1333,19 @@ ranked AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
 FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+        "rel_rollup": """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+  coalesce(l_linestatus, '<all>') AS l_linestatus,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""",
+        "rel_cardinality": """
+SELECT
+  CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_parts,
+  CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT) AS n_suppliers,
+  CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT) AS n_customers
 """,
         # ---- KG extraction oracles (deterministic fixture snapshot) ----
         # The synthetic corpus is a pure function of (seed, doc_index); the
