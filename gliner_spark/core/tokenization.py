@@ -29,6 +29,31 @@ def tokenize_with_offsets(text: str) -> Tuple[List[str], List[int], List[int]]:
     return toks, starts, ends
 
 
+def words_splitter(backend: str = "whitespace"):
+    """Pluggable splitter factory (reference WordsSplitter,
+    tokenizer.py:518-581, 9 backends). The default whitespace backend is the
+    reference's default and the only dependency-free one; language-specific
+    backends require their libraries (absent in this container) and raise
+    with the exact dependency, mirroring the reference's lazy imports.
+
+    Returns a callable text -> (tokens, start_chars, end_chars).
+    """
+    if backend == "whitespace":
+        return tokenize_with_offsets
+    _DEPS = {
+        "spacy": "spacy", "moses": "sacremoses", "jieba": "jieba",
+        "mecab": "mecab-python3", "janome": "janome", "kiwi": "kiwipiepy",
+        "camel": "camel-tools", "hanlp": "hanlp",
+    }
+    if backend in _DEPS:
+        raise ImportError(
+            f"words splitter backend {backend!r} needs {_DEPS[backend]!r}, "
+            f"which is not installed; use 'whitespace' or install it on the "
+            f"cluster image"
+        )
+    raise ValueError(f"unknown splitter backend {backend!r}")
+
+
 def word_to_char_maps(starts: List[int], ends: List[int]) -> Tuple[dict, dict]:
     """Word-index -> char-offset maps.
 

@@ -223,3 +223,14 @@ def test_model_finds_planted_gold_exactly():
     }
     predt = {(r["doc_id"], r["subj"], r["pred"], r["obj"]) for r in tr}
     assert predt == goldt
+
+
+def test_words_splitter_factory():
+    from gliner_spark.core.tokenization import words_splitter
+
+    ws = words_splitter("whitespace")
+    assert ws("a b")[0] == ["a", "b"]
+    with pytest.raises(ImportError):
+        words_splitter("spacy")
+    with pytest.raises(ValueError):
+        words_splitter("nope")
