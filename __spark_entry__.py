@@ -1061,7 +1061,7 @@ def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     ev_a = ", ".join(f"'{s}'" for s in _EV_A)
     ev_b = ", ".join(f"'{s}'" for s in _EV_B)
-    return {
+    out = {
         # ---- text analysis ----
         "ta_token_stats": """
 SELECT doc_id,
@@ -1347,12 +1347,29 @@ SELECT
   CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT) AS n_suppliers,
   CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT) AS n_customers
 """,
-        # ---- KG extraction oracles (deterministic fixture snapshot) ----
-        # The synthetic corpus is a pure function of (seed, doc_index); the
-        # snapshot under /tmp gives DuckDB the SAME input, and the SQL
-        # below re-derives mentions/triples INDEPENDENTLY (token-position
-        # joins against the gazetteer / connective tables). Valid at the
-        # driver's sf=0.01 comparison (5000-doc corpus).
+    }
+    out.update(_kg_oracles())
+    return out
+
+
+def _kg_oracles() -> dict[str, str]:
+    """KG extraction oracles (deterministic fixture snapshot).
+
+    The synthetic corpus is a pure function of (seed, doc_index); the
+    snapshot under /tmp gives DuckDB the SAME input, and the SQL re-derives
+    mentions/triples/entities INDEPENDENTLY (token-position joins against
+    the gazetteer/connective tables; recursive-CTE connected components).
+    Valid at the driver's sf=0.01 comparison (5000-doc corpus).
+
+    Degrades gracefully: if the snapshot cannot be materialized (read-only
+    /tmp, no pyarrow, ...), these queries fall back to the rows-only check
+    instead of failing the whole oracle set.
+    """
+    try:
+        _kg_snapshot()
+    except Exception:
+        return {}
+    return {
         "kg_mentions": _kg_mentions_oracle(),
         "kg_triples_raw": _kg_triples_oracle(),
         "kg_entities": _kg_entities_oracle(),
