@@ -119,11 +119,31 @@ def _process_batches(model: GlinerSparkModel):
     return fn
 
 
-def extract_graph(docs: DataFrame, model: GlinerSparkModel) -> DataFrame:
-    """docs(doc_id, spans) -> nested per-doc graph rows (GRAPH_DDL)."""
+def extract_graph(
+    docs: DataFrame, model: GlinerSparkModel, length_sorted: bool = False
+) -> DataFrame:
+    """docs(doc_id, spans) -> nested per-doc graph rows (GRAPH_DDL).
+
+    length_sorted: range-partition by document size before scoring — the
+    Spark analog of the reference's sequence packing (infer_packing.py:
+    164-326): co-locating similar-length docs makes Arrow batches uniform,
+    which matters when the encoder pads to the batch max (a transformer on
+    GPU executors). The deterministic stand-in does per-doc work with no
+    padding, so this is measured ~neutral here (BENCH.md) and OFF by
+    default; it costs one shuffle.
+    """
     cfg = model.config
     src = docs.select("doc_id", "spans")  # column pruning to the scan
-    if cfg.doc_partitions:
+    if length_sorted:
+        src = src.withColumn(
+            "_len",
+            F.aggregate(
+                F.transform("spans", lambda s: F.length(s["text"])),
+                F.lit(0),
+                lambda a, x: a + x,
+            ),
+        ).repartitionByRange(cfg.shuffle_partitions, "_len").drop("_len")
+    elif cfg.doc_partitions:
         src = src.repartition(cfg.doc_partitions, "doc_id")
     return src.mapInPandas(_process_batches(model), schema=GRAPH_DDL)
 
