@@ -126,13 +126,23 @@ def run_extraction(
     wall_ms = int((time.time() - t0) * 1000)
 
     # lineage appended only after data committed — one row per ATTEMPTED
-    # bucket (empty buckets included, else they would be re-attempted forever)
+    # bucket (empty buckets included, else they would be re-attempted forever).
+    # Counts come from the tables just WRITTEN (cheap columnar re-read),
+    # never from the input DataFrame: re-traversing `todo` would re-run the
+    # whole upstream (scan/synthesis) once per aggregate.
+    fp_written = spark.read.parquet(os.path.join(base, "span_fp")).filter(
+        F.col("bucket").isin(pending)
+    )
+    m_written = spark.read.parquet(os.path.join(base, "mentions")).filter(
+        F.col("bucket").isin(pending)
+    )
+    t_written = spark.read.parquet(os.path.join(base, "triples_raw")).filter(
+        F.col("bucket").isin(pending)
+    )
     stats = (
         spark.createDataFrame([(int(b),) for b in pending], "bucket int")
         .join(
-            with_bucket(todo.select("doc_id"), cfg.lineage_buckets)
-            .groupBy("bucket")
-            .agg(
+            fp_written.groupBy("bucket").agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.min("doc_id").alias("doc_id_min"),
                 F.max("doc_id").alias("doc_id_max"),
@@ -142,12 +152,12 @@ def run_extraction(
         )
         .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
         .join(
-            m_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_mentions")),
+            m_written.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_mentions")),
             "bucket",
             "left",
         )
         .join(
-            t_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_triples")),
+            t_written.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_triples")),
             "bucket",
             "left",
         )
@@ -165,7 +175,7 @@ def run_extraction(
         )
     )
     stats.write.mode("append").parquet(os.path.join(base, "lineage"))
-    n_docs = todo.count()
+    n_docs = fp_written.count()
     graph.unpersist()
     return {"run_id": run_id, "buckets": len(pending), "n_docs": n_docs, "wall_ms": wall_ms}
 
