@@ -215,6 +215,32 @@ def q_ta_lang_id(spark, sf_dir):
     )
 
 
+def q_ta_diversity(spark, sf_dir):
+    """Repetition/diversity scoring: Simpson index 1 - sum((tf/n)^2) and
+    max-term ratio — rational arithmetic (no logs), bit-exact in any engine;
+    the boilerplate/repetition filter of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n"),
+            F.sum(F.col("tf") * F.col("tf")).alias("sq"),
+            F.max("tf").alias("max_tf"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.lit(1.0) - F.col("sq").cast("double") / (F.col("n") * F.col("n"))).alias(
+                "simpson_diversity"
+            ),
+            (F.col("max_tf").cast("double") / F.col("n")).alias("max_term_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_ta_fingerprint(spark, sf_dir):
     from gliner_spark.operators.text_analysis import doc_fingerprint
 
@@ -560,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_quality": q_ta_quality,
         "ta_lang_id": q_ta_lang_id,
         "ta_fingerprint": q_ta_fingerprint,
+        "ta_diversity": q_ta_diversity,
         # dedup family
         "dd_exact": q_dd_exact,
         "dd_minhash": q_dd_minhash,
@@ -1086,6 +1113,17 @@ SELECT doc_id, n_tokens, n_stopwords,
 FROM s ORDER BY doc_id
 """,
         "ta_lang_id": _lang_sql(),
+        "ta_diversity": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  1.0 - CAST(sum(tf*tf) AS DOUBLE) / (sum(tf) * sum(tf)) AS simpson_diversity,
+  CAST(max(tf) AS DOUBLE) / sum(tf) AS max_term_ratio
+FROM tf GROUP BY doc_id ORDER BY doc_id
+""",
         "ta_fingerprint": f"""
 WITH {_TOKS},
 uni AS (
