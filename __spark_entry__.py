@@ -168,12 +168,23 @@ def q_kg_media_nodes(spark, sf_dir):
 
 
 def q_kg_media_features(spark, sf_dir):
+    """Decode stage output, unnested to scalar rows so every column is
+    hashable by the driver's canonicalizer (posexplode keeps float
+    exactness; the feature values are dyadic rationals)."""
     from gliner_spark.operators.multimodal import decode_media, media_nodes
 
     nodes = media_nodes(_synth(spark, sf_dir)).select(
         "media_ref", "kind", F.lit(None).cast("binary").alias("payload")
     )
-    return decode_media(nodes)
+    df = decode_media(nodes)
+    return df.select(
+        "media_ref",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.posexplode("feature").alias("feat_idx", "feat_value"),
+    )
 
 
 # ------------------------------------------------------ text analysis ----
@@ -1051,22 +1062,10 @@ FROM c
 def _kg_media_features_oracle() -> str:
     snap = _kg_snapshot()
     P = 2147483647
-    feat = ", ".join(
-        f"CAST(((((base * {2*i+5} + {i}) % {P}) % 256) * 2 - 255) / 256.0 AS FLOAT)"
-        for i in range(32)
-    )
     return f"""
 WITH nodes AS (
   SELECT media_ref, 'image' AS kind FROM '{snap}/media.parquet'
   GROUP BY media_ref
-),
-folded AS (
-  SELECT media_ref, kind,
-    list_aggregate(
-      list_transform(range(length(media_ref)), i -> ascii(substring(media_ref, i+1, 1))),
-      'sum') AS _chk,
-    (SELECT 1) AS _one
-  FROM nodes
 ),
 -- codepoint fold h = (h*1000003 + cp) % P via recursive per-char reduce is
 -- awkward in SQL; media refs are 'media://' + 12 hex chars, so the fold is
@@ -1079,8 +1078,10 @@ base_t AS (
 SELECT media_ref, kind, CAST(0 AS BIGINT) AS n_bytes,
   CAST(64 + ((base * 7 + 1) % {P}) % 192 AS INTEGER) AS width,
   CAST(64 + ((base * 11 + 3) % {P}) % 192 AS INTEGER) AS height,
-  [{feat}] AS feature
-FROM base_t ORDER BY media_ref
+  CAST(i AS INTEGER) AS feat_idx,
+  CAST(((((base * (2*i+5) + i) % {P}) % 256) * 2 - 255) / 256.0 AS FLOAT) AS feat_value
+FROM base_t, (SELECT unnest(range(32)) AS i) idx
+ORDER BY media_ref, feat_idx
 """
 
 
