@@ -627,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles --
+# token_id = codepoint-fold hash (matches functions/text.fold_hash exactly;
+# no vocab table, no window — mirrors the Spark plan's zero-shuffle shape)
 _TOKS = """
 toks AS (
   SELECT doc_id,
@@ -634,12 +636,14 @@ toks AS (
          unnest(string_split(text,' ')) AS tok
   FROM documents
 ),
-vocab AS (
-  SELECT tok, row_number() OVER (ORDER BY tok) AS token_id
-  FROM (SELECT DISTINCT tok FROM toks)
-),
 ids AS (
-  SELECT t.doc_id, t.pos, v.token_id FROM toks t JOIN vocab v USING (tok)
+  SELECT doc_id, pos,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(length(tok)),
+          i -> CAST(ascii(substring(tok, CAST(i+1 AS INT), 1)) AS BIGINT))),
+      (acc, cp) -> (acc*1000003 + cp) % 2147483647) AS token_id
+  FROM toks
 )
 """
 

@@ -6,15 +6,17 @@
 - n-gram Jaccard verification
 - embedding-cosine near-dup (see operators/similarity.py)
 
-All arithmetic hashing over dense token ids -> exact ANSI-SQL oracles.
+All arithmetic hashing over codepoint-fold token ids -> exact ANSI-SQL
+oracles AND zero vocab state (no dictionary to build or broadcast).
 
 Scale notes (100 TB):
 - exact dedup is a single hash aggregate (map-side partial) on md5(text) —
   never ships full text twice; at petabyte scale substitute length+md5 to
   cheapen the shuffle key.
-- minhash signatures are per-doc aggregates of the exploded token table
-  (one shuffle keyed by doc_id — co-partitioned with every other per-doc
-  aggregate in this module, so AQE reuses the exchange).
+- minhash signatures and simhash are NARROW per-doc array expressions
+  (split → fold-hash → aggregate inside the row): the scan→signature stage
+  has no shuffle at all; the only shuffles in the whole family are the LSH
+  band-bucket equi-join and the Jaccard-verify intersection join.
 - candidate pairs come only from LSH band-bucket equi-joins (never a cross
   join); oversized buckets are the Zipf/boilerplate skew case -> capped with
   a window count, same defense as operators/linking.py.
@@ -30,6 +32,7 @@ from gliner_spark.functions.text import (
     MINHASH_ROWS,
     P31,
     affine_hash,
+    token_id_array,
     token_ids,
 )
 
@@ -45,15 +48,26 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, ids: DataFrame = None) -> DataFrame:
-    """(doc_id, mh_0..mh_{R-1}) minhash over distinct token ids."""
-    if ids is None:
-        ids = token_ids(docs).select("doc_id", "token_id").distinct()
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{R-1}) minhash over distinct token ids.
+
+    Narrow: per-doc distinct ids are an array_distinct over the in-row
+    token array; each permutation minimum is an array_min — the whole
+    signature stage is a projection (no explode, no groupBy)."""
+    with_ids = docs.select(
+        "doc_id", F.array_distinct(token_id_array("text")).alias("_ids")
+    )
+
+    # NB: closures must be built via a factory — PySpark binds EVERY lambda
+    # parameter (including defaults) as a higher-order-function variable.
+    def _perm(j):
+        return lambda x: affine_hash(x, j)
+
     aggs = [
-        F.min(affine_hash(F.col("token_id"), j)).alias(f"mh_{j}")
+        F.array_min(F.transform(F.col("_ids"), _perm(j))).alias(f"mh_{j}")
         for j in range(MINHASH_ROWS)
     ]
-    return ids.groupBy("doc_id").agg(*aggs)
+    return with_ids.select("doc_id", *aggs)
 
 
 def _band_buckets(sigs: DataFrame) -> DataFrame:
@@ -69,9 +83,9 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bkey")
 
 
-def candidate_pairs(docs: DataFrame, ids: DataFrame = None) -> DataFrame:
+def candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b), dedup'd across bands."""
-    buckets = _band_buckets(minhash_signatures(docs, ids=ids))
+    buckets = _band_buckets(minhash_signatures(docs))
     w = Window.partitionBy("band", "bkey")
     buckets = (
         buckets.withColumn("n", F.count(F.lit(1)).over(w))
@@ -93,30 +107,23 @@ def candidate_pairs(docs: DataFrame, ids: DataFrame = None) -> DataFrame:
     )
 
 
-def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact token-set Jaccard.
+def _jaccard_verify(pairs: DataFrame, items: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over per-doc item sets; items = (doc_id, item) distinct.
 
-    The distinct (doc_id, token_id) table feeds four branches (signatures,
-    per-doc counts, both sides of the intersection join) — persisted so the
-    tokenize+vocab-join subtree runs once; production at corpus scale
-    materializes it as a table instead.
-    """
-    ids = token_ids(docs).select("doc_id", "token_id").distinct().persist()
-    pairs = candidate_pairs(docs, ids=ids)
-    na = ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-
-    # intersection via relational join on token_id (oracle-identical plan)
-    ta = ids.select(F.col("doc_id").alias("doc_a"), "token_id")
-    tb = ids.select(F.col("doc_id").alias("doc_b"), "token_id")
+    One intersection join + two broadcast-size count joins; the only
+    full-width shuffle is keyed by (doc, item)."""
+    cnt = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_it"))
+    ia = items.select(F.col("doc_id").alias("doc_a"), "item")
+    ib = items.select(F.col("doc_id").alias("doc_b"), "item")
     inter = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token_id"])
+        pairs.join(ia, "doc_a")
+        .join(ib, ["doc_b", "item"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(na.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "n_a"), "doc_a")
-        .join(na.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "n_b"), "doc_b")
+    return (
+        inter.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_it", "n_a"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_it", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -126,74 +133,76 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
-    return out
+
+
+def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact token-set Jaccard.
+
+    The exploded distinct (doc_id, token_id) table feeds three branches
+    (per-doc counts, both sides of the intersection join) — persisted so
+    the tokenize subtree runs once; signatures themselves are narrow and
+    need no explode at all."""
+    ids = (
+        token_ids(docs)
+        .select("doc_id", F.col("token_id").alias("item"))
+        .distinct()
+        .persist()
+    )
+    pairs = candidate_pairs(docs)
+    return _jaccard_verify(pairs, ids, threshold)
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc SimHash: bit b of h(token_id) votes +1/-1; sign -> bit.
 
     simhash = sum_b [sum_tokens (2*bit_b(h(id)) - 1) > 0] * 2^b
-    """
-    ids = token_ids(docs).select("doc_id", "token_id")
-    h = affine_hash(F.col("token_id"), 7)
-    votes = [
-        F.sum(
-            (F.floor(h / F.lit(1 << b)) % 2 * 2 - 1).cast("long")
-        ).alias(f"v_{b}")
-        for b in range(bits)
-    ]
-    per_doc = ids.groupBy("doc_id").agg(*votes)
+
+    Narrow: the per-token hashes live in an in-row array; each bit's vote
+    total is an F.aggregate over it — scan→simhash with zero shuffle."""
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            token_id_array("text"), lambda x: affine_hash(x, 7)
+        ).alias("_hs"),
+    )
+    def _vote(b):
+        return lambda acc, h: acc + (
+            F.floor(h / F.lit(1 << b)) % 2 * 2 - 1
+        ).cast("long")
+
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return per_doc.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+        vote = F.aggregate(F.col("_hs"), F.lit(0).cast("long"), _vote(b))
+        sim = sim + F.when(vote > 0, F.lit(1 << b)).otherwise(0)
+    return hs.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
 
 
 def ngram_jaccard_dedup(
     docs: DataFrame, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:
-    """LSH candidates verified by word n-gram (shingle) Jaccard."""
-    pairs = candidate_pairs(docs)
-    ids = token_ids(docs)
-    g1, g2, g3 = ids.alias("g1"), ids.alias("g2"), ids.alias("g3")
+    """LSH candidates verified by word n-gram (shingle) Jaccard.
+
+    Trigram hashes are built inside the row (zip over the token-id array at
+    offsets 0/1/2) — the pos+1 self-joins of the naive relational form are
+    gone; only the verify-stage intersection join shuffles."""
+    assert n == 3, "gram fold below is specialized for n=3"
+    staged = docs.select("doc_id", token_id_array("text").alias("_ids"))
+    ids_arr = F.col("_ids")
+    sz = F.size(ids_arr)
+    grams_arr = F.array_distinct(
+        F.zip_with(
+            F.zip_with(
+                F.slice(ids_arr, 1, F.greatest(sz - 2, F.lit(0))),
+                F.slice(ids_arr, 2, F.greatest(sz - 2, F.lit(0))),
+                lambda a, b: (a * F.lit(1009) + b) % F.lit(P31),
+            ),
+            F.slice(ids_arr, 3, F.greatest(sz - 2, F.lit(0))),
+            lambda ab, c: (ab * F.lit(1013) + c) % F.lit(P31),
+        )
+    )
     grams = (
-        g1.join(
-            g2,
-            (F.col("g1.doc_id") == F.col("g2.doc_id"))
-            & (F.col("g2.pos") == F.col("g1.pos") + 1),
-        )
-        .join(
-            g3,
-            (F.col("g1.doc_id") == F.col("g3.doc_id"))
-            & (F.col("g3.pos") == F.col("g1.pos") + 2),
-        )
-        .select(
-            F.col("g1.doc_id").alias("doc_id"),
-            (
-                (((F.col("g1.token_id") * 1009 + F.col("g2.token_id")) % P31) * 1013
-                 + F.col("g3.token_id")) % P31
-            ).alias("gram"),
-        )
-        .distinct()
+        staged.select("doc_id", F.explode(grams_arr).alias("item"))
+        .persist()
     )
-    cnt = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        pairs.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_g", "n_a"), "doc_a")
-        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_g", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    pairs = candidate_pairs(docs)
+    return _jaccard_verify(pairs, grams, threshold)

@@ -16,8 +16,7 @@ from gliner_spark.functions.text import (
     P31,
     STOPWORDS,
     affine_hash,
-    token_ids,
-    tokens_table,
+    token_id_array,
 )
 
 
@@ -75,40 +74,35 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
-    """Order-sensitive document fingerprint from dense token ids:
+    """Order-sensitive document fingerprint from fold-hash token ids:
 
     unigram part: sum(h1(token_id)) mod P31
     bigram part:  sum((id_i * 131 + id_{i+1}) mod P31) mod P31
     fingerprint = (unigram + bigram) mod P31 — arithmetic only, so the SQL
     oracle reproduces it exactly (a rolling-hash family; reference has no
     analog, this is pipeline-native).
+
+    Narrow: token ids live in an in-row array; unigram and bigram sums are
+    F.aggregate / F.zip_with over it — scan→fingerprint with zero shuffle
+    (the old form exploded + self-joined on pos+1).
     """
-    ids = token_ids(docs)
-    uni = ids.groupBy("doc_id").agg(
-        (F.sum(affine_hash(F.col("token_id"), 1)) % P31).alias("uni")
+    staged = docs.select("doc_id", token_id_array("text").alias("_ids"))
+    ids = F.col("_ids")
+    sz = F.size(ids)
+    uni = F.aggregate(
+        F.transform(ids, lambda x: affine_hash(x, 1)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc + h) % F.lit(P31),
     )
-    a = ids.alias("a")
-    b = ids.alias("b")
-    bi = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            ((F.col("a.token_id") * 131 + F.col("b.token_id")) % P31).alias("bg"),
-        )
-        .groupBy("doc_id")
-        .agg((F.sum("bg") % P31).alias("bi"))
+    bi = F.aggregate(
+        F.zip_with(
+            F.slice(ids, 1, F.greatest(sz - 1, F.lit(0))),
+            F.slice(ids, 2, F.greatest(sz - 1, F.lit(0))),
+            lambda a, b: (a * F.lit(131) + b) % F.lit(P31),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc + h) % F.lit(P31),
     )
-    return (
-        uni.join(bi, "doc_id", "left")
-        .select(
-            "doc_id",
-            ((F.col("uni") + F.coalesce(F.col("bi"), F.lit(0))) % P31).alias(
-                "fingerprint"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return staged.select(
+        "doc_id", ((uni + bi) % F.lit(P31)).alias("fingerprint")
+    ).orderBy("doc_id")
