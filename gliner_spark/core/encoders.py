@@ -1,10 +1,17 @@
 """Real-encoder seam.
 
 GlinerSparkModel's scoring surface needs exactly two artifacts per batch:
-span representations (S, D) and a frozen label-prompt matrix (C, D). The
-deterministic hash construction (core/model.py) fills that seam without
-torch; this module documents and stubs the trained-encoder path so swapping
-it in touches zero Spark code:
+span representations (S, D) and a frozen label-prompt matrix (C, D). Two
+torch-free fills exist today:
+
+- the deterministic hash construction (core/model.py) — exact-parity tests;
+- the RUNNABLE npz-checkpoint dense path (core/dense.py): hash-bucket token
+  embeddings -> SpanMarkerV0 -> mean-pooled prompts, weights loaded from a
+  single .npz and shipped by sc.broadcast (operators/extraction.
+  extract_spans_dense) — accepts real exported GLiNER head weights as-is.
+
+This module stubs the remaining transformer-backed variants so swapping
+them in touches zero Spark code:
 
 1. driver: load checkpoint, embed the label strings ONCE
    (encode_labels / compress_prompt_embeddings, reference

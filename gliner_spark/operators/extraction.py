@@ -51,13 +51,16 @@ def span_fingerprint(spans) -> str:
     return h.hexdigest()
 
 
-def _process_batches(model: GlinerSparkModel):
-    """Returns the mapInPandas function. `model` rides the closure -> it is
-    serialized ONCE into the task binary and reused for every Arrow batch
-    (executor-side; the sigmoid gather tables are materialized lazily per
-    process)."""
+def _process_batches(bc_model, labels=None):
+    """Returns the mapInPandas function. `bc_model` is an explicit
+    sc.broadcast handle: the pickled model ships to each executor ONCE (not
+    per task-closure), which is what matters when the weights are a real
+    100MB+ encoder; the sigmoid gather tables are materialized lazily per
+    process. `labels` restricts extraction to a per-run label subset
+    (zero-shot selection, reference predict_entities model.py:2333)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = bc_model.value
         for pdf in batches:
             out_rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -65,7 +68,7 @@ def _process_batches(model: GlinerSparkModel):
                 text = " ".join(
                     sp["text"] for sp in spans if sp["kind"] == "text"
                 )
-                mentions, tokens, _, _ = model.predict_doc(text)
+                mentions, tokens, _, _ = model.predict_doc(text, labels=labels)
                 rels = model.predict_relations_doc(tokens, mentions)
                 m_rows = [
                     {
@@ -120,7 +123,10 @@ def _process_batches(model: GlinerSparkModel):
 
 
 def extract_graph(
-    docs: DataFrame, model: GlinerSparkModel, length_sorted: bool = False
+    docs: DataFrame,
+    model: GlinerSparkModel,
+    length_sorted: bool = False,
+    labels=None,
 ) -> DataFrame:
     """docs(doc_id, spans) -> nested per-doc graph rows (GRAPH_DDL).
 
@@ -133,6 +139,7 @@ def extract_graph(
     default; it costs one shuffle.
     """
     cfg = model.config
+    bc = docs.sparkSession.sparkContext.broadcast(model)
     src = docs.select("doc_id", "spans")  # column pruning to the scan
     if length_sorted:
         src = src.withColumn(
@@ -145,7 +152,7 @@ def extract_graph(
         ).repartitionByRange(cfg.shuffle_partitions, "_len").drop("_len")
     elif cfg.doc_partitions:
         src = src.repartition(cfg.doc_partitions, "doc_id")
-    return src.mapInPandas(_process_batches(model), schema=GRAPH_DDL)
+    return src.mapInPandas(_process_batches(bc, labels=labels), schema=GRAPH_DDL)
 
 
 MENTIONS_DDL = (
@@ -161,8 +168,10 @@ def extract_mentions_only(
     zero-shot surface (labels chosen at query time, reference
     predict_entities model.py:2333 + make_mapping utils.py:182-212).
     Flat mention rows, no relation pass."""
+    bc = docs.sparkSession.sparkContext.broadcast(model)
 
     def fn(batches):
+        model = bc.value
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -192,6 +201,54 @@ def extract_mentions_only(
             )
 
     return docs.select("doc_id", "spans").mapInPandas(fn, schema=MENTIONS_DDL)
+
+
+DENSE_SPANS_DDL = (
+    "doc_id string, word_start int, word_end int, label string, score double"
+)
+
+
+def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
+    """Dense-encoder scoring stage: embedding lookup -> SpanMarkerV0 ->
+    prompt matmul -> sigmoid >= threshold (core/dense.py; reference
+    span_rep.py:464-511 + base.py:474). Emits the scored span grid — the
+    decode stage is shared with the gather path and gated separately.
+
+    The checkpoint (a real npz export in production) ships via explicit
+    ``sc.broadcast``: once per executor, not per task. One mapInPandas,
+    zero shuffle, (doc_id, spans)-pruned scan — same plan shape as
+    extract_graph.
+    """
+    from gliner_spark.core.dense import predict_spans_dense
+
+    bc = docs.sparkSession.sparkContext.broadcast(ckpt)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                text = " ".join(
+                    sp["text"] for sp in spans if sp["kind"] == "text"
+                )
+                for m in predict_spans_dense(text, w):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "word_start": m["word_start"],
+                            "word_end": m["word_end"],
+                            "label": m["label"],
+                            "score": m["score"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "word_start", "word_end", "label", "score"],
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(
+        fn, schema=DENSE_SPANS_DDL
+    )
 
 
 def mentions_table(graph: DataFrame) -> DataFrame:

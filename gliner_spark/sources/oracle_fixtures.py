@@ -98,3 +98,53 @@ def materialize(n_docs: int, seed: int = 42) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+def _long_form(name: str, m, out: str) -> None:
+    """Write a 2-D matrix as (i, j, val) long-form parquet — the relational
+    shape the SQL oracle's matmul joins consume."""
+    import numpy as np
+
+    m = np.asarray(m)
+    if m.ndim == 1:
+        m = m[None, :]
+    ii, jj = np.indices(m.shape)
+    pq.write_table(
+        pa.table(
+            {
+                "i": pa.array(ii.ravel(), pa.int32()),
+                "j": pa.array(jj.ravel(), pa.int32()),
+                "val": pa.array(m.ravel(), pa.float64()),
+            }
+        ),
+        os.path.join(out, f"{name}.parquet"),
+    )
+
+
+def materialize_dense(ckpt, tag: str = "default") -> str:
+    """Write the dense checkpoint's weights as relational parquet tables so
+    the DuckDB oracle can re-run the forward pass (embedding lookup →
+    SpanMarkerV0 → prompt matmul) as plain SQL joins/aggregates."""
+    out = os.path.join(BASE, f"dense_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    _long_form("emb", ckpt.emb, out)            # i=bucket, j=dim
+    _long_form("w_start", ckpt.w_start, out)
+    _long_form("w_end", ckpt.w_end, out)
+    _long_form("w_out", ckpt.w_out, out)
+    _long_form("b_out", ckpt.b_out, out)        # i=0, j=dim
+    pq.write_table(
+        pa.table(
+            {
+                "label": ckpt.labels,
+                "class_id": pa.array(range(len(ckpt.labels)), pa.int32()),
+            }
+        ),
+        os.path.join(out, "labels.parquet"),
+    )
+    _long_form("label_matrix", ckpt.label_matrix, out)  # i=class_id, j=dim
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

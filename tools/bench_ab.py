@@ -62,6 +62,21 @@ def main():
             a_times.append(ta)
             b_times.append(tb)
 
+    # npz dense-checkpoint path (core/dense.py): embedding lookup ->
+    # SpanMarkerV0 -> prompt matmul. Not output-comparable to the gather
+    # model (different weights); timed for the cost row the scoring stage
+    # pays when real exported weights replace the gazetteer construction.
+    from gliner_spark.core.dense import random_quantized, score_doc_dense
+
+    ck = random_quantized(["person", "organization", "location", "date"])
+    c_times = []
+    for rep in range(WARMUP + REPS):
+        t0 = time.perf_counter()
+        for t in texts:
+            score_doc_dense(t, ck)
+        if rep >= WARMUP:
+            c_times.append(time.perf_counter() - t0)
+
     a, b = np.array(a_times), np.array(b_times)
     va, vb = a.var(ddof=1), b.var(ddof=1)
     n = len(a)
@@ -72,6 +87,9 @@ def main():
     out = {
         "fast_ms_per_doc": round(a.mean() / N_DOCS * 1000, 4),
         "dense_ms_per_doc": round(b.mean() / N_DOCS * 1000, 4),
+        "dense_ckpt_ms_per_doc": round(
+            float(np.mean(c_times)) / N_DOCS * 1000, 4
+        ),
         "speedup": round(b.mean() / a.mean(), 2),
         "welch_t": round(float(t_stat), 2),
         "dof": round(float(dof), 1),
