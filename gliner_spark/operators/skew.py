@@ -47,9 +47,18 @@ def salted_equi_join(
     their non-key columns (so results are reproducible across retries —
     never rand()); dim rows are replicated across all salt values.
 
-    Result == fact.join(dim, keys, how), but each hot key's rows spread
-    over `salt` reducers. Output drops the salt column.
+    Result == fact.join(dim, keys, how) for inner/left/left_semi/left_anti;
+    right/full outer are rejected: an unmatched dim row appears once per
+    salt replica (S times) under this scheme, so the identity breaks.
+    Each hot key's rows spread over `salt` reducers. Output drops the salt
+    column.
     """
+    assert how in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"), (
+        f"salted_equi_join does not preserve {how!r} semantics: unmatched "
+        f"dim rows would be replicated {salt}x; dedupe them or use AQE "
+        f"skew-join for outer joins"
+    )
     sc = fact_salt_cols or [c for c in fact.columns if c not in keys][:2] or keys
     f_s = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in sc]), F.lit(salt)).cast("int")

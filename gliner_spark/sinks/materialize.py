@@ -71,6 +71,24 @@ def done_buckets(spark: SparkSession, base: str) -> List[int]:
     ]
 
 
+def _clear_bucket_partitions(base: str, table: str, buckets) -> None:
+    """Delete the pending buckets' partition directories before re-writing.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in the new
+    data: a re-run bucket that legitimately produces zero rows for a table
+    would leave a crashed attempt's partial files visible (phantom rows that
+    also inflate the lineage counts read back from the written tables).
+    Local-FS implementation; on a real cluster this is the Iceberg
+    overwrite-by-filter / Hadoop FS delete of the same partition paths.
+    """
+    import shutil
+
+    for b in buckets:
+        p = os.path.join(base, table, f"bucket={int(b)}")
+        if os.path.exists(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def run_extraction(
     spark: SparkSession,
     docs: DataFrame,
@@ -78,11 +96,13 @@ def run_extraction(
     base: str,
     run_id: Optional[str] = None,
     bucket_limit: Optional[int] = None,
+    labels=None,
 ) -> dict:
     """Resumable extraction: process only buckets with no 'done' lineage row.
 
     bucket_limit processes at most N pending buckets (used by the kill/rerun
     test to simulate a mid-run crash between bucket commits).
+    labels restricts extraction to a label subset (zero-shot selection).
     """
     cfg = model.config
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -101,7 +121,9 @@ def run_extraction(
     todo = docs_b.filter(F.col("bucket").isin(pending))
 
     t0 = time.time()
-    graph = extract_graph(todo.select("doc_id", "spans", "bucket"), model)
+    graph = extract_graph(
+        todo.select("doc_id", "spans", "bucket"), model, labels=labels
+    )
     # bucket is recomputed from doc_id (cheaper than carrying it through
     # the UDF and keeps GRAPH_DDL independent of lineage config).
     # persist: three table writes (mentions/triples_raw/span_fp) branch off
@@ -113,6 +135,11 @@ def run_extraction(
     m_b = with_bucket(mentions, cfg.lineage_buckets)
     t_b = with_bucket(triples, cfg.lineage_buckets)
     fp = graph.select("doc_id", "span_fp", "bucket")
+
+    # pre-delete pending partitions: dynamic overwrite cannot remove a
+    # partition absent from the new data (zero-row re-run bucket)
+    for tbl in ("mentions", "triples_raw", "span_fp"):
+        _clear_bucket_partitions(base, tbl, pending)
 
     m_b.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(base, "mentions")
@@ -180,15 +207,50 @@ def run_extraction(
     return {"run_id": run_id, "buckets": len(pending), "n_docs": n_docs, "wall_ms": wall_ms}
 
 
+def _read_optional(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
 def finalize_graph(
     spark: SparkSession, base: str, cfg: PipelineConfig, run_id: str = ""
 ) -> dict:
     """Canonicalize entities over the full mentions table and rewrite triples
-    onto canonical ids; write entities/triples/metrics."""
+    onto canonical ids; write entities/triples/metrics.
+
+    Inputs = batch layout (base/mentions, base/triples_raw) UNIONED with the
+    streaming staging layout (base/stream/*, written by
+    streaming/pipeline.run_stream_pipeline). Streamed rows whose doc_id was
+    later re-extracted by a batch run (present in base/span_fp) are dropped
+    — batch supersedes stream, so mixed streaming+batch ingestion never
+    double-counts and a batch overwrite can never delete streamed data
+    (separate staging layout; the round-1 mixed-mode loss bug)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
-    mentions = spark.read.parquet(os.path.join(base, "mentions"))
-    triples_raw = spark.read.parquet(os.path.join(base, "triples_raw"))
+    mentions = _read_optional(spark, os.path.join(base, "mentions"))
+    triples_raw = _read_optional(spark, os.path.join(base, "triples_raw"))
+    sm = _read_optional(spark, os.path.join(base, "stream", "mentions"))
+    st = _read_optional(spark, os.path.join(base, "stream", "triples_raw"))
+    if sm is not None:
+        fp = _read_optional(spark, os.path.join(base, "span_fp"))
+        if fp is not None:
+            batch_docs = fp.select("doc_id")
+            sm = sm.join(batch_docs, "doc_id", "left_anti")
+            st = st.join(batch_docs, "doc_id", "left_anti")
+        mentions = (
+            mentions.unionByName(sm.select(*mentions.columns))
+            if mentions is not None else sm
+        )
+        triples_raw = (
+            triples_raw.unionByName(st.select(*triples_raw.columns))
+            if triples_raw is not None else st
+        )
+    if mentions is None:
+        raise FileNotFoundError(
+            f"no extracted data under {base} (neither batch nor stream layout)"
+        )
     entities, surface_map = canonicalize(mentions, cfg)
     triples = rewrite_triples(triples_raw, surface_map)
     entities.write.mode("overwrite").parquet(os.path.join(base, "entities"))
@@ -214,8 +276,11 @@ def run_pipeline(
     model: GlinerSparkModel,
     base: str,
     bucket_limit: Optional[int] = None,
+    labels=None,
 ) -> dict:
     """End-to-end: resumable extraction + global finalize."""
-    ext = run_extraction(spark, docs, model, base, bucket_limit=bucket_limit)
+    ext = run_extraction(
+        spark, docs, model, base, bucket_limit=bucket_limit, labels=labels
+    )
     fin = finalize_graph(spark, base, model.config, run_id=ext["run_id"])
     return {**ext, **fin}

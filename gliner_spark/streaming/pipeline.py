@@ -46,9 +46,12 @@ def run_stream_pipeline(
     checkpoint: str,
 ):
     """Incremental KG construction: each micro-batch appends extracted
-    mentions/triples into the SAME bucketed layout the batch pipeline uses
-    (sinks/materialize), so finalize_graph() runs unchanged on the union of
-    streamed + batch-ingested data.
+    mentions/triples into a STAGING layout (base/stream/*) separate from the
+    batch pipeline's bucket-partitioned tables; finalize_graph() unions both
+    (dropping streamed docs a batch run later re-extracted). The separation
+    is load-bearing: the batch writer uses dynamic partition OVERWRITE, so
+    appending streamed rows into the same partitions would get them deleted
+    by any subsequent batch run over those buckets.
 
     Exactly-once: the streaming checkpoint guarantees each micro-batch is
     handed to foreachBatch once per successful run; a retried batch re-runs
@@ -65,16 +68,17 @@ def run_stream_pipeline(
     from gliner_spark.sinks.materialize import with_bucket
 
     cfg = model.config
+    staging = os.path.join(base, "stream")
 
     def process_batch(batch_df, batch_id: int):
         graph = with_bucket(extract_graph(batch_df, model), cfg.lineage_buckets).persist()
         m = with_bucket(mentions_table(graph), cfg.lineage_buckets)
         t = with_bucket(triples_raw_table(graph), cfg.lineage_buckets)
         m.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(base, "mentions")
+            os.path.join(staging, "mentions")
         )
         t.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(base, "triples_raw")
+            os.path.join(staging, "triples_raw")
         )
         lin = graph.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_docs"),

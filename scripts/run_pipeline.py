@@ -64,7 +64,13 @@ def main():
     else:
         ap.error("need --input or --synth")
 
-    stats = run_extraction(spark, docs, model, args.output)
+    labels = [s.strip() for s in args.labels.split(",") if s.strip()] or None
+    if labels:
+        unknown = [l for l in labels if l not in model.labels]
+        if unknown:
+            ap.error(f"--labels not in model label set: {unknown}")
+
+    stats = run_extraction(spark, docs, model, args.output, labels=labels)
     if not args.extract_only:
         stats = {**stats, **finalize_graph(spark, args.output, model.config)}
     print(json.dumps(stats))
