@@ -187,6 +187,52 @@ def q_kg_media_features(spark, sf_dir):
     )
 
 
+def _dense_ckpt():
+    """Deterministic 'trained' dense checkpoint (loadable-npz MarkerV0 path,
+    core/dense.py). Dyadic weights -> the SQL oracle reproduces the full
+    forward pass bit-exactly."""
+    from gliner_spark.core.dense import random_quantized
+
+    return random_quantized(["person", "organization", "location", "date"])
+
+
+def q_kg_mentions_dense(spark, sf_dir):
+    """Dense-encoder scoring stage: hash-bucket embedding -> SpanMarkerV0
+    (reference span_rep.py:464-511) -> mean-pooled label prompts ->
+    matmul/sigmoid head (base.py:474); weights shipped via sc.broadcast."""
+    from gliner_spark.operators.extraction import extract_spans_dense
+
+    df = extract_spans_dense(_synth(spark, sf_dir), _dense_ckpt())
+    return df.withColumn("score", F.round("score", 6))
+
+
+def q_kg_eval_suite(spark, sf_dir):
+    """Multi-dataset eval harness (reference evaluate_ner.py:177-272): five
+    seeded corpus variants split into benchmark/zero-shot groups, per-dataset
+    micro P/R/F1 + per-group macro averages, in one unioned Spark job."""
+    from gliner_spark.operators.ner_eval import evaluate_ner_suite
+
+    n = _t(spark, sf_dir, "documents").count() * 2
+    df = evaluate_ner_suite(spark, _model(), n)
+    return df.select(
+        "dataset", "grp", "n_pred", "n_gold", "tp",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_kg_relations_prompted(spark, sf_dir):
+    """Prompt-based two-pass RE (reference GLiNERRelationExtractor,
+    multitask/relation_extraction.py:13-181): pass-1 NER -> per-doc
+    composite labels '{entity} <> {relation}' -> pass-2 scoring -> parsed
+    (source, relation, target) rows. Both passes fused in one mapInPandas."""
+    from gliner_spark.operators.prompted_re import extract_relations_prompted
+
+    df = extract_relations_prompted(_synth(spark, sf_dir), _model())
+    return df.withColumn("score", F.round("score", 6))
+
+
 # ------------------------------------------------------ text analysis ----
 def q_ta_token_stats(spark, sf_dir):
     from gliner_spark.operators.text_analysis import token_stats
@@ -592,6 +638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eval_ner": q_kg_eval_ner,
         "kg_media_nodes": q_kg_media_nodes,
         "kg_media_features": q_kg_media_features,
+        "kg_mentions_dense": q_kg_mentions_dense,
+        "kg_relations_prompted": q_kg_relations_prompted,
+        "kg_eval_suite": q_kg_eval_suite,
         # text analysis
         "ta_token_stats": q_ta_token_stats,
         "ta_quality": q_ta_quality,
@@ -736,41 +785,44 @@ def _kg_snapshot() -> str:
     return materialize(_ORACLE_N_DOCS)
 
 
-def _kg_mentions_sql_base(snap: str) -> str:
-    """Shared CTE block: token positions + char offsets + gazetteer matches."""
+def _kg_mentions_sql_base(snap: str, p: str = "") -> str:
+    """Shared CTE block: token positions + char offsets + gazetteer matches.
+
+    p: CTE-name prefix, so several snapshots (multi-dataset eval suite) can
+    coexist in one WITH clause."""
     return f"""
-kdocs AS (SELECT * FROM '{snap}/docs_text.parquet'),
-gaz AS (SELECT surface, label, len(string_split(surface,' ')) AS nt
+{p}kdocs AS (SELECT * FROM '{snap}/docs_text.parquet'),
+{p}gaz AS (SELECT surface, label, len(string_split(surface,' ')) AS nt
         FROM '{snap}/gazetteer.parquet'),
-ktoks AS (
+{p}ktoks AS (
   SELECT doc_id,
          unnest(range(len(string_split(text,' ')))) AS pos,
          unnest(string_split(text,' ')) AS tok
-  FROM kdocs
+  FROM {p}kdocs
 ),
-koffs AS MATERIALIZED (
+{p}koffs AS MATERIALIZED (
   SELECT doc_id, pos, tok,
     CAST(coalesce(sum(length(tok)+1) OVER (
       PARTITION BY doc_id ORDER BY pos
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS cs
-  FROM ktoks
+  FROM {p}ktoks
 ),
-matches AS (
+{p}matches AS (
   SELECT o1.doc_id, o1.cs AS start, g.surface, g.label
-  FROM koffs o1 JOIN gaz g ON g.nt = 1 AND o1.tok = g.surface
+  FROM {p}koffs o1 JOIN {p}gaz g ON g.nt = 1 AND o1.tok = g.surface
   UNION ALL
   SELECT o1.doc_id, o1.cs, g.surface, g.label
-  FROM koffs o1
-  JOIN koffs o2 ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
-  JOIN gaz g ON g.nt = 2 AND o1.tok || ' ' || o2.tok = g.surface
+  FROM {p}koffs o1
+  JOIN {p}koffs o2 ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
+  JOIN {p}gaz g ON g.nt = 2 AND o1.tok || ' ' || o2.tok = g.surface
   UNION ALL
   SELECT o1.doc_id, o1.cs, g.surface, g.label
-  FROM koffs o1
-  JOIN koffs o2 ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
-  JOIN koffs o3 ON o1.doc_id = o3.doc_id AND o3.pos = o1.pos + 2
-  JOIN gaz g ON g.nt = 3 AND o1.tok || ' ' || o2.tok || ' ' || o3.tok = g.surface
+  FROM {p}koffs o1
+  JOIN {p}koffs o2 ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
+  JOIN {p}koffs o3 ON o1.doc_id = o3.doc_id AND o3.pos = o1.pos + 2
+  JOIN {p}gaz g ON g.nt = 3 AND o1.tok || ' ' || o2.tok || ' ' || o3.tok = g.surface
 ),
-kmentions AS MATERIALIZED (
+{p}kmentions AS MATERIALIZED (
   SELECT doc_id,
     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INTEGER) AS ent_idx,
     start,
@@ -778,7 +830,7 @@ kmentions AS MATERIALIZED (
     surface AS text, label,
     round(1.0/(1.0 + exp(-2.4)), 6) AS score,
     surface AS norm
-  FROM matches
+  FROM {p}matches
 )"""
 
 
@@ -817,6 +869,94 @@ SELECT * FROM rel_triples UNION ALL SELECT * FROM depicts
 ORDER BY doc_id, subj, pred, obj
 """
 
+
+
+def _kg_relations_prompted_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet')
+SELECT h.doc_id, h.norm AS source, r.rel AS relation, t.norm AS target,
+       round(1.0/(1.0 + exp(-2.4)), 6) AS score,
+       t.start AS start, t."end" AS "end"
+FROM kmentions h
+JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
+JOIN kdocs d ON d.doc_id = h.doc_id
+JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
+ORDER BY h.doc_id, source, relation, target, start
+"""
+
+
+_SUITE_N_DOCS = 1000  # documents.count()*2 at the driver's sf=0.01
+
+
+def _kg_eval_suite_oracle() -> str:
+    """Five prefixed copies of the mention-derivation base (one per seeded
+    snapshot), per-dataset P/R/F1, then per-group macro averages."""
+    from gliner_spark.operators.ner_eval import EVAL_SUITE
+    from gliner_spark.sources.oracle_fixtures import materialize
+
+    blocks, prfs = [], []
+    for k, (name, seed, grp, labels) in enumerate(EVAL_SUITE):
+        snap = materialize(_SUITE_N_DOCS, seed=seed)
+        p = f"d{k}_"
+        pred_filter = (
+            "WHERE label IN (" + ", ".join(f"'{l}'" for l in labels) + ")"
+            if labels else ""
+        )
+        blocks.append(_kg_mentions_sql_base(snap, p=p))
+        blocks.append(f"""
+{p}pred_w AS (
+  SELECT DISTINCT m.doc_id, m.label,
+    o.pos AS ws,
+    CAST(o.pos + len(string_split(m.text, ' ')) - 1 AS BIGINT) AS we
+  FROM (SELECT * FROM {p}kmentions {pred_filter}) m
+  JOIN {p}koffs o ON o.doc_id = m.doc_id AND o.cs = m.start
+),
+{p}gold_w AS (
+  SELECT DISTINCT g.doc_id, g.label,
+    o.pos AS ws,
+    CAST(o.pos + len(string_split(substring(d.text, g.start + 1, g."end" - g.start), ' ')) - 1 AS BIGINT) AS we
+  FROM '{snap}/gold_mentions.parquet' g
+  JOIN {p}kdocs d ON d.doc_id = g.doc_id
+  JOIN {p}koffs o ON o.doc_id = g.doc_id AND o.cs = g.start
+),
+{p}c AS (
+  SELECT
+    CAST((SELECT count(*) FROM {p}pred_w) AS BIGINT) AS n_pred,
+    CAST((SELECT count(*) FROM {p}gold_w) AS BIGINT) AS n_gold,
+    CAST((SELECT count(*) FROM {p}pred_w JOIN {p}gold_w
+          USING (doc_id, label, ws, we)) AS BIGINT) AS tp
+),
+{p}prf AS (
+  SELECT '{name}' AS dataset, '{grp}' AS grp, n_pred, n_gold, tp,
+    round(CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_pred END, 6) AS precision,
+    round(CASE WHEN n_gold = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/n_gold END, 6) AS recall,
+    round(CASE WHEN tp = 0 THEN 0.0 ELSE
+      2.0 * (CAST(tp AS DOUBLE)/n_pred) * (CAST(tp AS DOUBLE)/n_gold)
+        / ((CAST(tp AS DOUBLE)/n_pred) + (CAST(tp AS DOUBLE)/n_gold)) END, 6) AS f1
+  FROM {p}c
+)""")
+        prfs.append(f"SELECT * FROM {p}prf")
+    union = "\n  UNION ALL\n  ".join(prfs)
+    return f"""
+WITH {', '.join(blocks)},
+per_ds AS (
+  {union}
+),
+avgs AS (
+  SELECT 'zz_avg_' || grp AS dataset, grp,
+    CAST(sum(n_pred) AS BIGINT) AS n_pred,
+    CAST(sum(n_gold) AS BIGINT) AS n_gold,
+    CAST(sum(tp) AS BIGINT) AS tp,
+    round(avg(precision), 6) AS precision,
+    round(avg(recall), 6) AS recall,
+    round(avg(f1), 6) AS f1
+  FROM per_ds GROUP BY grp
+)
+SELECT * FROM per_ds UNION ALL SELECT * FROM avgs
+ORDER BY dataset
+"""
 
 
 def _link_consts():
@@ -1086,6 +1226,90 @@ SELECT media_ref, kind, CAST(0 AS BIGINT) AS n_bytes,
   CAST(((((base * (2*i+5) + i) % {P}) % 256) * 2 - 255) / 256.0 AS FLOAT) AS feat_value
 FROM base_t, (SELECT unnest(range(32)) AS i) idx
 ORDER BY media_ref, feat_idx
+"""
+
+
+def _kg_mentions_dense_oracle() -> str:
+    """Relational re-run of the dense forward pass: token->bucket fold hash,
+    embedding-lookup join, two matmul join+aggregates (start/end
+    projections), relu+output projection, mean-pooled-prompt matmul,
+    sigmoid threshold. Exact because every weight is a dyadic rational and
+    both engines accumulate exactly-representable float64 sums (order-
+    independent); only the final sigmoid is IEEE, rounded to 6dp."""
+    snap = _kg_snapshot()
+    from gliner_spark.sources.oracle_fixtures import materialize_dense
+
+    ck = _dense_ckpt()
+    dw = materialize_dense(ck)
+    D, V, K = ck.dim, ck.vocab_buckets, ck.max_width
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text,' ')))) AS pos,
+         unnest(string_split(text,' ')) AS tok
+  FROM '{snap}/docs_text.parquet'
+),
+tb AS (
+  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(length(tok)),
+        i -> CAST(ascii(substring(lower(tok), CAST(i+1 AS INT), 1)) AS BIGINT))),
+      (acc, cp) -> (acc*1000003 + cp) % 2147483647) % {V} AS INTEGER) AS bucket
+  FROM toks
+),
+ntok AS (SELECT doc_id, count(*) AS n FROM tb GROUP BY doc_id),
+h AS (
+  SELECT t.doc_id, t.pos, e.j AS dim, e.val
+  FROM tb t JOIN '{dw}/emb.parquet' e ON e.i = t.bucket
+),
+sr AS (
+  SELECT h.doc_id, h.pos, w.j, sum(h.val * w.val) AS val
+  FROM h JOIN '{dw}/w_start.parquet' w ON w.i = h.dim
+  GROUP BY h.doc_id, h.pos, w.j
+),
+er AS (
+  SELECT h.doc_id, h.pos, w.j, sum(h.val * w.val) AS val
+  FROM h JOIN '{dw}/w_end.parquet' w ON w.i = h.dim
+  GROUP BY h.doc_id, h.pos, w.j
+),
+spans AS (
+  SELECT t.doc_id, t.pos AS s, t.pos + ww.w AS e
+  FROM tb t
+  JOIN ntok n USING (doc_id)
+  CROSS JOIN (SELECT CAST(unnest(range({K})) AS INTEGER) AS w) ww
+  WHERE t.pos + ww.w <= n.n - 1
+),
+cat AS (
+  SELECT sp.doc_id, sp.s, sp.e, r.j AS ci, r.val
+  FROM spans sp JOIN sr r ON r.doc_id = sp.doc_id AND r.pos = sp.s
+  UNION ALL
+  SELECT sp.doc_id, sp.s, sp.e, r.j + {D} AS ci, r.val
+  FROM spans sp JOIN er r ON r.doc_id = sp.doc_id AND r.pos = sp.e
+),
+rep AS (
+  SELECT c.doc_id, c.s, c.e, w.j,
+         sum((CASE WHEN c.val > 0 THEN c.val ELSE 0 END) * w.val) AS val
+  FROM cat c JOIN '{dw}/w_out.parquet' w ON w.i = c.ci
+  GROUP BY c.doc_id, c.s, c.e, w.j
+),
+repb AS (
+  SELECT r.doc_id, r.s, r.e, r.j, r.val + b.val AS val
+  FROM rep r JOIN '{dw}/b_out.parquet' b ON b.j = r.j
+),
+logits AS (
+  SELECT r.doc_id, r.s, r.e, l.i AS class_id,
+         (sum(r.val * l.val) - {ck.bias}) * {ck.scale} AS logit
+  FROM repb r JOIN '{dw}/label_matrix.parquet' l ON l.j = r.j
+  GROUP BY r.doc_id, r.s, r.e, l.i
+)
+SELECT lg.doc_id,
+  CAST(lg.s AS INTEGER) AS word_start,
+  CAST(lg.e AS INTEGER) AS word_end,
+  lb.label,
+  round(1.0/(1.0 + exp(-lg.logit)), 6) AS score
+FROM logits lg JOIN '{dw}/labels.parquet' lb ON lb.class_id = lg.class_id
+WHERE 1.0/(1.0 + exp(-lg.logit)) >= {ck.threshold}
+ORDER BY doc_id, word_start, word_end, label
 """
 
 
@@ -1422,4 +1646,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_span_f1": _kg_span_f1_oracle(),
         "kg_eval_ner": _kg_eval_ner_oracle(),
         "kg_media_features": _kg_media_features_oracle(),
+        "kg_mentions_dense": _kg_mentions_dense_oracle(),
+        "kg_relations_prompted": _kg_relations_prompted_oracle(),
+        "kg_eval_suite": _kg_eval_suite_oracle(),
     }

@@ -332,6 +332,69 @@ class GlinerSparkModel:
             for sp in decoded
         ]
 
+    # ----- prompted (composite-label) second pass -----------------------
+    def predict_doc_composite(
+        self, text: str, composite_labels: Sequence[str]
+    ) -> List[dict]:
+        """Second pass of the prompt-based RE pipeline (reference
+        GLiNERRelationExtractor, multitask/relation_extraction.py:82-127):
+        score spans against per-doc composite labels ``"{entity} <> {rel}"``
+        and parse hits back into (source, relation, target).
+
+        Deterministic-encoder semantics: a span scores above threshold for
+        "X <> r" iff it is a gazetteer surface T immediately preceded by a
+        connective phrase of r that is itself immediately preceded by an
+        occurrence of X — the stand-in for what a trained model learns the
+        composite label to mean. Scores are the same rel sigmoid-gather as
+        predict_relations_doc. Char offsets are relative to the bare text:
+        the frozen-prompt design never physically prepends the prompt, so
+        the reference's return_index shift (relation_extraction.py:99-121)
+        is identity here.
+        """
+        tokens, starts, ends = tokenize_with_offsets(text)
+        if not tokens:
+            return []
+        low = [t.lower() for t in tokens]
+        n = len(low)
+        sig, _base = self._rel_sig_table()
+        out: List[dict] = []
+        lookup = self.known_surfaces.get
+        mkw = self.max_known_width
+        for lab in dict.fromkeys(composite_labels):  # order-preserving dedup
+            if "<>" not in lab:
+                continue
+            src_raw, rel_raw = lab.split("<>", 1)
+            src, rel = normalize_surface(src_raw), rel_raw.strip()
+            if rel not in self.relations or not src:
+                continue
+            ri = self.relations.index(rel)
+            st = src.split()
+            for i in range(n - len(st) + 1):
+                if low[i : i + len(st)] != st:
+                    continue
+                j = i + len(st)
+                for phrase, k in self.known_patterns.items():
+                    if sig[ri, k] <= self.config.rel_threshold:
+                        continue
+                    pt = phrase.split()
+                    if low[j : j + len(pt)] != pt:
+                        continue
+                    t0 = j + len(pt)
+                    for w in range(1, min(mkw, n - t0) + 1):
+                        surf = " ".join(low[t0 : t0 + w])
+                        if lookup(surf) is not None:
+                            out.append(
+                                {
+                                    "source": src,
+                                    "relation": rel,
+                                    "target": surf,
+                                    "score": float(sig[ri, k]),
+                                    "start": starts[t0],
+                                    "end": ends[t0 + w - 1],
+                                }
+                            )
+        return out
+
     # ----- relations (per document) ------------------------------------
     def predict_relations_doc(
         self,
