@@ -233,6 +233,27 @@ def q_kg_relations_prompted(spark, sf_dir):
     return df.withColumn("score", F.round("score", 6))
 
 
+_KG_SCORERS = ("complex", "transe", "rotate", "distmult")
+
+
+def q_kg_triples_scored(spark, sf_dir):
+    """Raw triples re-scored under the KG interaction library (reference
+    triples_layers.py:24-647): ComplEx / TransE / RotatE / DistMult as pure
+    JVM column expressions over deterministic hash embeddings — selectable
+    per PipelineConfig.kg_interaction (default 'complex')."""
+    from gliner_spark.operators.extraction import extract_graph, triples_raw_table
+    from gliner_spark.operators.kg_scoring import score_triples
+
+    tr = triples_raw_table(extract_graph(_synth(spark, sf_dir), _model()))
+    df = score_triples(
+        tr.select("doc_id", "subj", "pred", "obj"), interactions=_KG_SCORERS
+    )
+    return df.select(
+        "doc_id", "subj", "pred", "obj",
+        *[F.round(f"score_{n}", 6).alias(f"score_{n}") for n in _KG_SCORERS],
+    )
+
+
 # ------------------------------------------------------ text analysis ----
 def q_ta_token_stats(spark, sf_dir):
     from gliner_spark.operators.text_analysis import token_stats
@@ -641,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_dense": q_kg_mentions_dense,
         "kg_relations_prompted": q_kg_relations_prompted,
         "kg_eval_suite": q_kg_eval_suite,
+        "kg_triples_scored": q_kg_triples_scored,
         # text analysis
         "ta_token_stats": q_ta_token_stats,
         "ta_quality": q_ta_quality,
@@ -884,6 +906,84 @@ JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
 JOIN kdocs d ON d.doc_id = h.doc_id
 JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
 ORDER BY h.doc_id, source, relation, target, start
+"""
+
+
+def _sql_fold(expr: str) -> str:
+    """DuckDB codepoint-fold hash of a string expression (mirrors
+    functions/text.fold_hash / core/dense.fold_hash_py)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(length({expr})), "
+        f"i -> CAST(ascii(substring({expr}, CAST(i+1 AS INT), 1)) AS BIGINT))), "
+        "(acc, cp) -> (acc*1000003 + cp) % 2147483647)"
+    )
+
+
+def _sql_hash_emb(base: str, dim: int) -> str:
+    """Mirror of operators/kg_scoring.hash_embedding."""
+    return (
+        f"list_transform(range({dim}), j -> "
+        f"CAST((((({base} * (j*2+5) + j) % {P31}) % 256) * 2 - 255) AS DOUBLE)"
+        " / 256.0)"
+    )
+
+
+def _sql_fold_sum(terms: str) -> str:
+    """Ordered left fold — same order as Spark F.aggregate."""
+    return f"list_reduce(list_prepend(0.0, {terms}), (a, x) -> a + x)"
+
+
+def _kg_triples_scored_oracle() -> str:
+    snap = _kg_snapshot()
+    D, D2 = 8, 4
+    dm = _sql_fold_sum(f"list_transform(range(1, {D+1}), i -> h[i]*r[i]*t[i])")
+    cx = _sql_fold_sum(
+        f"list_transform(range(1, {D2+1}), i -> "
+        f"h[i]*r[i]*t[i] + h[i]*r[i+{D2}]*t[i+{D2}] "
+        f"+ h[i+{D2}]*r[i]*t[i+{D2}] - h[i+{D2}]*r[i+{D2}]*t[i])"
+    )
+    te = _sql_fold_sum(
+        f"list_transform(range(1, {D+1}), i -> abs(h[i] + r[i] - t[i]))"
+    )
+    ro = _sql_fold_sum(
+        f"list_transform(range(1, {D2+1}), i -> "
+        f"sqrt(((h[i]*r[i] - h[i+{D2}]*r[i+{D2}]) / sqrt(r[i]*r[i] + r[i+{D2}]*r[i+{D2}]) - t[i]) "
+        f"* ((h[i]*r[i] - h[i+{D2}]*r[i+{D2}]) / sqrt(r[i]*r[i] + r[i+{D2}]*r[i+{D2}]) - t[i]) "
+        f"+ ((h[i]*r[i+{D2}] + h[i+{D2}]*r[i]) / sqrt(r[i]*r[i] + r[i+{D2}]*r[i+{D2}]) - t[i+{D2}]) "
+        f"* ((h[i]*r[i+{D2}] + h[i+{D2}]*r[i]) / sqrt(r[i]*r[i] + r[i+{D2}]*r[i+{D2}]) - t[i+{D2}]))"
+        ")"
+    )
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet'),
+rel_triples AS (
+  SELECT h.doc_id, h.norm AS subj, r.rel AS pred, t.norm AS obj
+  FROM kmentions h
+  JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
+  JOIN kdocs d ON d.doc_id = h.doc_id
+  JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
+),
+anchors AS (SELECT doc_id, norm, label FROM kmentions WHERE ent_idx = 0),
+depicts AS (
+  SELECT m.doc_id, a.norm AS subj, 'depicts' AS pred, m.media_ref AS obj
+  FROM '{snap}/media.parquet' m JOIN anchors a ON a.doc_id = m.doc_id
+),
+all_triples AS (SELECT * FROM rel_triples UNION ALL SELECT * FROM depicts),
+embedded AS (
+  SELECT doc_id, subj, pred, obj,
+    {_sql_hash_emb(_sql_fold('subj'), 8)} AS h,
+    {_sql_hash_emb(_sql_fold('pred'), 8)} AS r,
+    {_sql_hash_emb(_sql_fold('obj'), 8)} AS t
+  FROM all_triples
+)
+SELECT doc_id, subj, pred, obj,
+  round({cx}, 6) AS score_complex,
+  round(-least({te}, 10.0), 6) AS score_transe,
+  round(-({ro}), 6) AS score_rotate,
+  round({dm}, 6) AS score_distmult
+FROM embedded
+ORDER BY doc_id, subj, pred, obj
 """
 
 
@@ -1649,4 +1749,5 @@ def _kg_oracles() -> dict[str, str]:
         "kg_mentions_dense": _kg_mentions_dense_oracle(),
         "kg_relations_prompted": _kg_relations_prompted_oracle(),
         "kg_eval_suite": _kg_eval_suite_oracle(),
+        "kg_triples_scored": _kg_triples_scored_oracle(),
     }

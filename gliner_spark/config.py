@@ -30,6 +30,10 @@ class PipelineConfig:
     score_scale: float = 16.0    # logits = (dot - score_bias) * score_scale
     score_bias: float = 0.75
 
+    # --- KG triple scoring ---
+    kg_interaction: str = "complex"  # core/heads.KG_INTERACTIONS selector
+    kg_embed_dim: int = 8            # hash-embedding dim for triple scoring
+
     # --- linking / canonicalization ---
     link_shingle_size: int = 3
     link_jaccard_threshold: float = 0.60

@@ -71,6 +71,118 @@ def distmult(h: np.ndarray, r: np.ndarray, t: np.ndarray) -> np.ndarray:
     return (h * r * t).sum(axis=-1)
 
 
+# ---- KG interaction library (reference triples_layers.py:24-554) ----------
+# The parameter-free interactions, ported exactly; learned-projection
+# variants (TransH/TransF/PairRE/TripleRE/ER-MLP/ConvKB/ConvE/TuckER) need
+# trained weights and plug in through the same (h, r, t) seam once exported
+# (the DenseCheckpoint pattern, core/dense.py).
+
+_CLAMP = 10.0  # NormBasedInteraction clamp_norm default (:28-33)
+
+
+def _norm_score(x: np.ndarray, p: int = 2, power: float = 1.0) -> np.ndarray:
+    """-clamp(‖x‖_p^power, 10) — NormBasedInteraction._score (:59-76)."""
+    d = np.linalg.norm(x, ord=p, axis=-1) ** power
+    return -np.minimum(d, _CLAMP)
+
+
+def um(h, r, t):
+    """Unstructured model ‖h - t‖ (:77-84)."""
+    return _norm_score(h - t)
+
+
+def se(h, r, t):
+    """Structure embedding: diag(r)h - diag(r)t (:87-101)."""
+    return _norm_score(r * h - r * t)
+
+
+def transe(h, r, t):
+    """TransE ‖h + r - t‖_1 (:104-111, default p=1)."""
+    return _norm_score(h + r - t, p=1)
+
+
+def simple_interaction(h, r, t):
+    """SimplE: ½(⟨h_f, r_f, t_b⟩ + ⟨t_f, r_b, h_b⟩) (:241-259)."""
+    h_f, h_b = np.split(h, 2, axis=-1)
+    t_f, t_b = np.split(t, 2, axis=-1)
+    r_f, r_b = np.split(r, 2, axis=-1)
+    return 0.5 * ((h_f * r_f * t_b).sum(-1) + (t_f * r_b * h_b).sum(-1))
+
+
+def distma(h, r, t):
+    """DistMA: ⟨h,r⟩ + ⟨h,t⟩ + ⟨r,t⟩ (:317-321)."""
+    return (h * r).sum(-1) + (h * t).sum(-1) + (r * t).sum(-1)
+
+
+def complex_interaction(h, r, t):
+    """ComplEx: Re(⟨h, r, conj(t)⟩) (:324-339)."""
+    h_re, h_im = np.split(h, 2, axis=-1)
+    r_re, r_im = np.split(r, 2, axis=-1)
+    t_re, t_im = np.split(t, 2, axis=-1)
+    return (
+        h_re * r_re * t_re + h_re * r_im * t_im
+        + h_im * r_re * t_im - h_im * r_im * t_re
+    ).sum(-1)
+
+
+def quate(h, r, t):
+    """QuatE Hamilton product (:342-362)."""
+    h0, h1, h2, h3 = np.split(h, 4, axis=-1)
+    r0, r1, r2, r3 = np.split(r, 4, axis=-1)
+    t0, t1, t2, t3 = np.split(t, 4, axis=-1)
+    a0 = h0 * r0 - h1 * r1 - h2 * r2 - h3 * r3
+    a1 = h0 * r1 + h1 * r0 + h2 * r3 - h3 * r2
+    a2 = h0 * r2 - h1 * r3 + h2 * r0 + h3 * r1
+    a3 = h0 * r3 + h1 * r2 - h2 * r1 + h3 * r0
+    return (a0 * t0 + a1 * t1 + a2 * t2 + a3 * t3).sum(-1)
+
+
+def hole(h, r, t):
+    """HolE circular correlation ϕ(h, t)·r via FFT (:365-378)."""
+    fft_h = np.fft.rfft(h, axis=-1)
+    fft_t = np.fft.rfft(t, axis=-1)
+    corr = np.fft.irfft(np.conj(fft_h) * fft_t, n=h.shape[-1], axis=-1)
+    return (corr * r).sum(-1)
+
+
+def rotate(h, r, t):
+    """RotatE: -Σ_i |h_i·r̂_i - t_i| with unit-modulus complex rotations
+    (pipeline-native; the reference factory lacks it — standard form from
+    the RotatE paper, complex split like ComplEx)."""
+    h_re, h_im = np.split(h, 2, axis=-1)
+    r_re, r_im = np.split(r, 2, axis=-1)
+    t_re, t_im = np.split(t, 2, axis=-1)
+    mod = np.sqrt(r_re**2 + r_im**2)
+    hr_re = (h_re * r_re - h_im * r_im) / mod
+    hr_im = (h_re * r_im + h_im * r_re) / mod
+    return -np.sqrt((hr_re - t_re) ** 2 + (hr_im - t_im) ** 2).sum(-1)
+
+
+KG_INTERACTIONS = {
+    "distmult": distmult,
+    "um": um,
+    "se": se,
+    "transe": transe,
+    "simple": simple_interaction,
+    "distma": distma,
+    "complex": complex_interaction,
+    "quate": quate,
+    "hole": hole,
+    "rotate": rotate,
+}
+
+
+def kg_interaction(name: str):
+    """Factory (reference TriplesScoreLayer factory, :557-647)."""
+    try:
+        return KG_INTERACTIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown KG interaction {name!r}; available: "
+            f"{sorted(KG_INTERACTIONS)}"
+        ) from None
+
+
 def dot_adjacency(x: np.ndarray) -> np.ndarray:
     """sigmoid(X @ X^T) over a doc's entity vectors (E, D) → (E, E)."""
     return sigmoid(x @ x.T)
