@@ -373,6 +373,18 @@ def q_sim_ivf(spark, sf_dir):
     )
 
 
+def q_sim_ivf_kmeans(spark, sf_dir):
+    """IVF with a LEARNED coarse quantizer: deterministic integer k-means
+    (2 Lloyd iterations, round-half-away-from-zero means in pure bigint
+    DIV), corpus bucketed by nearest centroid, nprobe=2 probing."""
+    from gliner_spark.operators.similarity import kmeans_ivf_topk
+
+    df = kmeans_ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+    return df.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
 def q_sim_neardup(spark, sf_dir):
     from gliner_spark.operators.similarity import embedding_neardup
 
@@ -663,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations_prompted": q_kg_relations_prompted,
         "kg_eval_suite": q_kg_eval_suite,
         "kg_triples_scored": q_kg_triples_scored,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
         # text analysis
         "ta_token_stats": q_ta_token_stats,
         "ta_quality": q_ta_quality,
@@ -984,6 +997,77 @@ SELECT doc_id, subj, pred, obj,
   round({dm}, 6) AS score_distmult
 FROM embedded
 ORDER BY doc_id, subj, pred, obj
+"""
+
+
+def _sim_ivf_kmeans_oracle() -> str:
+    """Unrolled deterministic k-means (init -> [assign -> update] x2 ->
+    final assign -> nprobe probe -> per-cell scoring). All centroid math is
+    exact bigint arithmetic (see operators/similarity.train_kmeans_cells);
+    only the final cosine touches IEEE."""
+    D, K, ITERS, NPROBE, NQ, TOPK = 64, 8, 2, 2, 10, 5
+
+    def d2(q: str, c: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range({D}), i -> ({q}[i+1]-{c}[i+1])*({q}[i+1]-{c}[i+1]))), "
+            "(a, x) -> a + x)"
+        )
+
+    sums = ", ".join(f"sum(q[{d+1}]) AS s_{d}" for d in range(D))
+    means = ", ".join(
+        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
+        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
+        for d in range(D)
+    )
+    ctes = [f"c0 AS (SELECT vec_id AS cell, q AS c FROM qn WHERE vec_id < {K})"]
+    for it in range(ITERS):
+        ctes.append(f"""
+a{it} AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT n.vec_id, n.q, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY {d2('n.q', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN c{it} c
+  ) WHERE rk = 1
+),
+s{it} AS (SELECT cell, count(*) AS cnt, {sums} FROM a{it} GROUP BY cell),
+u{it} AS (SELECT cell, [{means}] AS c FROM s{it}),
+c{it+1} AS (
+  SELECT c{it}.cell, coalesce(u{it}.c, c{it}.c) AS c
+  FROM c{it} LEFT JOIN u{it} USING (cell)
+)""")
+    return f"""
+WITH {_QUANT_EMB},
+{', '.join(ctes)},
+corpus AS (
+  SELECT vec_id, q AS qb, norm2 AS nb, cell FROM (
+    SELECT n.vec_id, n.q, n.norm2, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY {d2('n.q', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN c{ITERS} c
+  ) WHERE rk = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, q AS qa, norm2 AS na, cell FROM (
+    SELECT n.vec_id, n.q, n.norm2, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY {d2('n.q', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN c{ITERS} c WHERE n.vec_id < {NQ}
+  ) WHERE rk <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, co.vec_id,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range({D}), i -> p.qa[i+1]*co.qb[i+1])), (a, x) -> a + x)
+      AS DOUBLE) / sqrt(CAST(p.na*co.nb AS DOUBLE)) AS sim
+  FROM qprobe p JOIN corpus co USING (cell)
+  WHERE p.query_id != co.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
 
@@ -1567,6 +1651,7 @@ ranked AS (
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
+        "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         "sim_neardup": f"""
 WITH {_QUANT_EMB}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

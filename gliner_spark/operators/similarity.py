@@ -113,6 +113,138 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- k-means IVF ----
+K_CELLS = 8
+KM_ITERS = 2
+NPROBE = 2
+
+
+def _centroid_update_exprs(dim: int):
+    """Integer-rounded mean per dimension: round-half-away-from-zero in pure
+    bigint arithmetic (DIV) — exact and engine-identical, so the SQL oracle
+    reproduces the Lloyd update bit-for-bit (no IEEE division anywhere)."""
+    return [
+        F.expr(
+            f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + n) DIV (2*n) "
+            f"ELSE -((2*(-s_{d}) + n) DIV (2*n)) END"
+        ).cast("long")
+        for d in range(dim)
+    ]
+
+
+def _assign_struct(q_col, cents, nprobe: int = 1):
+    """Array of the `nprobe` nearest (d2, cell) structs to broadcast-literal
+    centroids — a pure narrow expression, no join, no shuffle."""
+    structs = []
+    for cell, vec in cents:
+        carr = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+        d2 = F.aggregate(
+            F.zip_with(q_col, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(d2.alias("d2"), F.lit(int(cell)).alias("cell"))
+        )
+    return F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+
+
+def train_kmeans_cells(
+    qz: DataFrame, k: int = K_CELLS, iters: int = KM_ITERS
+) -> list:
+    """Deterministic Lloyd k-means over the quantized vectors: init =
+    vectors 0..k-1, fixed iteration count, integer-rounded means,
+    ties broken by cell id. Returns [(cell, centroid_ints)].
+
+    Scale shape: the quantizer is tiny (k x D ints) and trains with one
+    aggregation job per iteration (map-side combined groupBy); the learned
+    centroids then ship inside closures as literals — assignment of the
+    full corpus is a narrow projection. At 100 TB, train on a deterministic
+    sample (vec_id % s == 0) with the identical code path."""
+    dim = len(qz.select("q").first().q)
+    cents = sorted(
+        (int(r.vec_id), [int(x) for x in r.q])
+        for r in qz.filter(F.col("vec_id") < k).collect()
+    )  # sorted: collect() order is partitioning-dependent
+    for _ in range(iters):
+        assigned = qz.select(
+            "q", _assign_struct(F.col("q"), cents)[0]["cell"].alias("cell")
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("q", d + 1)).alias(f"s_{d}")
+                for d in range(dim)
+            ],
+        )
+        new = {
+            int(r.cell): [int(x) for x in r.c]
+            for r in sums.select(
+                "cell", F.array(*_centroid_update_exprs(dim)).alias("c")
+            ).collect()
+        }
+        # empty cells keep their previous centroid
+        cents = [(cell, new.get(cell, vec)) for cell, vec in cents]
+    return cents
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = K_CELLS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF with a LEARNED coarse quantizer: deterministic k-means centroids,
+    corpus bucketed by nearest cell, queries probe their `nprobe` nearest
+    cells. The 100 TB ANN path: candidate set pruned ~(n_cells/nprobe)x,
+    assignment narrow, the only shuffles are the per-cell equi-join and the
+    top-k window."""
+    qz = _quantized(emb)
+    cents = train_kmeans_cells(qz, k=n_cells)
+
+    corpus = qz.select(
+        "vec_id",
+        _assign_struct(F.col("q"), cents)[0]["cell"].alias("cell"),
+        F.col("q").alias("qb"),
+        F.col("norm2").alias("nb"),
+    )
+    queries = (
+        qz.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    _assign_struct(F.col("q"), cents, nprobe=nprobe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+            F.col("q").alias("qa"),
+            F.col("norm2").alias("na"),
+        )
+    )
+    joined = F.broadcast(queries).join(corpus, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.withColumn("dot", dot).withColumn(
+        "sim",
+        F.col("dot").cast("double")
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, blocked by cell (label):
     the embedding analog of LSH blocking — never an unblocked cross join."""
