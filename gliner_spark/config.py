@@ -41,6 +41,12 @@ class PipelineConfig:
     link_minhash_bands: int = 4     # LSH bands (rows/bands hashes per band)
     link_max_block_size: int = 1000  # blocks larger than this get salted/split
     cc_max_iterations: int = 20
+    # cluster profile: reliable (checkpoint-dir-backed) lineage cuts in the
+    # CC loop. localCheckpoint (default) stores blocks on executors — fine
+    # in local mode, but an executor loss mid-loop kills the job on a real
+    # cluster; set True + cc_checkpoint_dir=hdfs://... there.
+    cc_reliable_checkpoint: bool = False
+    cc_checkpoint_dir: str = ""
 
     # --- Spark execution ---
     shuffle_partitions: int = 32

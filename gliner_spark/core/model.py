@@ -430,7 +430,33 @@ class GlinerSparkModel:
             raise ValueError("rel_threshold below the no-context baseline score")
 
         allowed = None
-        if cfg.adjacency_mode == "dot":
+        if cfg.adjacency_mode in ("mlp", "bilinear", "attn", "gcn", "gat"):
+            # learned adjacency decoders (reference relations_layers.py:45-
+            # 406) over the doc's entity vectors; keep pairs with
+            # A[i, j] > adjacency_threshold. Weights are seeded arrays
+            # (npz-loadable) cached per model instance.
+            from gliner_spark.core.adjacency import adjacency, adjacency_weights
+
+            if not hasattr(self, "_adj_w"):
+                self._adj_w = {}
+            w = self._adj_w.get(cfg.adjacency_mode)
+            if w is None:
+                w = adjacency_weights(cfg.adjacency_mode, cfg.dim, seed=cfg.seed)
+                self._adj_w[cfg.adjacency_mode] = w
+            x = np.stack(
+                [
+                    self._surface_vec(normalize_surface(m["text"]), cache)
+                    for m in mentions
+                ]
+            )
+            adj = adjacency(cfg.adjacency_mode, x, w)
+            allowed = {
+                (i, j)
+                for i in range(E)
+                for j in range(E)
+                if i != j and adj[i, j] > cfg.adjacency_threshold
+            }
+        elif cfg.adjacency_mode == "dot":
             # adjacency-layer pair pruning (reference modeling/base.py:2373-
             # 2402 + build_entity_pairs modeling/utils.py:209-291): score all
             # directed pairs with a cheap adjacency head, keep adj > thr.

@@ -193,7 +193,20 @@ def connected_components(
                 F.col("component"), F.coalesce("grand", F.col("component"))
             ).alias("component"),
         )
-        new_comp = new_comp.localCheckpoint()  # cut lineage per round
+        # cut lineage per round; reliable variant survives executor loss
+        # (cluster profile — see PipelineConfig.cc_reliable_checkpoint)
+        if cfg.cc_reliable_checkpoint:
+            sc = new_comp.sparkSession.sparkContext
+            if sc.getCheckpointDir() is None:
+                import tempfile
+
+                sc.setCheckpointDir(
+                    cfg.cc_checkpoint_dir
+                    or tempfile.mkdtemp(prefix="gs_cc_ckpt_")
+                )
+            new_comp = new_comp.checkpoint()
+        else:
+            new_comp = new_comp.localCheckpoint()
         changed = (
             new_comp.alias("n")
             .join(comp.alias("o"), "id")
