@@ -233,6 +233,16 @@ def q_kg_relations_prompted(spark, sf_dir):
     return df.withColumn("score", F.round("score", 6))
 
 
+def q_kg_triples_spans(spark, sf_dir):
+    """Word-span-annotated relation triples — the relex evaluator's strict
+    matching input (reference evaluator.py:210-255 matches exact
+    (rel_label, h_span, t_span) tuples; operators/evaluation.relex_prf)."""
+    from gliner_spark.operators.extraction import extract_triples_with_spans
+
+    df = extract_triples_with_spans(_synth(spark, sf_dir), _model())
+    return df.withColumn("score", F.round("score", 6))
+
+
 _KG_SCORERS = ("complex", "transe", "rotate", "distmult")
 
 
@@ -676,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eval_suite": q_kg_eval_suite,
         "kg_triples_scored": q_kg_triples_scored,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "kg_triples_spans": q_kg_triples_spans,
         # text analysis
         "ta_token_stats": q_ta_token_stats,
         "ta_quality": q_ta_quality,
@@ -919,6 +930,28 @@ JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
 JOIN kdocs d ON d.doc_id = h.doc_id
 JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
 ORDER BY h.doc_id, source, relation, target, start
+"""
+
+
+def _kg_triples_spans_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet'),
+m_w AS (
+  SELECT m.doc_id, m.norm, m.start, m."end", m.text,
+         CAST(o.pos AS INTEGER) AS ws,
+         CAST(o.pos + len(string_split(m.text, ' ')) - 1 AS INTEGER) AS we
+  FROM kmentions m JOIN koffs o ON o.doc_id = m.doc_id AND o.cs = m.start
+)
+SELECT h.doc_id, h.norm AS subj, r.rel AS pred, t.norm AS obj,
+       h.ws AS h_ws, h.we AS h_we, t.ws AS t_ws, t.we AS t_we,
+       round(1.0/(1.0 + exp(-2.4)), 6) AS score
+FROM m_w h
+JOIN m_w t ON h.doc_id = t.doc_id AND t.start > h."end"
+JOIN kdocs d ON d.doc_id = h.doc_id
+JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
+ORDER BY h.doc_id, subj, pred, obj, h_ws, t_ws
 """
 
 
@@ -1835,4 +1868,5 @@ def _kg_oracles() -> dict[str, str]:
         "kg_relations_prompted": _kg_relations_prompted_oracle(),
         "kg_eval_suite": _kg_eval_suite_oracle(),
         "kg_triples_scored": _kg_triples_scored_oracle(),
+        "kg_triples_spans": _kg_triples_spans_oracle(),
     }

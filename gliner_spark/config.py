@@ -52,6 +52,9 @@ class PipelineConfig:
     shuffle_partitions: int = 32
     doc_partitions: int = 0      # 0 = leave input partitioning; else repartition(N, doc_id)
     arrow_max_records: int = 2048
+    # >0: calibrate maxRecordsPerBatch from measured doc bytes so one Arrow
+    # batch ~ this many MB (reference serve/memory.py analog; core/batching)
+    arrow_target_mb: int = 0
 
     # --- lineage / resume ---
     lineage_buckets: int = 64    # pmod(hash(doc_id), B) resume granularity

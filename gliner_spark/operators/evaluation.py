@@ -57,6 +57,16 @@ def triple_prf(pred_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
     return micro_prf(pred_triples, gold_triples, ["doc_id", "subj", "pred", "obj"])
 
 
+def relex_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Relex WORD-SPAN micro-F1: exact (rel_label, head_span, tail_span)
+    matching — the reference relation evaluator's strict mode
+    (evaluator.py:210-255). Inputs carry (doc_id, pred, h_ws, h_we, t_ws,
+    t_we), e.g. from extraction.extract_triples_with_spans."""
+    return micro_prf(
+        pred, gold, ["doc_id", "pred", "h_ws", "h_we", "t_ws", "t_we"]
+    )
+
+
 def keyword_extractor_prf(docs: DataFrame, set_a: List[str], set_b: List[str]) -> DataFrame:
     """Fully-relational P/R/F1 between two deterministic keyword extractors
     over documents — the oracle-checkable instance of the evaluator operator

@@ -251,6 +251,57 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     )
 
 
+TRIPLES_SPANS_DDL = (
+    "doc_id string, subj string, pred string, obj string, "
+    "h_ws int, h_we int, t_ws int, t_we int, score double"
+)
+
+
+def extract_triples_with_spans(docs: DataFrame, model: GlinerSparkModel) -> DataFrame:
+    """Relation triples annotated with head/tail WORD spans — the input the
+    relex word-span evaluator matches on (reference evaluator.py:210-255:
+    exact (rel_label, h_span, t_span) tuples). Text relations only (media
+    'depicts' triples carry no spans). Same single-pass UDF shape as
+    extract_graph."""
+    bc = docs.sparkSession.sparkContext.broadcast(model)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                text = " ".join(
+                    sp["text"] for sp in spans if sp["kind"] == "text"
+                )
+                mentions, tokens, _, _ = model.predict_doc(text)
+                for r in model.predict_relations_doc(tokens, mentions):
+                    h, t = mentions[r["head_idx"]], mentions[r["tail_idx"]]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "subj": normalize_surface(h["text"]),
+                            "pred": r["relation"],
+                            "obj": normalize_surface(t["text"]),
+                            "h_ws": h["word_start"],
+                            "h_we": h["word_end"],
+                            "t_ws": t["word_start"],
+                            "t_we": t["word_end"],
+                            "score": r["score"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subj", "pred", "obj",
+                    "h_ws", "h_we", "t_ws", "t_we", "score",
+                ],
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(
+        fn, schema=TRIPLES_SPANS_DDL
+    )
+
+
 def mentions_table(graph: DataFrame) -> DataFrame:
     """Explode to the mentions schema (FIXTURES.md §4)."""
     return graph.select(

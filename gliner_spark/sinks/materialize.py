@@ -107,6 +107,13 @@ def run_extraction(
     cfg = model.config
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if cfg.arrow_target_mb:
+        from gliner_spark.core.batching import calibrate_arrow_batch
+
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            calibrate_arrow_batch(docs, cfg.arrow_target_mb),
+        )
 
     done = set(done_buckets(spark, base))
     docs_b = with_bucket(docs, cfg.lineage_buckets)
