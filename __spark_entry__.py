@@ -6,16 +6,20 @@ entry()      — flagship: full KG-construction pipeline (extract -> link ->
 queries()    — one entry per implemented operator from SURVEY.md §2 plus the
                training-data-pipeline operator family (dedup, similarity,
                text analysis, evaluation, relational coverage).
-oracle_sql() — exact DuckDB ANSI-SQL equivalents for every query whose
-               semantics are SQL-expressible. KG-scoring queries (neural
-               span scoring + greedy decode + iterative connected
-               components) are deliberately rows-only: their correctness
-               gate is tests/test_pipeline.py (exact parity vs the
-               single-process reference implementation AND planted gold).
+oracle_sql() — exact DuckDB ANSI-SQL equivalents for EVERY query, including
+               the neural scoring paths (fixture snapshots re-derive
+               mentions/triples independently; the dense forward pass and
+               the iterative CC/k-means run as unrolled relational SQL).
+               tests/test_pipeline.py additionally proves exact parity vs
+               the single-process reference implementation AND planted gold.
 
 Determinism contract with the oracle:
-- token ids are dense ranks over the sorted distinct vocabulary;
+- token ids are codepoint-fold hashes (no vocab table, no global window —
+  the tokenize→id subtree is a pure narrow projection at any scale);
 - all hashing is affine arithmetic mod 2^31-1 over those ids;
+- neural dense-path weights are dyadic rationals accumulated in float64, so
+  matmul/relu chains are exactly representable and order-independent
+  (kg_mentions_dense re-runs the full forward pass relationally in SQL);
 - embeddings are quantized to bigint (round(x*1e4)) so dot/norms are exact
   integer math; only the final divide/sqrt touches IEEE doubles;
 - money aggregates are summed as DECIMAL (exact) and emitted as SCALED

@@ -38,6 +38,16 @@ BENCH_QUERIES = [
     "rel_revenue_region",
 ]
 
+# round-2 operators, timed separately so `value` stays comparable to r1
+EXTRA_QUERIES = [
+    "kg_mentions_dense",
+    "kg_relations_prompted",
+    "kg_triples_scored",
+    "kg_triples_spans",
+    "sim_ivf_kmeans",
+    "kg_eval_suite",
+]
+
 
 def main():
     spark = get_spark(app_name="gliner-spark-bench")
@@ -62,6 +72,12 @@ def main():
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    extra = {}
+    for name in EXTRA_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        extra[name] = round(time.time() - t0, 3)
+
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 10
     docs_per_sec = round(n_docs / timings["kg_mentions"], 1)
     triples_per_sec = round(counts["kg_triples"] / timings["kg_triples"], 1)
@@ -76,6 +92,7 @@ def main():
         "docs_per_sec": docs_per_sec,
         "triples_per_sec": triples_per_sec,
         "counts": counts,
+        "extra_queries": extra,
     }
     spark.stop()
     print(json.dumps(out))

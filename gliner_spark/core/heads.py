@@ -158,6 +158,95 @@ def rotate(h, r, t):
     return -np.sqrt((hr_re - t_re) ** 2 + (hr_im - t_im) ** 2).sum(-1)
 
 
+# ---- learned-parameter interactions (weights dict, dropout/bn = identity
+# at inference; a trained export loads into the same arrays) ---------------
+
+
+def _l2norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def transh(h, r, t, w):
+    """TransH hyperplane projection (:114-141)."""
+    r_tr = r @ w["wtr"] + w["btr"]
+    n = _l2norm(r @ w["ww"] + w["bw"])
+
+    def proj(x):
+        return x - (x * n).sum(-1, keepdims=True) * n
+
+    return _norm_score(proj(h) + r_tr - proj(t))
+
+
+def transf(h, r, t, w):
+    """TransF relation-specific scaling + translation (:144-183)."""
+    r_vec = r @ w["wr"] + w["br"]
+    alpha = r @ w["wa"] + w["ba"]
+    beta = r @ w["wb"] + w["bb"]
+    return _norm_score(alpha * h + r_vec - beta * t)
+
+
+def pairre(h, r, t, w):
+    """PairRE per-relation elementwise scaling (:186-203)."""
+    alpha = r @ w["wa"] + w["ba"]
+    beta = r @ w["wb"] + w["bb"]
+    return _norm_score(alpha * h - beta * t)
+
+
+def triplere(h, r, t, w):
+    """TripleRE = LineaRE + scalar gamma per relation (:206-231)."""
+    alpha = r @ w["wa"] + w["ba"]
+    beta = r @ w["wb"] + w["bb"]
+    delta = r @ w["wd"] + w["bd"]
+    gamma = (r @ w["wg"] + w["bg"])[..., 0]
+    return gamma * _norm_score(alpha * h + delta - beta * t)
+
+
+def tucker(h, r, t, w):
+    """TuckER core-tensor interaction (:262-314; bn/dropout = identity)."""
+    w_mat = np.einsum("...r,rde->...de", r, w["core"])
+    hr = np.einsum("...d,...de->...e", h, w_mat)
+    return (hr * t).sum(-1)
+
+
+def ermlp(h, r, t, w):
+    """ER-MLP on [h ‖ r ‖ t] (:381-390)."""
+    x = np.concatenate([h, r, t], axis=-1)
+    return (np.maximum(x @ w["w1"] + w["b1"], 0.0) @ w["w2"] + w["b2"])[..., 0]
+
+
+def convkb(h, r, t, w):
+    """ConvKB: kernel-1 Conv1d over the [h, r, t] channel axis -> relu ->
+    flatten -> linear score (:393-459)."""
+    stacked = np.stack([h, r, t], axis=-2)           # (..., 3, D)
+    fm = np.einsum("fc,...cd->...fd", w["conv"], stacked) + w["bconv"][..., :, None]
+    fm = np.maximum(fm, 0.0)
+    flat = fm.reshape(*fm.shape[:-2], -1)            # (..., nf*D)
+    return (flat @ w["fc"] + w["bfc"])[..., 0]
+
+
+def conve(h, r, t, w):
+    """ConvE: stack h/r as a 2D image, conv2d, fc, relu, dot with t
+    (:461-555; dropouts = identity)."""
+    d = h.shape[-1]
+    e1, ks = w["emb_dim1"], w["kernel"]
+    e2 = d // e1
+    lead = h.shape[:-1]
+    hf = h.reshape(-1, 1, e1, e2)
+    rf = r.reshape(-1, 1, e1, e2)
+    img = np.concatenate([hf, rf], axis=2)           # (B, 1, 2*e1, e2)
+    oh, ow = 2 * e1 - ks + 1, e2 - ks + 1
+    cw, cb = w["conv"], w["bconv"]                   # (nf, 1, ks, ks), (nf,)
+    b = img.shape[0]
+    out = np.zeros((b, cw.shape[0], oh, ow))
+    for di in range(ks):
+        for dj in range(ks):
+            patch = img[:, 0, di : di + oh, dj : dj + ow]   # (B, oh, ow)
+            out += cw[None, :, 0, di, dj, None, None] * patch[:, None]
+    out = np.maximum(out + cb[None, :, None, None], 0.0)
+    x = np.maximum(out.reshape(b, -1) @ w["fc"] + w["bfc"], 0.0)  # (B, D)
+    return (x * t.reshape(-1, d)).sum(-1).reshape(lead)
+
+
 KG_INTERACTIONS = {
     "distmult": distmult,
     "um": um,
@@ -171,16 +260,78 @@ KG_INTERACTIONS = {
     "rotate": rotate,
 }
 
+KG_INTERACTIONS_LEARNED = {
+    "transh": transh,
+    "transf": transf,
+    "pairre": pairre,
+    "triplere": triplere,
+    "tucker": tucker,
+    "ermlp": ermlp,
+    "convkb": convkb,
+    "conve": conve,
+}
 
-def kg_interaction(name: str):
-    """Factory (reference TriplesScoreLayer factory, :557-647)."""
-    try:
+
+def kg_interaction_weights(
+    name: str, dim: int, seed: int = 0, n_filters: int = 8,
+    emb_dim1: int = 2, kernel: int = 3, hidden: int = None,
+):
+    """Seeded weights for the learned-parameter interactions (shape-
+    compatible with a trained export; DenseCheckpoint npz pattern)."""
+    rng = np.random.default_rng(seed)
+    s = 1.0 / np.sqrt(dim)
+
+    def m(*shape):
+        return rng.normal(0, s, shape)
+
+    if name == "transh":
+        return {"wtr": m(dim, dim), "btr": np.zeros(dim),
+                "ww": m(dim, dim), "bw": np.zeros(dim)}
+    if name in ("transf", "pairre", "triplere"):
+        w = {"wa": m(dim, dim), "ba": np.ones(dim),
+             "wb": m(dim, dim), "bb": np.ones(dim)}
+        if name == "transf":
+            w["wr"], w["br"] = m(dim, dim), np.zeros(dim)
+        if name == "triplere":
+            w["wd"], w["bd"] = m(dim, dim), np.zeros(dim)
+            w["wg"], w["bg"] = m(dim, 1), np.ones(1)
+        return w
+    if name == "tucker":
+        return {"core": m(dim, dim, dim)}
+    if name == "ermlp":
+        hd = hidden or 4 * dim
+        return {"w1": m(3 * dim, hd), "b1": np.zeros(hd),
+                "w2": m(hd, 1), "b2": np.zeros(1)}
+    if name == "convkb":
+        return {"conv": m(n_filters, 3), "bconv": np.zeros(n_filters),
+                "fc": m(n_filters * dim, 1), "bfc": np.zeros(1)}
+    if name == "conve":
+        e2 = dim // emb_dim1
+        oh, ow = 2 * emb_dim1 - kernel + 1, e2 - kernel + 1
+        assert oh > 0 and ow > 0, "kernel too large for the embedding image"
+        return {"conv": m(n_filters, 1, kernel, kernel),
+                "bconv": np.zeros(n_filters),
+                "fc": m(n_filters * oh * ow, dim), "bfc": np.zeros(dim),
+                "emb_dim1": emb_dim1, "kernel": kernel}
+    raise ValueError(f"no weights needed/known for {name!r}")
+
+
+def kg_interaction(name: str, dim: int = None, seed: int = 0):
+    """Factory (reference TriplesScoreLayer factory, :557-647). Returns a
+    callable (h, r, t) -> scores; learned-parameter modes get seeded
+    weights bound (pass dim), parameter-free modes are returned directly."""
+    if name in KG_INTERACTIONS:
         return KG_INTERACTIONS[name]
-    except KeyError:
-        raise ValueError(
-            f"unknown KG interaction {name!r}; available: "
-            f"{sorted(KG_INTERACTIONS)}"
-        ) from None
+    if name in KG_INTERACTIONS_LEARNED:
+        if dim is None:
+            raise ValueError(f"{name!r} needs dim= to build weights")
+        w = kg_interaction_weights(name, dim, seed=seed)
+        fn = KG_INTERACTIONS_LEARNED[name]
+        return lambda h, r, t: fn(h, r, t, w)
+    raise ValueError(
+        f"unknown KG interaction {name!r}; available: "
+        f"{sorted(KG_INTERACTIONS) + sorted(KG_INTERACTIONS_LEARNED)}"
+    )
 
 
 def dot_adjacency(x: np.ndarray) -> np.ndarray:

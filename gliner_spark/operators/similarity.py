@@ -160,7 +160,10 @@ def train_kmeans_cells(
     aggregation job per iteration (map-side combined groupBy); the learned
     centroids then ship inside closures as literals — assignment of the
     full corpus is a narrow projection. At 100 TB, train on a deterministic
-    sample (vec_id % s == 0) with the identical code path."""
+    sample (vec_id % s == 0) with the identical code path; the sample is
+    coalesced to one partition here because per-iteration task overhead
+    dominates on a quantizer-sized input."""
+    qz = qz.coalesce(1).persist()
     dim = len(qz.select("q").first().q)
     cents = sorted(
         (int(r.vec_id), [int(x) for x in r.q])

@@ -74,6 +74,76 @@ def test_factory():
     assert len(KG_INTERACTIONS) == 10
 
 
+def test_learned_interactions_shapes_and_determinism():
+    from gliner_spark.core.heads import KG_INTERACTIONS_LEARNED
+
+    h = np.random.default_rng(0).normal(size=(5, 8))
+    r = np.random.default_rng(1).normal(size=(5, 8))
+    t = np.random.default_rng(2).normal(size=(5, 8))
+    assert len(KG_INTERACTIONS_LEARNED) == 8
+    for name in KG_INTERACTIONS_LEARNED:
+        fn = kg_interaction(name, dim=8, seed=3)
+        out = fn(h, r, t)
+        assert out.shape == (5,), name
+        assert np.array_equal(out, kg_interaction(name, dim=8, seed=3)(h, r, t))
+        assert np.isfinite(out).all(), name
+
+
+def test_transh_hyperplane_invariance():
+    """Adding any multiple of the relation hyperplane normal to h must not
+    change the TransH score (the projection removes it) — :128-141."""
+    from gliner_spark.core.heads import kg_interaction_weights, transh
+
+    w = kg_interaction_weights("transh", 8, seed=4)
+    h = np.array([1.0, -2.0, 0.5, 3.0, 0.0, 1.0, -1.0, 2.0])
+    r = np.array([0.3, 1.0, -0.7, 0.2, 0.9, -0.4, 0.1, 0.6])
+    t = np.array([2.0, 0.1, -1.0, 0.4, -0.3, 0.8, 1.2, -0.5])
+    n = r @ w["ww"] + w["bw"]
+    n = n / np.linalg.norm(n)
+    assert transh(h, r, t, w) == pytest.approx(transh(h + 3.7 * n, r, t, w))
+
+
+def test_tucker_core_contraction_hand_math():
+    from gliner_spark.core.heads import kg_interaction_weights, tucker
+
+    d = 4
+    w = {"core": np.random.default_rng(6).normal(size=(d, d, d))}
+    h = np.arange(d, dtype=float)
+    r = np.ones(d)
+    t = np.linspace(-1, 1, d)
+    want = 0.0
+    for rr in range(d):
+        for dd in range(d):
+            for ee in range(d):
+                want += r[rr] * w["core"][rr, dd, ee] * h[dd] * t[ee]
+    assert tucker(h, r, t, w) == pytest.approx(want)
+
+
+def test_conve_matches_naive_conv():
+    from gliner_spark.core.heads import conve, kg_interaction_weights
+
+    d, e1, ks = 8, 2, 3
+    w = kg_interaction_weights("conve", d, seed=7, emb_dim1=e1, kernel=ks)
+    h = np.random.default_rng(8).normal(size=(d,))
+    r = np.random.default_rng(9).normal(size=(d,))
+    t = np.random.default_rng(10).normal(size=(d,))
+    e2 = d // e1
+    img = np.concatenate(
+        [h.reshape(e1, e2), r.reshape(e1, e2)], axis=0
+    )  # (2*e1, e2)
+    oh, ow = 2 * e1 - ks + 1, e2 - ks + 1
+    nf = w["conv"].shape[0]
+    fm = np.zeros((nf, oh, ow))
+    for f in range(nf):
+        for i in range(oh):
+            for j in range(ow):
+                fm[f, i, j] = (
+                    w["conv"][f, 0] * img[i : i + ks, j : j + ks]
+                ).sum() + w["bconv"][f]
+    x = np.maximum(np.maximum(fm, 0.0).ravel() @ w["fc"] + w["bfc"], 0.0)
+    assert conve(h[None], r[None], t[None], w)[0] == pytest.approx((x * t).sum())
+
+
 def test_batched_shapes():
     h = np.random.default_rng(0).normal(size=(5, 8))
     r = np.random.default_rng(1).normal(size=(5, 8))
