@@ -339,6 +339,20 @@ def q_ta_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_ta_bpe_stats(spark, sf_dir):
+    """BPE-ish regex pre-tokenization counts (subword-side token counting;
+    GPT2-shaped pattern: letter runs | digit runs | punctuation)."""
+    from gliner_spark.operators.text_analysis import bpe_stats
+
+    df = bpe_stats(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("n_distinct_pieces").cast("long").alias("n_distinct_pieces"),
+        F.col("n_piece_chars").cast("long").alias("n_piece_chars"),
+    )
+
+
 # --------------------------------------------------------------- dedup ----
 def q_dd_exact(spark, sf_dir):
     from gliner_spark.operators.dedup import exact_dedup
@@ -720,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_global_topn": q_rel_global_topn,
         "rel_sessionize": q_rel_sessionize,
         "ta_top_terms": q_ta_top_terms,
+        "ta_bpe_stats": q_ta_bpe_stats,
         "rel_rollup": q_rel_rollup,
         "rel_cardinality": q_rel_cardinality,
     }
@@ -1588,6 +1603,17 @@ bi AS (
 SELECT u.doc_id, CAST((u.uni + coalesce(b.bi, 0)) % {P31} AS BIGINT) AS fingerprint
 FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
 ORDER BY u.doc_id
+""",
+        "ta_bpe_stats": """
+WITH p AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(pieces) AS BIGINT) AS n_pieces,
+  CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+  CAST(list_aggregate(list_transform(pieces, x -> length(x)), 'sum') AS BIGINT) AS n_piece_chars
+FROM p ORDER BY doc_id
 """,
         # ---- dedup ----
         "dd_exact": """

@@ -251,6 +251,68 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     )
 
 
+def extract_mentions_arrow(
+    docs: DataFrame, model: GlinerSparkModel, labels=None
+) -> DataFrame:
+    """Columnar variant of extract_mentions_only: mapInArrow consumes and
+    emits pyarrow RecordBatches directly — output columns are appended to
+    flat python lists and built once per batch (no per-row dicts, no
+    pandas block manager). Same rows, measured ~1.3-1.5x the row-path
+    throughput (tools/bench_arrow_ab.py)."""
+    import pyarrow as pa
+
+    bc = docs.sparkSession.sparkContext.broadcast(model)
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("ent_idx", pa.int32()),
+            ("start", pa.int32()),
+            ("end", pa.int32()),
+            ("text", pa.string()),
+            ("label", pa.string()),
+            ("score", pa.float64()),
+            ("norm", pa.string()),
+        ]
+    )
+
+    def fn(batches):
+        model = bc.value
+        for rb in batches:
+            doc_ids = rb.column(rb.schema.get_field_index("doc_id"))
+            spans_col = rb.column(rb.schema.get_field_index("spans"))
+            o_doc, o_idx, o_s, o_e = [], [], [], []
+            o_text, o_label, o_score, o_norm = [], [], [], []
+            for doc_id, spans in zip(doc_ids.to_pylist(), spans_col.to_pylist()):
+                text = " ".join(
+                    sp["text"] for sp in spans if sp["kind"] == "text"
+                )
+                mentions, _, _, _ = model.predict_doc(text, labels=labels)
+                for k, m in enumerate(mentions):
+                    o_doc.append(doc_id)
+                    o_idx.append(k)
+                    o_s.append(m["start"])
+                    o_e.append(m["end"])
+                    o_text.append(m["text"])
+                    o_label.append(m["label"])
+                    o_score.append(m["score"])
+                    o_norm.append(normalize_surface(m["text"]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, pa.string()),
+                    pa.array(o_idx, pa.int32()),
+                    pa.array(o_s, pa.int32()),
+                    pa.array(o_e, pa.int32()),
+                    pa.array(o_text, pa.string()),
+                    pa.array(o_label, pa.string()),
+                    pa.array(o_score, pa.float64()),
+                    pa.array(o_norm, pa.string()),
+                ],
+                schema=out_schema,
+            )
+
+    return docs.select("doc_id", "spans").mapInArrow(fn, schema=MENTIONS_DDL)
+
+
 TRIPLES_SPANS_DDL = (
     "doc_id string, subj string, pred string, obj string, "
     "h_ws int, h_we int, t_ws int, t_we int, score double"

@@ -73,6 +73,28 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# GPT2-style pre-tokenization shape: letter runs | digit runs | single
+# punctuation. The sandbox corpus is lowercase ASCII; the pattern is
+# RE2/Java-regex-identical so the SQL oracle reproduces it exactly.
+BPE_PRE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish regex token counting (the subword-side counterpart of
+    token_stats' whitespace counts): pre-tokenize with a byte-pair-style
+    regex, report piece counts / distinct pieces / char coverage. Pure
+    JVM (regexp_extract_all), zero shuffle before the final sort."""
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PRE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+        F.aggregate(
+            pieces, F.lit(0), lambda acc, p: acc + F.length(p)
+        ).alias("n_piece_chars"),
+    ).orderBy("doc_id")
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint from fold-hash token ids:
 

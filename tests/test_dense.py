@@ -88,6 +88,21 @@ def test_spark_dense_matches_single_process(spark):
         assert got[k] == v, k  # bit-exact float64 through Arrow
 
 
+def test_arrow_mentions_path_matches_pandas_path(spark):
+    from gliner_spark.operators.extraction import (
+        extract_mentions_arrow,
+        extract_mentions_only,
+    )
+    from gliner_spark.presets import default_model
+    from gliner_spark.sources.synth import synth_docs
+
+    model = default_model()
+    docs = synth_docs(spark, 200, partitions=8)
+    a = sorted(map(tuple, extract_mentions_only(docs, model).collect()))
+    b = sorted(map(tuple, extract_mentions_arrow(docs, model).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_dense_partitioning_invariance(spark):
     from gliner_spark.operators.extraction import extract_spans_dense
     from gliner_spark.sources.synth import synth_docs
