@@ -106,6 +106,60 @@ def run_stream_pipeline(
     )
 
 
+def stream_user_stats(events_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user running
+    (n_events, total_value, last_ts) via applyInPandasWithState — arbitrary
+    state the built-in aggregations can't express incrementally (the
+    pattern for streaming dedup-state, session carts, per-entity counters).
+    State = one small tuple per user; emits the updated row per user per
+    micro-batch (output mode 'update')."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_ddl = (
+        "user_id long, n_events long, total_value double, last_ts timestamp"
+    )
+    state_ddl = "n long, total double, last timestamp"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total, last = state.get
+        else:
+            n, total, last = 0, 0.0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total,
+              "last_ts": last}]
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_ddl, state_ddl, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_windowed_counts(
+    events_stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark: rows
+    older than (max event time - watermark) are DROPPED, bounding state.
+    The batch view of the same aggregation is entry rel_events_windowed."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n"
+        )
+    )
+
+
 def run_stream_to_parquet(
     graph_stream: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
 ):

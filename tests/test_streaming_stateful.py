@@ -1,0 +1,145 @@
+"""Stateful streaming operators: applyInPandasWithState running stats ==
+batch aggregation after drain; watermarked windowed counts drop late data
+and keep on-time data (two availableNow runs sharing one checkpoint —
+the watermark persists in checkpoint state between runs)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.streaming.pipeline import (
+    stream_user_stats,
+    stream_windowed_counts,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _drain_updates(stream_df, ckpt, key_cols):
+    """Run availableNow, folding update-mode micro-batch output into a
+    latest-value-per-key dict on the driver (test-scale only)."""
+    state = {}
+
+    def fold(batch_df, _bid):
+        for r in batch_df.collect():
+            state[tuple(r[c] for c in key_cols)] = r
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return state
+
+
+def test_stateful_user_stats_equals_batch(spark):
+    src = tempfile.mkdtemp(prefix="gs_st_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_st_ckpt_")
+    try:
+        ev = spark.read.parquet(EVENTS)
+        # two drops -> state must carry across micro-batches
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        got = _drain_updates(stream_user_stats(stream), ckpt, ["user_id"])
+
+        want = {
+            (r.user_id,): r
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert got.keys() == want.keys()
+        for k, w in want.items():
+            g = got[k]
+            assert g.n_events == w.n_events, k
+            assert g.total_value == pytest.approx(w.total_value), k
+            assert g.last_ts == w.last_ts, k
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_drops_late_keeps_on_time(spark):
+    src = tempfile.mkdtemp(prefix="gs_wm_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_wm_ckpt_")
+    try:
+        ev = spark.read.parquet(EVENTS).persist()
+        t_max = ev.agg(F.max("ts")).first()[0]
+
+        # run 1: everything except two held-back rows; advances the
+        # watermark to max(ts) - 1h inside the checkpoint
+        late_row = ev.orderBy("ts").first()          # hours before t_max
+        on_time = ev.orderBy(F.desc("ts")).first()   # == t_max (in watermark)
+        held_ids = {late_row.event_id, on_time.event_id}
+        first = ev.filter(~F.col("event_id").isin(list(held_ids)))
+        first.write.mode("append").parquet(src)
+
+        def mk_stream():
+            return (
+                spark.readStream.schema(EVENTS_DDL)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+
+        got = _drain_updates(
+            stream_windowed_counts(mk_stream()), ckpt,
+            ["win_start", "event_type"],
+        )
+
+        # run 2 (same checkpoint): the two held-back rows arrive "late"
+        ev.filter(F.col("event_id").isin(list(held_ids))).write.mode(
+            "append"
+        ).parquet(src)
+        got2 = _drain_updates(
+            stream_windowed_counts(mk_stream()), ckpt,
+            ["win_start", "event_type"],
+        )
+        got.update(got2)
+
+        # expected: all of run 1 + the on-time row; the late row dropped
+        expect_events = first.unionByName(
+            ev.filter(F.col("event_id") == on_time.event_id)
+        )
+        want = {
+            (r.win_start, r.event_type): r.n
+            for r in expect_events.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n")
+            .collect()
+        }
+        got_counts = {k: v.n for k, v in got.items()}
+        assert got_counts == want
+        # sanity: the late row's window was NOT incremented to the full
+        # batch count (i.e. the drop actually happened)
+        full = {
+            (r.win_start, r.event_type): r.n
+            for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n")
+            .collect()
+        }
+        assert got_counts != full
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
