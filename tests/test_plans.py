@@ -1,0 +1,81 @@
+"""Physical-plan invariants — the scale properties the code comments claim,
+asserted against the actual optimized plans so a regression (a sneaky
+shuffle, a lost column-pruning) fails CI instead of surfacing at 100 TB.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.dedup import minhash_signatures, simhash
+from gliner_spark.operators.extraction import extract_graph
+from gliner_spark.operators.kg_scoring import score_triples
+from gliner_spark.operators.text_analysis import bpe_stats, doc_fingerprint
+from gliner_spark.presets import default_model
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def test_narrow_family_has_no_shuffle_before_output_sort(spark):
+    """fold-hash token ids: signature/fingerprint stages are projections —
+    the ONLY exchange allowed is the final ORDER BY's range partitioning."""
+    docs = spark.read.parquet(DOCS)
+    for df, allowed in [
+        (doc_fingerprint(docs), 1),   # orderBy
+        (simhash(docs), 1),           # orderBy
+        (minhash_signatures(docs), 0),
+        (bpe_stats(docs), 1),         # orderBy
+    ]:
+        p = _plan(df)
+        assert _n_exchanges(p) <= allowed, p[:2000]
+        assert "row_number" not in p.lower()  # the round-1 vocab window
+
+
+def test_extraction_scan_prunes_columns(spark):
+    """The model UDF's scan must read exactly (doc_id, spans)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("spans", F.array(F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )))
+    # write a wide table, read it back, extract: ReadSchema must be pruned
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="gs_prune_")
+    try:
+        docs.write.mode("overwrite").parquet(d)
+        wide = spark.read.parquet(d)
+        assert len(wide.columns) > 2
+        p = _plan(extract_graph(wide, default_model()))
+        m = re.search(r"ReadSchema: ([^\n]*)", p)
+        assert m and "doc_id" in m.group(1) and "spans" in m.group(1)
+        # the wide table's other top-level columns must NOT be read
+        assert "lang" not in m.group(1), m.group(1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kg_scoring_is_single_projection(spark):
+    tr = spark.createDataFrame(
+        [("d", "a", "works_at", "b")],
+        "doc_id string, subj string, pred string, obj string",
+    )
+    p = _plan(score_triples(tr, interactions=("complex", "transe")))
+    assert _n_exchanges(p) == 0, p[:2000]
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(DOCS)
+    p = _plan(docs.filter(F.col("doc_id") < 100).select("doc_id"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in p, p
