@@ -75,3 +75,46 @@ def test_synth_gold_offsets_always_slice_exactly(i):
     for sp in doc["spans"]:
         if sp["kind"] == "text":
             assert text[sp["offset"] : sp["offset"] + len(sp["text"])] == sp["text"]
+
+
+# ---- round 2: fold-hash engine parity (python == Spark == DuckDB) ----------
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=8, unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_fold_hash_python_equals_duckdb(tokens):
+    """The codepoint-fold hash (functions/text.fold_hash arithmetic) gives
+    the same value in pure python and in DuckDB's list_reduce idiom — the
+    property the zero-shuffle token ids and every dedup oracle rest on."""
+    import duckdb
+
+    from gliner_spark.core.dense import fold_hash_py
+
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT list_transform(?, tok -> "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(length(tok)), "
+        "i -> CAST(ascii(substring(tok, CAST(i+1 AS INT), 1)) AS BIGINT))), "
+        "(acc, cp) -> (acc*1000003 + cp) % 2147483647))",
+        [tokens],
+    ).fetchone()[0]
+    assert got == [fold_hash_py(t) for t in tokens]
+
+
+def test_fold_hash_spark_equals_python(spark):
+    from pyspark.sql import functions as F
+
+    from gliner_spark.core.dense import fold_hash_py
+    from gliner_spark.functions.text import fold_hash
+
+    toks = ["", "a", "acme", "works_at", "media://00ff", "x" * 40, "."]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {r.tok: r.h for r in df.select("tok", fold_hash("tok").alias("h")).collect()}
+    assert got == {t: fold_hash_py(t) for t in toks}
