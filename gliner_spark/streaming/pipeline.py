@@ -142,6 +142,42 @@ def stream_user_stats(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: emit each distinct text's FIRST document,
+    suppress every later duplicate — dedup state carried across
+    micro-batches via applyInPandasWithState keyed on md5(text). The
+    streaming counterpart of operators/dedup.exact_dedup; at scale the key
+    space is bounded by distinct content (state = one marker per hash).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_ddl = "text_hash string, doc_id string, text string"
+    state_ddl = "seen boolean, keep_id string"
+
+    def fn(key, pdfs, state: GroupState):
+        rows = []
+        seen = state.exists
+        for pdf in pdfs:
+            # deterministic winner inside the batch: min doc_id
+            pdf = pdf.sort_values("doc_id")
+            if not seen and len(pdf):
+                r = pdf.iloc[0]
+                rows.append(
+                    {"text_hash": key[0], "doc_id": r["doc_id"], "text": r["text"]}
+                )
+                state.update((True, r["doc_id"]))
+                seen = True
+        if rows:
+            yield pd.DataFrame(rows, columns=["text_hash", "doc_id", "text"])
+
+    with_hash = docs_stream.withColumn("text_hash", F.md5("text"))
+    return with_hash.groupBy("text_hash").applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_windowed_counts(
     events_stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

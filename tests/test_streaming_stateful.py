@@ -78,6 +78,66 @@ def test_stateful_user_stats_equals_batch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_exact_dedup_first_seen_wins(spark):
+    """Duplicates across micro-batches are suppressed; the kept doc per
+    distinct text is deterministic (min doc_id of the first batch that
+    carried it)."""
+    from gliner_spark.streaming.pipeline import stream_exact_dedup
+
+    src = tempfile.mkdtemp(prefix="gs_dd_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_dd_ckpt_")
+    out = tempfile.mkdtemp(prefix="gs_dd_out_")
+    try:
+        rows = [
+            ("doc-b", "hello world"),
+            ("doc-a", "hello world"),   # same batch: min doc_id wins
+            ("doc-c", "unique one"),
+        ]
+        rows2 = [
+            ("doc-d", "hello world"),   # later batch duplicate: suppressed
+            ("doc-e", "unique two"),
+        ]
+        ddl = "doc_id string, text string"
+        spark.createDataFrame(rows, ddl).write.mode("append").parquet(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(ddl)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(src)
+            )
+            q = (
+                stream_exact_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        spark.createDataFrame(rows2, ddl).write.mode("append").parquet(src)
+        drain()
+
+        got = {
+            (r.text_hash, r.doc_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        import hashlib
+
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        assert got == {
+            (md5("hello world"), "doc-a"),
+            (md5("unique one"), "doc-c"),
+            (md5("unique two"), "doc-e"),
+        }
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_watermark_drops_late_keeps_on_time(spark):
     src = tempfile.mkdtemp(prefix="gs_wm_src_")
     ckpt = tempfile.mkdtemp(prefix="gs_wm_ckpt_")
