@@ -247,6 +247,39 @@ def q_kg_triples_spans(spark, sf_dir):
     return df.withColumn("score", F.round("score", 6))
 
 
+def _mentions(spark, sf_dir):
+    from gliner_spark.operators.extraction import extract_graph, mentions_table
+
+    return mentions_table(extract_graph(_synth(spark, sf_dir), _model()))
+
+
+def q_kg_classify(spark, sf_dir):
+    """GLiNERClassifier analog (reference multitask/classification.py:
+    14-180) as a relational layer over mentions: predicted class = most-
+    marked entity type, softmax score over the class-count vector, 'other'
+    for span-free docs."""
+    from gliner_spark.operators.multitask import classify_docs
+
+    docs = _synth(spark, sf_dir).select("doc_id")
+    return classify_docs(_mentions(spark, sf_dir), docs)
+
+
+def q_kg_qa(spark, sf_dir):
+    """GLiNERQuestionAnswerer analog (question_answering.py:14-137):
+    wh-question -> answer type, top-3 spans by (score desc, position)."""
+    from gliner_spark.operators.multitask import answer_question
+
+    return answer_question(_mentions(spark, sf_dir), "who founded the company")
+
+
+def q_kg_summarize(spark, sf_dir):
+    """GLiNERSummarizer analog (summarization.py:13-110): extractive
+    summary = marked spans joined in start order."""
+    from gliner_spark.operators.multitask import summarize_docs
+
+    return summarize_docs(_mentions(spark, sf_dir))
+
+
 _KG_SCORERS = ("complex", "transe", "rotate", "distmult")
 
 
@@ -705,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_scored": q_kg_triples_scored,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "kg_triples_spans": q_kg_triples_spans,
+        "kg_classify": q_kg_classify,
+        "kg_qa": q_kg_qa,
+        "kg_summarize": q_kg_summarize,
         # text analysis
         "ta_token_stats": q_ta_token_stats,
         "ta_quality": q_ta_quality,
@@ -971,6 +1007,62 @@ JOIN m_w t ON h.doc_id = t.doc_id AND t.start > h."end"
 JOIN kdocs d ON d.doc_id = h.doc_id
 JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
 ORDER BY h.doc_id, subj, pred, obj, h_ws, t_ws
+"""
+
+
+_CLASSES = ["date", "location", "organization", "person"]  # sorted
+
+
+def _kg_classify_oracle() -> str:
+    snap = _kg_snapshot()
+    cnts = ", ".join(
+        f"count(*) FILTER (label = '{c}') AS c_{c}" for c in _CLASSES
+    )
+    g = "greatest(" + ", ".join(f"c_{c}" for c in _CLASSES) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN c_{c} = {g} THEN '{c}'" for c in _CLASSES
+    ) + " END"
+    denom = " + ".join(f"exp(CAST(c_{c} AS DOUBLE))" for c in _CLASSES)
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+counts AS (
+  SELECT doc_id, {cnts} FROM kmentions GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, {pred} AS label,
+    round(exp(CAST({g} AS DOUBLE)) / ({denom}), 6) AS score
+  FROM counts
+)
+SELECT d.doc_id,
+  coalesce(s.label, 'other') AS label,
+  coalesce(s.score, 1.0) AS score
+FROM kdocs d LEFT JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _kg_qa_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+ranked AS (
+  SELECT doc_id, norm AS answer, score,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, start ASC, "end" ASC
+    ) AS rank
+  FROM kmentions WHERE label = 'person'
+)
+SELECT doc_id, answer, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def _kg_summarize_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)}
+SELECT doc_id, string_agg(text, ' ' ORDER BY start) AS summary
+FROM kmentions GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1899,4 +1991,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_eval_suite": _kg_eval_suite_oracle(),
         "kg_triples_scored": _kg_triples_scored_oracle(),
         "kg_triples_spans": _kg_triples_spans_oracle(),
+        "kg_classify": _kg_classify_oracle(),
+        "kg_qa": _kg_qa_oracle(),
+        "kg_summarize": _kg_summarize_oracle(),
     }
