@@ -280,6 +280,58 @@ def q_kg_summarize(spark, sf_dir):
     return summarize_docs(_mentions(spark, sf_dir))
 
 
+def q_ev_docred(spark, sf_dir):
+    """DocRED-style set-F1 (reference GLiNERDocREDEvaluator): prompted
+    two-pass RE predictions vs the pipeline's relation triples as global
+    'source <> relation <> target' string sets."""
+    from gliner_spark.operators.evaluation import docred_prf
+    from gliner_spark.operators.extraction import extract_graph, triples_raw_table
+    from gliner_spark.operators.prompted_re import extract_relations_prompted
+
+    docs = _synth(spark, sf_dir).persist()
+    pred = extract_relations_prompted(docs, _model())
+    gold = (
+        triples_raw_table(extract_graph(docs, _model()))
+        .filter(F.col("pred") != "depicts")
+        .select(
+            "doc_id",
+            F.col("subj").alias("source"),
+            F.col("pred").alias("relation"),
+            F.col("obj").alias("target"),
+        )
+    )
+    return docred_prf(pred, gold)
+
+
+def q_ev_squad(spark, sf_dir):
+    """SQuAD-style QA scoring (reference GLiNERSquadEvaluator): answers to
+    'who founded the company' vs the doc's earliest founded-subject."""
+    from pyspark.sql import Window
+
+    from gliner_spark.operators.evaluation import squad_prf
+    from gliner_spark.operators.extraction import extract_triples_with_spans
+    from gliner_spark.operators.multitask import answer_question
+
+    docs = _synth(spark, sf_dir).persist()
+    model = _model()
+    pred = answer_question(_mentions_of(docs, model), "who founded", k=1)
+    w = Window.partitionBy("doc_id").orderBy(F.asc("h_ws"), F.asc("subj"))
+    gold = (
+        extract_triples_with_spans(docs, model)
+        .filter(F.col("pred") == "founded")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("subj").alias("gold_answer"))
+    )
+    return squad_prf(pred, gold)
+
+
+def _mentions_of(docs, model):
+    from gliner_spark.operators.extraction import extract_graph, mentions_table
+
+    return mentions_table(extract_graph(docs, model))
+
+
 _KG_SCORERS = ("complex", "transe", "rotate", "distmult")
 
 
@@ -741,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_classify": q_kg_classify,
         "kg_qa": q_kg_qa,
         "kg_summarize": q_kg_summarize,
+        "ev_docred": q_ev_docred,
+        "ev_squad": q_ev_squad,
         # text analysis
         "ta_token_stats": q_ta_token_stats,
         "ta_quality": q_ta_quality,
@@ -1007,6 +1061,67 @@ JOIN m_w t ON h.doc_id = t.doc_id AND t.start > h."end"
 JOIN kdocs d ON d.doc_id = h.doc_id
 JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
 ORDER BY h.doc_id, subj, pred, obj, h_ws, t_ws
+"""
+
+
+def _ev_docred_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet'),
+strs AS (
+  SELECT DISTINCT h.norm || ' <> ' || r.rel || ' <> ' || t.norm AS triple
+  FROM kmentions h
+  JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
+  JOIN kdocs d ON d.doc_id = h.doc_id
+  JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
+),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM strs)
+SELECT n AS n_pred, n AS n_gold, n AS tp,
+       1.0 AS precision, 1.0 AS recall, 1.0 AS f1
+FROM c
+"""
+
+
+def _ev_squad_oracle() -> str:
+    snap = _kg_snapshot()
+    inter = "CAST(len(list_intersect(string_split(p,' '), string_split(g,' '))) AS DOUBLE)"
+    sp = "CAST(len(string_split(p,' ')) AS DOUBLE)"
+    sg = "CAST(len(string_split(g,' ')) AS DOUBLE)"
+    return f"""
+WITH {_kg_mentions_sql_base(snap)},
+rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet'),
+pred AS (
+  SELECT doc_id, norm AS p FROM (
+    SELECT doc_id, norm,
+      row_number() OVER (PARTITION BY doc_id ORDER BY start ASC, "end" ASC) AS rk
+    FROM kmentions WHERE label = 'person'
+  ) WHERE rk = 1
+),
+gold AS (
+  SELECT doc_id, subj AS g FROM (
+    SELECT h.doc_id, h.norm AS subj,
+      row_number() OVER (PARTITION BY h.doc_id ORDER BY h.start ASC, h.norm ASC) AS rk
+    FROM kmentions h
+    JOIN kmentions t ON h.doc_id = t.doc_id AND t.start > h."end"
+    JOIN kdocs d ON d.doc_id = h.doc_id
+    JOIN rels r ON substring(d.text, h."end" + 2, t.start - h."end" - 2) = r.phrase
+      AND r.rel = 'founded'
+  ) WHERE rk = 1
+),
+j AS (SELECT p.p, g.g FROM pred p JOIN gold g USING (doc_id)),
+scored AS (
+  SELECT CASE WHEN p = g THEN 1.0 ELSE 0.0 END AS em,
+    CASE WHEN {inter} > 0 THEN
+      2.0 * ({inter} / {sp}) * ({inter} / {sg})
+        / (({inter} / {sp}) + ({inter} / {sg}))
+    ELSE 0.0 END AS f1
+  FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  round(avg(em), 6) AS exact_match,
+  round(avg(f1), 6) AS token_f1
+FROM scored
 """
 
 
@@ -1994,4 +2109,6 @@ def _kg_oracles() -> dict[str, str]:
         "kg_classify": _kg_classify_oracle(),
         "kg_qa": _kg_qa_oracle(),
         "kg_summarize": _kg_summarize_oracle(),
+        "ev_docred": _ev_docred_oracle(),
+        "ev_squad": _ev_squad_oracle(),
     }

@@ -67,6 +67,45 @@ def relex_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def docred_prf(
+    pred: DataFrame, gold: DataFrame, per_doc: bool = False
+) -> DataFrame:
+    """DocRED-style relation evaluation (reference GLiNERDocREDEvaluator,
+    multitask/relation_extraction.py:184-280): predictions and gold are
+    compared as ``"source <> relation <> target"`` STRING SETS.
+
+    per_doc=False reproduces the reference exactly — it flattens labels
+    across documents into one global set (identical strings from different
+    docs collapse); per_doc=True keys by doc_id (the stricter variant).
+    Inputs: (doc_id, source, relation, target)-shaped DataFrames."""
+    key = F.concat_ws(" <> ", "source", "relation", "target").alias("triple")
+    cols = (["doc_id", key] if per_doc else [key])
+    keys = (["doc_id", "triple"] if per_doc else ["triple"])
+    return micro_prf(pred.select(*cols), gold.select(*cols), keys)
+
+
+def squad_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """SQuAD-style extractive-QA scoring (reference GLiNERSquadEvaluator,
+    question_answering.py:139-230): exact-match rate + mean token-overlap
+    F1 over (doc_id, answer) vs (doc_id, gold_answer). Token overlap uses
+    set semantics (answers are short surfaces)."""
+    j = pred.select("doc_id", F.col("answer").alias("p")).join(
+        gold.select("doc_id", F.col("gold_answer").alias("g")), "doc_id"
+    )
+    pt, gt = F.split("p", " "), F.split("g", " ")
+    inter = F.size(F.array_intersect(pt, gt)).cast("double")
+    prec = inter / F.size(pt)
+    rec = inter / F.size(gt)
+    f1 = F.when(inter > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg((F.col("p") == F.col("g")).cast("double")), 6).alias(
+            "exact_match"
+        ),
+        F.round(F.avg(f1), 6).alias("token_f1"),
+    )
+
+
 def keyword_extractor_prf(docs: DataFrame, set_a: List[str], set_b: List[str]) -> DataFrame:
     """Fully-relational P/R/F1 between two deterministic keyword extractors
     over documents — the oracle-checkable instance of the evaluator operator
