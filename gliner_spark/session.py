@@ -41,3 +41,43 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def cluster_conf(
+    executors: int = 1000,
+    executor_cores: int = 4,
+    shuffle_partitions: int | None = None,
+    checkpoint_dir: str = "hdfs:///tmp/gliner_spark/checkpoints",
+) -> dict:
+    """The multi-executor profile for `spark-submit --conf` (SCALE.md): the
+    knobs that differ from local mode on a 100 TB / N-executor run. Returned
+    as a dict so launchers can merge/override:
+
+        for k, v in cluster_conf(1000).items():
+            cmd += ["--conf", f"{k}={v}"]
+
+    Sizing logic: shuffle partitions ~ 2-3x total cores (AQE coalesces
+    down); 256 MB scan splits -> ~400k input tasks at 100 TB; speculation
+    on for straggler executors; reliable CC checkpoints replace
+    localCheckpoint (PipelineConfig.cc_reliable_checkpoint=True +
+    cc_checkpoint_dir=checkpoint_dir)."""
+    total_cores = executors * executor_cores
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(executor_cores),
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or total_cores * 2
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.speculation": "true",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.checkpoint.dir": checkpoint_dir,
+        # large-broadcast hygiene for real encoder weights
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.rpc.message.maxSize": "512",
+    }
