@@ -245,18 +245,28 @@ def finalize_graph(
         if fp is not None:
             batch_docs = fp.select("doc_id")
             sm = sm.join(batch_docs, "doc_id", "left_anti")
-            st = st.join(batch_docs, "doc_id", "left_anti")
+            if st is not None:
+                st = st.join(batch_docs, "doc_id", "left_anti")
         mentions = (
             mentions.unionByName(sm.select(*mentions.columns))
             if mentions is not None else sm
         )
-        triples_raw = (
-            triples_raw.unionByName(st.select(*triples_raw.columns))
-            if triples_raw is not None else st
-        )
+        # st can be absent if a micro-batch crashed between the two staging
+        # writes (mentions committed, triples not) — merge what exists
+        if st is not None:
+            triples_raw = (
+                triples_raw.unionByName(st.select(*triples_raw.columns))
+                if triples_raw is not None else st
+            )
     if mentions is None:
         raise FileNotFoundError(
             f"no extracted data under {base} (neither batch nor stream layout)"
+        )
+    if triples_raw is None:  # mentions-only state (partial stream crash)
+        triples_raw = spark.createDataFrame(
+            [],
+            "doc_id string, subj string, pred string, obj string, "
+            "subj_type string, obj_type string, score double",
         )
     entities, surface_map = canonicalize(mentions, cfg)
     triples = rewrite_triples(triples_raw, surface_map)
