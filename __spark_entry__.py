@@ -1260,11 +1260,16 @@ ORDER BY doc_id, subj, pred, obj
 
 
 def _sim_ivf_kmeans_oracle() -> str:
-    """Unrolled deterministic k-means (init -> [assign -> update] x2 ->
-    final assign -> nprobe probe -> per-cell scoring). All centroid math is
-    exact bigint arithmetic (see operators/similarity.train_kmeans_cells);
-    only the final cosine touches IEEE."""
+    """Unrolled deterministic k-means (sample -> init -> [assign ->
+    update] x2 -> final assign -> nprobe probe -> per-cell scoring). The
+    quantizer trains on the SAME deterministic modulo sample as Spark
+    (vec_id % s == 0, s = ceil(n/target) — similarity.train_kmeans_cells);
+    all centroid math is exact bigint arithmetic, only the final cosine
+    touches IEEE."""
+    from gliner_spark.operators.similarity import KM_SAMPLE_TARGET
+
     D, K, ITERS, NPROBE, NQ, TOPK = 64, 8, 2, 2, 10, 5
+    T = KM_SAMPLE_TARGET
 
     def d2(q: str, c: str) -> str:
         return (
@@ -1279,14 +1284,19 @@ def _sim_ivf_kmeans_oracle() -> str:
         f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
         for d in range(D)
     )
-    ctes = [f"c0 AS (SELECT vec_id AS cell, q AS c FROM qn WHERE vec_id < {K})"]
+    ctes = [
+        f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
+        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE n.vec_id % sp.s = 0)",
+        f"c0 AS (SELECT n.vec_id AS cell, n.q AS c FROM samp n, sp "
+        f"WHERE n.vec_id < {K} * sp.s)",
+    ]
     for it in range(ITERS):
         ctes.append(f"""
 a{it} AS (
   SELECT vec_id, q, cell FROM (
     SELECT n.vec_id, n.q, c.cell,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY {d2('n.q', 'c.c')}, c.cell) AS rk
-    FROM qn n CROSS JOIN c{it} c
+    FROM samp n CROSS JOIN c{it} c
   ) WHERE rk = 1
 ),
 s{it} AS (SELECT cell, count(*) AS cnt, {sums} FROM a{it} GROUP BY cell),

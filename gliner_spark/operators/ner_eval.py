@@ -67,9 +67,16 @@ def predict_word_spans(
 ) -> DataFrame:
     """Word-level span predictions over gold-tokenized docs (the evaluate()
     prediction pass, model.py:1975-2016). labels restricts to a zero-shot
-    subset (evaluate()'s entity_types arg)."""
+    subset (evaluate()'s entity_types arg).
+
+    The model ships via an explicit ``sc.broadcast`` (same discipline as
+    operators/extraction.extract_graph): a closure capture re-serializes the
+    model into every task of every stage, which matters once the weights are
+    a real 100 MB+ encoder checkpoint."""
+    bc = eval_df.sparkSession.sparkContext.broadcast(model)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = bc.value
         for b in batches:
             rows = []
             for doc_id, toks in zip(b["doc_id"], b["tokenized_text"]):

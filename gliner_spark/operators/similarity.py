@@ -117,6 +117,7 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
 K_CELLS = 8
 KM_ITERS = 2
 NPROBE = 2
+KM_SAMPLE_TARGET = 128  # quantizer training-sample size (~16 vecs/cell)
 
 
 def _centroid_update_exprs(dim: int):
@@ -149,28 +150,49 @@ def _assign_struct(q_col, cents, nprobe: int = 1):
     return F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
 
 
-def train_kmeans_cells(
-    qz: DataFrame, k: int = K_CELLS, iters: int = KM_ITERS
-) -> list:
-    """Deterministic Lloyd k-means over the quantized vectors: init =
-    vectors 0..k-1, fixed iteration count, integer-rounded means,
-    ties broken by cell id. Returns [(cell, centroid_ints)].
+def training_sample(qz: DataFrame, s: int) -> DataFrame:
+    """Deterministic modulo sample for quantizer training: every s-th
+    vec_id. The pmod filter is a narrow map-side predicate evaluated in
+    PARALLEL across the corpus partitions; only the quantizer-sized sample
+    then flows through the single-partition exchange (repartition(1) — an
+    Exchange over ~KM_SAMPLE_TARGET rows, never the full corpus). Never use
+    coalesce(1) here: coalesce collapses the UPSTREAM scan+filter into one
+    task, which is exactly the full-corpus-in-one-task shape this avoids."""
+    samp = qz.select("vec_id", "q")
+    if s > 1:
+        samp = samp.filter(F.pmod(F.col("vec_id"), F.lit(s)) == 0)
+    return samp.repartition(1)
 
-    Scale shape: the quantizer is tiny (k x D ints) and trains with one
-    aggregation job per iteration (map-side combined groupBy); the learned
-    centroids then ship inside closures as literals — assignment of the
-    full corpus is a narrow projection. At 100 TB, train on a deterministic
-    sample (vec_id % s == 0) with the identical code path; the sample is
-    coalesced to one partition here because per-iteration task overhead
-    dominates on a quantizer-sized input."""
-    qz = qz.coalesce(1).persist()
-    dim = len(qz.select("q").first().q)
+
+def train_kmeans_cells(
+    qz: DataFrame,
+    k: int = K_CELLS,
+    iters: int = KM_ITERS,
+    sample_target: int = KM_SAMPLE_TARGET,
+) -> list:
+    """Deterministic Lloyd k-means over a deterministic SAMPLE of the
+    quantized vectors: sample = vec_id % s == 0 with s = ceil(n / target),
+    init = the sample's first k vectors (vec_id < k*s), fixed iteration
+    count, integer-rounded means, ties broken by cell id.
+    Returns [(cell, centroid_ints)].
+
+    Scale shape: training cost is FIXED (~sample_target rows) regardless of
+    corpus size — the count() is a column-pruned metadata-cheap job, the
+    modulo filter is narrow and parallel, and only the sample crosses the
+    single-partition exchange. The learned centroids then ship inside
+    closures as literals; assignment of the full corpus is a narrow
+    projection. The SQL oracle takes the identical sample (same s formula),
+    so the gate stays bit-exact."""
+    n = qz.count()
+    s = max(1, (n + sample_target - 1) // sample_target)
+    samp = training_sample(qz, s).persist()
+    dim = len(samp.select("q").first().q)
     cents = sorted(
         (int(r.vec_id), [int(x) for x in r.q])
-        for r in qz.filter(F.col("vec_id") < k).collect()
+        for r in samp.filter(F.col("vec_id") < k * s).collect()
     )  # sorted: collect() order is partitioning-dependent
     for _ in range(iters):
-        assigned = qz.select(
+        assigned = samp.select(
             "q", _assign_struct(F.col("q"), cents)[0]["cell"].alias("cell")
         )
         sums = assigned.groupBy("cell").agg(
@@ -188,6 +210,7 @@ def train_kmeans_cells(
         }
         # empty cells keep their previous centroid
         cents = [(cell, new.get(cell, vec)) for cell, vec in cents]
+    samp.unpersist()
     return cents
 
 
