@@ -1340,6 +1340,64 @@ FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
 
+def _sim_neardup_oracle() -> str:
+    """Hyperplane (SRP) LSH blocking + exact-cosine verify, regenerating the
+    SAME deterministic integer hyperplanes as Spark
+    (similarity.hyperplane_component): sign bits -> packed band keys ->
+    bucket-capped band equi-join -> distinct pairs -> integer cosine."""
+    from gliner_spark.operators.similarity import (
+        HP_BANDS,
+        HP_MAX_BUCKET,
+        HP_ROWS,
+        hyperplane_component,
+    )
+
+    D = 64
+
+    def bit(p: int) -> str:
+        dot = " + ".join(
+            f"q[{d + 1}]*({hyperplane_component(p, d, D)})" for d in range(D)
+        )
+        return f"CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END"
+
+    keys = ",\n    ".join(
+        "("
+        + " + ".join(f"({bit(b * HP_ROWS + j)})*{1 << j}" for j in range(HP_ROWS))
+        + f") AS hk_{b}"
+        for b in range(HP_BANDS)
+    )
+    buckets_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, hk_{b} AS bkey FROM sigs"
+        for b in range(HP_BANDS)
+    )
+    return f"""
+WITH {_QUANT_EMB},
+sigs AS (SELECT vec_id, {keys} FROM qn),
+buckets AS (
+  {buckets_union}
+),
+capped AS (
+  SELECT vec_id, band, bkey FROM (
+    SELECT vec_id, band, bkey,
+      count(*) OVER (PARTITION BY band, bkey) AS n
+    FROM buckets
+  ) WHERE n <= {HP_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT ca.vec_id AS vec_a, cb.vec_id AS vec_b
+  FROM capped ca JOIN capped cb
+    ON ca.band = cb.band AND ca.bkey = cb.bkey AND ca.vec_id < cb.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+  round(CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)), 6) AS sim
+FROM pairs p
+JOIN qn a ON a.vec_id = p.vec_a
+JOIN qn b ON b.vec_id = p.vec_b
+WHERE CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) >= 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
 _SUITE_N_DOCS = 1000  # documents.count()*2 at the driver's sf=0.01
 
 
@@ -1932,14 +1990,7 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
-        "sim_neardup": f"""
-WITH {_QUANT_EMB}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  round(CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)), 6) AS sim
-FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) >= 0.3
-ORDER BY vec_a, vec_b
-""",
+        "sim_neardup": _sim_neardup_oracle(),
         # ---- evaluation ----
         "ev_keyword_prf": f"""
 WITH toks AS (

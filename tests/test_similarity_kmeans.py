@@ -1,9 +1,13 @@
 """k-means IVF: deterministic quantizer training + recall sanity vs the
-brute-force baseline (operators/similarity.kmeans_ivf_topk)."""
+brute-force baseline (operators/similarity.kmeans_ivf_topk), and
+hyperplane-LSH near-dup blocking guarantees."""
+
+from pyspark.sql import functions as F
 
 from gliner_spark.operators.similarity import (
     _quantized,
     cosine_topk,
+    embedding_neardup,
     kmeans_ivf_topk,
     train_kmeans_cells,
 )
@@ -37,3 +41,48 @@ def test_kmeans_ivf_recall_beats_chance(spark):
     ) / len(bf)
     # nprobe=2 of 8 cells scans ~25% of the corpus; recall must beat that
     assert recall >= 0.5, recall
+
+
+def test_neardup_finds_all_identical_vectors(spark):
+    """Identical vectors produce identical sign bits, so they collide in
+    EVERY band: recall of exact duplicates is 1.0 by construction — the
+    guarantee the label-cell blocking could not give across labels."""
+    rows = []
+    for i in range(20):
+        base = [float(((i % 10) * 37 + d * 11) % 19 - 9) / 10 for d in range(64)]
+        rows.append((i, f"lab{i % 3}", base))  # i and i+10 are identical
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup(emb, threshold=0.99).collect()
+    }
+    assert {(i, i + 10) for i in range(10)} <= got
+
+
+def test_neardup_deterministic_across_partitionings(spark):
+    emb = _emb(spark)
+    a = embedding_neardup(emb, threshold=0.3).collect()
+    b = embedding_neardup(emb.repartition(17), threshold=0.3).collect()
+    assert a == b and len(a) > 0
+
+
+def test_neardup_results_are_exact_verified(spark):
+    """Every emitted pair's sim must equal the exact integer cosine — the
+    LSH stage only PRUNES, never approximates the reported similarity."""
+    emb = _emb(spark)
+    out = embedding_neardup(emb, threshold=0.3)
+    qz = _quantized(emb)
+    va = qz.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+                   F.col("norm2").alias("na"))
+    vb = qz.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+                   F.col("norm2").alias("nb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    chk = (out.join(va, "vec_a").join(vb, "vec_b")
+           .withColumn("expect", F.round(
+               dot.cast("double")
+               / F.sqrt((F.col("na") * F.col("nb")).cast("double")), 6))
+           .filter(F.col("sim") != F.col("expect")))
+    assert chk.count() == 0
