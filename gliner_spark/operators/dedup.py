@@ -33,7 +33,6 @@ from gliner_spark.functions.text import (
     P31,
     affine_hash,
     token_id_array,
-    token_ids,
 )
 
 MAX_BUCKET = 200  # LSH band-bucket cap (candidate-pair skew guard)
@@ -48,14 +47,22 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def staged_token_ids(docs: DataFrame) -> DataFrame:
+    """(doc_id, _ids) in-row token-id arrays — the ONE tokenize of the
+    corpus that every dedup branch (signatures, LSH bands, Jaccard items)
+    derives from. Callers that fan out into multiple branches persist this
+    frame so the text scan+tokenize runs once in the physical plan."""
+    return docs.select("doc_id", token_id_array("text").alias("_ids"))
+
+
+def _signatures_from_ids(staged: DataFrame) -> DataFrame:
     """(doc_id, mh_0..mh_{R-1}) minhash over distinct token ids.
 
     Narrow: per-doc distinct ids are an array_distinct over the in-row
     token array; each permutation minimum is an array_min — the whole
     signature stage is a projection (no explode, no groupBy)."""
-    with_ids = docs.select(
-        "doc_id", F.array_distinct(token_id_array("text")).alias("_ids")
+    with_ids = staged.select(
+        "doc_id", F.array_distinct("_ids").alias("_ids")
     )
 
     # NB: closures must be built via a factory — PySpark binds EVERY lambda
@@ -68,6 +75,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         for j in range(MINHASH_ROWS)
     ]
     return with_ids.select("doc_id", *aggs)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    return _signatures_from_ids(staged_token_ids(docs))
 
 
 def _band_buckets(sigs: DataFrame) -> DataFrame:
@@ -84,8 +95,12 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(docs: DataFrame) -> DataFrame:
+    return _candidate_pairs_from_ids(staged_token_ids(docs))
+
+
+def _candidate_pairs_from_ids(staged: DataFrame) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b), dedup'd across bands."""
-    buckets = _band_buckets(minhash_signatures(docs))
+    buckets = _band_buckets(_signatures_from_ids(staged))
     w = Window.partitionBy("band", "bkey")
     buckets = (
         buckets.withColumn("n", F.count(F.lit(1)).over(w))
@@ -138,17 +153,16 @@ def _jaccard_verify(pairs: DataFrame, items: DataFrame, threshold: float) -> Dat
 def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact token-set Jaccard.
 
-    The exploded distinct (doc_id, token_id) table feeds three branches
-    (per-doc counts, both sides of the intersection join) — persisted so
-    the tokenize subtree runs once; signatures themselves are narrow and
-    need no explode at all."""
-    ids = (
-        token_ids(docs)
-        .select("doc_id", F.col("token_id").alias("item"))
-        .distinct()
-        .persist()
+    ONE tokenize pass: the staged in-row token-id arrays are persisted and
+    feed BOTH the signature/band stage (narrow array exprs) and the verify
+    stage's exploded item sets (explode of array_distinct — already unique
+    per doc, so no distinct shuffle either). The corpus text is scanned
+    exactly once in the physical plan."""
+    staged = staged_token_ids(docs).persist()
+    ids = staged.select(
+        "doc_id", F.explode(F.array_distinct("_ids")).alias("item")
     )
-    pairs = candidate_pairs(docs)
+    pairs = _candidate_pairs_from_ids(staged)
     return _jaccard_verify(pairs, ids, threshold)
 
 
@@ -184,9 +198,11 @@ def ngram_jaccard_dedup(
 
     Trigram hashes are built inside the row (zip over the token-id array at
     offsets 0/1/2) — the pos+1 self-joins of the naive relational form are
-    gone; only the verify-stage intersection join shuffles."""
+    gone; only the verify-stage intersection join shuffles. ONE tokenize
+    pass: the staged id arrays feed both the gram explode and the LSH
+    candidate stage (persisted at the branch point)."""
     assert n == 3, "gram fold below is specialized for n=3"
-    staged = docs.select("doc_id", token_id_array("text").alias("_ids"))
+    staged = staged_token_ids(docs).persist()
     ids_arr = F.col("_ids")
     sz = F.size(ids_arr)
     grams_arr = F.array_distinct(
@@ -200,9 +216,6 @@ def ngram_jaccard_dedup(
             lambda ab, c: (ab * F.lit(1013) + c) % F.lit(P31),
         )
     )
-    grams = (
-        staged.select("doc_id", F.explode(grams_arr).alias("item"))
-        .persist()
-    )
-    pairs = candidate_pairs(docs)
+    grams = staged.select("doc_id", F.explode(grams_arr).alias("item"))
+    pairs = _candidate_pairs_from_ids(staged)
     return _jaccard_verify(pairs, grams, threshold)

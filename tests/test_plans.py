@@ -75,6 +75,25 @@ def test_kg_scoring_is_single_projection(spark):
     assert _n_exchanges(p) == 0, p[:2000]
 
 
+def test_dedup_verify_path_scans_corpus_once(spark):
+    """minhash_dedup / ngram_jaccard_dedup stage the token-id arrays at the
+    branch point: the text scan+tokenize runs ONCE (persisted InMemory
+    relation); signature and verify branches must not re-scan the parquet."""
+    from gliner_spark.operators.dedup import minhash_dedup, ngram_jaccard_dedup
+
+    docs = spark.read.parquet(DOCS)
+    for df in (minhash_dedup(docs), ngram_jaccard_dedup(docs)):
+        p = _plan(df)
+        # every InMemoryTableScan prints its cached child plan (incl. the
+        # FileScan it was built from); a FileScan NOT under a cache would
+        # make the counts diverge — i.e. a branch re-scanning the parquet
+        n_file = len(re.findall(r"FileScan parquet", p))
+        n_cached = len(re.findall(r"InMemoryRelation", p))
+        assert n_file == n_cached and n_cached >= 1, (
+            f"{n_file} FileScans vs {n_cached} cached relations\n" + p[:3000]
+        )
+
+
 def test_kmeans_training_samples_before_single_partition_exchange(spark):
     """The quantizer's single-partition exchange must carry only the modulo
     SAMPLE, never the full corpus: the pmod filter sits BELOW the exchange
