@@ -128,6 +128,49 @@ EVAL_SUITE = [
 ]
 
 
+SUITE_DOCS_DDL = (
+    "doc_id string, text string, "
+    "char_ner array<struct<start:int,end:int,text:string,label:string>>"
+)
+
+
+def synth_suite_docs(
+    spark, n_per_dataset: int, suite=EVAL_SUITE, partitions: int = 16
+) -> DataFrame:
+    """ONE generation job for the whole suite: spark.range(n * |suite|) ->
+    mapInPandas; row id maps to (dataset = id // n, doc index = id % n)
+    with the dataset's seed folded into the generator, so all five corpora
+    materialize in one scan instead of five independent subplans. doc_id is
+    dataset-prefixed ('<dataset>:doc-...') — downstream stages recover the
+    dataset with split_part and need no extra passthrough column through
+    the prediction UDF."""
+    from gliner_spark.sources.synth import assembled_text, gen_doc
+
+    names = [s[0] for s in suite]
+    seeds = [s[1] for s in suite]
+    n = n_per_dataset
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rid in b["id"]:
+                k, i = divmod(int(rid), n)
+                d = gen_doc(i, seed=seeds[k])
+                rows.append(
+                    {
+                        "doc_id": f"{names[k]}:{d['doc_id']}",
+                        "text": assembled_text(d["spans"]),
+                        "char_ner": d["gold_mentions"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "char_ner"])
+
+    rng = spark.range(n * len(suite))
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(fn, schema=SUITE_DOCS_DDL)
+
+
 def evaluate_ner_suite(
     spark, model: GlinerSparkModel, n_per_dataset: int, suite=EVAL_SUITE
 ) -> DataFrame:
@@ -135,43 +178,71 @@ def evaluate_ner_suite(
     (reference get_for_all_path, evaluate_ner.py:177-272: per-dataset F1,
     grouped into benchmark vs zero-shot, averaged per group).
 
-    The per-dataset evaluations are independent lazy subplans unioned into
-    ONE DataFrame — a single Spark job evaluates every dataset in parallel,
-    instead of the reference's sequential per-dataset loop."""
-    from functools import reduce
+    ONE shared pipeline: a single synth job generates all datasets (seed
+    folded into the generator), ONE prediction pass scores every doc, and
+    a grouped full-outer join computes all per-dataset counts — instead of
+    five independent synth+predict subplans. The zero-shot label subsets
+    are applied as post-filters on the predictions, which matches the
+    oracle's definition exactly (it filters the full mention set) and is
+    equivalent here because span scores are per-(span, label) independent
+    in the bi-encoder head."""
+    docs = synth_suite_docs(spark, n_per_dataset, suite)
+    # branch point: the prediction UDF and the gold explode both consume
+    # this frame — persist so synth + char->word conversion run once
+    eval_df = char_to_word_ner(docs).persist()
+    pred = predict_word_spans(eval_df, model, labels=None)
 
-    from gliner_spark.sources.synth import synth_docs
+    ds = F.split_part(F.col("doc_id"), F.lit(":"), F.lit(1))
+    # zero-shot datasets: restrict predictions to their label subset
+    drop = None
+    for name, _, _, labels in suite:
+        if labels is None:
+            continue
+        c = (ds == name) & ~F.col("label").isin(labels)
+        drop = c if drop is None else drop | c
+    if drop is not None:
+        pred = pred.filter(~drop)
 
-    per = []
-    for name, seed, grp, labels in suite:
-        docs = synth_docs(
-            spark, n_per_dataset, seed=seed, with_gold=True, partitions=8
+    gold = eval_df.select("doc_id", F.explode("ner").alias("g")).select(
+        "doc_id", "g.start", "g.end", "g.label"
+    )
+    keys = ["doc_id", "label", "start", "end"]
+    p = pred.select(*keys).distinct().withColumn("in_p", F.lit(1))
+    g = gold.select(*keys).distinct().withColumn("in_g", F.lit(1))
+    counts = (
+        p.join(g, keys, "full_outer")
+        .groupBy(ds.alias("dataset"))
+        .agg(
+            F.coalesce(F.sum("in_p"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.sum("in_g"), F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce(F.sum(F.col("in_p") * F.col("in_g")), F.lit(0))
+            .cast("long")
+            .alias("tp"),
         )
-        with_text = docs.select(
-            "doc_id",
-            F.array_join(
-                F.transform(
-                    F.filter("spans", lambda s: s.kind == "text"),
-                    lambda s: s.text,
-                ),
-                " ",
-            ).alias("text"),
-            F.col("gold_mentions").alias("char_ner"),
+    )
+    # materialize a row for every suite dataset even if it had zero spans,
+    # and attach the group label (tiny broadcast join)
+    meta = spark.createDataFrame(
+        [(name, grp) for name, _, grp, _ in suite], "dataset string, grp string"
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    # round per-dataset metrics BEFORE averaging, so the group macro
+    # average is a deterministic function of the displayed values
+    per_ds = (
+        F.broadcast(meta)
+        .join(counts, "dataset", "left")
+        .na.fill(0, ["n_pred", "n_gold", "tp"])
+        .select(
+            "dataset", "grp", "n_pred", "n_gold", "tp",
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
         )
-        res = evaluate_ner(char_to_word_ner(with_text), model, labels=labels)
-        # round per-dataset metrics BEFORE averaging, so the group macro
-        # average is a deterministic function of the displayed values
-        per.append(
-            res.select(
-                F.lit(name).alias("dataset"),
-                F.lit(grp).alias("grp"),
-                "n_pred", "n_gold", "tp",
-                F.round("precision", 6).alias("precision"),
-                F.round("recall", 6).alias("recall"),
-                F.round("f1", 6).alias("f1"),
-            )
-        )
-    per_ds = reduce(lambda a, b: a.unionByName(b), per)
+    )
     avgs = (
         per_ds.groupBy("grp")
         .agg(
