@@ -1,22 +1,30 @@
 """Benchmark harness (driver contract: ONE JSON line to stdout).
 
 Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]:
+local[$SPARK_GRAFT_CPUS].
 
-- kg_extract:  KG mention+triple extraction over the synthetic interleaved
-               corpus (10x documents rows) — the hot Arrow-UDF path
-- kg_e2e:      extraction + linking + canonicalization + triple rewrite
-- dedup/sim/ta/rel: representative operators from each family
+Variance discipline (round-3, VERDICT r2 task 4): this VM is co-tenant and
+identical plans have measured 2-10x apart minutes apart, so
+- queries run INTERLEAVED (q1..qN, repeated ROUNDS times) rather than
+  back-to-back, so a load spike hits all queries instead of one;
+- per query we report min (uncontended-wall estimate, the headline),
+  median, and the full per-round spread — a regression claim needs the
+  SPREADS to separate, not just the mins;
+- a pure-CPU spin probe runs before and after the query rounds and its
+  rate is reported next to the timings, so a slow run is attributable to
+  the box rather than the plan.
 
-Prints: {"metric": "e2e_wall_sec", "value": <sum of query secs>,
+Prints: {"metric": "e2e_wall_sec", "value": <sum of per-query min secs>,
          "unit": "sec", "queries": {...}, "sf": ..., "docs_per_sec": ...,
-         "triples_per_sec": ...}
+         "triples_per_sec": ..., "legacy8_value": ..., "spread": {...}}
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
+import statistics
 import sys
 import time
 
@@ -26,8 +34,11 @@ import __spark_entry__ as entry_mod
 from gliner_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 
-BENCH_QUERIES = [
+# the round-1/2 headline eight — kept as a named subset so `legacy8_value`
+# stays comparable across BENCH_r01/r02/r03
+LEGACY8 = [
     "kg_mentions",
     "kg_triples",
     "dd_minhash",
@@ -38,18 +49,42 @@ BENCH_QUERIES = [
     "rel_revenue_region",
 ]
 
-# round-2 operators, timed separately so `value` stays comparable to r1
-EXTRA_QUERIES = [
+# round-2 operators, promoted into the headline set (VERDICT r2 task 4)
+PROMOTED = [
     "kg_mentions_dense",
     "kg_relations_prompted",
     "kg_triples_scored",
     "kg_triples_spans",
     "sim_ivf_kmeans",
+    "sim_neardup",
     "kg_eval_suite",
 ]
 
+BENCH_QUERIES = LEGACY8 + PROMOTED
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def spin_probe(procs: int) -> float:
+    """Aggregate pure-CPU rate (iters/sec) across `procs` processes — the
+    same-run hardware ceiling context for the query timings."""
+    n = 3_000_000
+    with mp.Pool(procs) as p:
+        p.map(_spin, [1000] * procs)  # pool warmup
+        t0 = time.time()
+        p.map(_spin, [n] * procs)
+        return round(procs * n / (time.time() - t0), 0)
+
 
 def main():
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spin_before = spin_probe(cpus)
+
     spark = get_spark(app_name="gliner-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
@@ -58,25 +93,18 @@ def main():
     # measure steady-state throughput, not process spin-up
     qs["rel_q1"](spark, SF_DIR).count()
 
-    # best-of-2 per query: co-tenant load on this VM varies minute to
-    # minute (observed 10x swings on identical plans); min estimates the
-    # uncontended wall
-    timings = {}
+    samples = {name: [] for name in BENCH_QUERIES}
     counts = {}
-    for name in BENCH_QUERIES:
-        best = None
-        for _ in range(2):
+    for _ in range(ROUNDS):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             counts[name] = qs[name](spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples[name].append(round(time.time() - t0, 3))
 
-    extra = {}
-    for name in EXTRA_QUERIES:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        extra[name] = round(time.time() - t0, 3)
+    spin_after = spin_probe(cpus)
+
+    timings = {n: min(s) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 10
     docs_per_sec = round(n_docs / timings["kg_mentions"], 1)
@@ -92,7 +120,13 @@ def main():
         "docs_per_sec": docs_per_sec,
         "triples_per_sec": triples_per_sec,
         "counts": counts,
-        "extra_queries": extra,
+        "legacy8_value": round(sum(timings[n] for n in LEGACY8), 3),
+        "median": medians,
+        "spread": samples,
+        "rounds": ROUNDS,
+        "spin_probe_iters_per_sec": {
+            "before": spin_before, "after": spin_after, "procs": cpus,
+        },
     }
     spark.stop()
     print(json.dumps(out))

@@ -112,6 +112,29 @@ class DenseCheckpoint:
         )
 
 
+# per-python-worker parsed-checkpoint cache for the SparkFiles path
+_CKPT_CACHE: Dict[str, "DenseCheckpoint"] = {}
+
+
+def load_checkpoint_sparkfile(name: str) -> "DenseCheckpoint":
+    """Executor-side lazy npz load: resolve `name` via SparkFiles.get (the
+    file was shipped once per executor by ``sc.addFile``) and cache the
+    parsed checkpoint per python worker process.
+
+    This is the production weight path for a real exported GLiNER
+    checkpoint (reference model.py:639-691 from_pretrained): a broadcast
+    re-pickles the arrays into the broadcast block store per session, while
+    addFile ships the npz bytes to each executor's work dir exactly once
+    and every worker process parses it locally on first use."""
+    ck = _CKPT_CACHE.get(name)
+    if ck is None:
+        from pyspark import SparkFiles
+
+        ck = DenseCheckpoint.load_npz(SparkFiles.get(name))
+        _CKPT_CACHE[name] = ck
+    return ck
+
+
 def _dyadic(rng: np.random.Generator, shape) -> np.ndarray:
     """int8-quantized weights k/256 — every value exactly representable."""
     return rng.integers(-128, 128, size=shape).astype(np.float64) / 256.0

@@ -214,17 +214,35 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     span_rep.py:464-511 + base.py:474). Emits the scored span grid — the
     decode stage is shared with the gather path and gated separately.
 
-    The checkpoint (a real npz export in production) ships via explicit
-    ``sc.broadcast``: once per executor, not per task. One mapInPandas,
-    zero shuffle, (doc_id, spans)-pruned scan — same plan shape as
-    extract_graph.
+    ckpt is either a DenseCheckpoint (ships via explicit ``sc.broadcast``:
+    once per executor, not per task) or a PATH to an .npz checkpoint file,
+    which ships via ``sc.addFile`` and is lazy-loaded + cached per executor
+    python worker (core/dense.load_checkpoint_sparkfile) — the seam a real
+    exported GLiNER weight file drops into without re-pickling the arrays
+    through the broadcast block store. One mapInPandas, zero shuffle,
+    (doc_id, spans)-pruned scan — same plan shape as extract_graph.
     """
-    from gliner_spark.core.dense import predict_spans_dense
+    import os as _os
 
-    bc = docs.sparkSession.sparkContext.broadcast(ckpt)
+    from gliner_spark.core.dense import (
+        load_checkpoint_sparkfile,
+        predict_spans_dense,
+    )
+
+    if isinstance(ckpt, (str, _os.PathLike)):
+        docs.sparkSession.sparkContext.addFile(str(ckpt))
+        name = _os.path.basename(str(ckpt))
+
+        def get_ckpt():
+            return load_checkpoint_sparkfile(name)
+    else:
+        bc = docs.sparkSession.sparkContext.broadcast(ckpt)
+
+        def get_ckpt():
+            return bc.value
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = bc.value
+        w = get_ckpt()
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):

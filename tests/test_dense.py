@@ -88,6 +88,28 @@ def test_spark_dense_matches_single_process(spark):
         assert got[k] == v, k  # bit-exact float64 through Arrow
 
 
+def test_sparkfile_weight_loading_matches_broadcast(spark, tmp_path):
+    """Executor-side npz loading: ship the checkpoint FILE via sc.addFile
+    and lazy-load it in the workers (core/dense.load_checkpoint_sparkfile)
+    — rows must be bit-identical to the broadcast path. This is the seam a
+    real exported GLiNER weight file drops into (reference
+    model.py:639-691)."""
+    from gliner_spark.operators.extraction import extract_spans_dense
+    from gliner_spark.sources.synth import synth_docs
+
+    ck = _ckpt()
+    path = str(tmp_path / "ckpt_sparkfile_test.npz")
+    ck.save_npz(path)
+    docs = synth_docs(spark, 120, partitions=6)
+    via_file = sorted(
+        map(tuple, extract_spans_dense(docs, path).collect())
+    )
+    via_bc = sorted(
+        map(tuple, extract_spans_dense(docs, ck).collect())
+    )
+    assert via_file == via_bc and len(via_file) > 0
+
+
 def test_arrow_mentions_path_matches_pandas_path(spark):
     from gliner_spark.operators.extraction import (
         extract_mentions_arrow,
