@@ -157,16 +157,21 @@ def _assign_struct(q_col, cents, nprobe: int = 1):
 
 def training_sample(qz: DataFrame, s: int) -> DataFrame:
     """Deterministic modulo sample for quantizer training: every s-th
-    vec_id. The pmod filter is a narrow map-side predicate evaluated in
-    PARALLEL across the corpus partitions; only the quantizer-sized sample
-    then flows through the single-partition exchange (repartition(1) — an
-    Exchange over ~KM_SAMPLE_TARGET rows, never the full corpus). Never use
-    coalesce(1) here: coalesce collapses the UPSTREAM scan+filter into one
-    task, which is exactly the full-corpus-in-one-task shape this avoids."""
+    vec_id. A pure narrow filter+projection — the pmod predicate is
+    evaluated map-side in PARALLEL across the corpus partitions, with NO
+    exchange anywhere (never a coalesce(1), which would collapse the
+    upstream scan into one task — the full-corpus-in-one-task shape this
+    exists to avoid)."""
     samp = qz.select("vec_id", "q")
     if s > 1:
         samp = samp.filter(F.pmod(F.col("vec_id"), F.lit(s)) == 0)
-    return samp.repartition(1)
+    return samp
+
+
+def _imean_round(s: int, n: int) -> int:
+    """Round-half-away-from-zero integer mean — the same pure-bigint
+    arithmetic as _centroid_update_exprs / the DuckDB `//` form."""
+    return (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
 
 
 def train_kmeans_cells(
@@ -182,40 +187,43 @@ def train_kmeans_cells(
     Returns [(cell, centroid_ints)].
 
     Scale shape: training cost is FIXED (~sample_target rows) regardless of
-    corpus size — the count() is a column-pruned metadata-cheap job, the
-    modulo filter is narrow and parallel, and only the sample crosses the
-    single-partition exchange. The learned centroids then ship inside
-    closures as literals; assignment of the full corpus is a narrow
-    projection. The SQL oracle takes the identical sample (same s formula),
-    so the gate stays bit-exact."""
+    corpus size — the count() is a column-pruned metadata-cheap job and the
+    modulo filter is narrow and parallel. Because the sample is
+    quantizer-sized BY CONSTRUCTION, the Lloyd iterations run driver-side
+    in exact int64 numpy (identical round-half-away-from-zero arithmetic):
+    TWO Spark jobs total (count + bounded collect) instead of two
+    jobs per iteration. The learned centroids then ship inside closures as
+    literals; assignment of the full corpus is a narrow projection. The
+    SQL oracle takes the identical sample and replays the identical
+    integer updates relationally, so the gate stays bit-exact."""
+    import numpy as np
+
     n = qz.count()
     s = max(1, (n + sample_target - 1) // sample_target)
-    samp = training_sample(qz, s).persist()
-    dim = len(samp.select("q").first().q)
-    cents = sorted(
-        (int(r.vec_id), [int(x) for x in r.q])
-        for r in samp.filter(F.col("vec_id") < k * s).collect()
-    )  # sorted: collect() order is partitioning-dependent
+    rows = training_sample(qz, s).collect()  # bounded: ~sample_target rows
+    rows.sort(key=lambda r: r.vec_id)  # collect order is partition-dependent
+    vids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([r.q for r in rows], dtype=np.int64)  # (m, D)
+    init = vids < k * s
+    cents = [(int(v), [int(x) for x in q]) for v, q in zip(vids[init], X[init])]
     for _ in range(iters):
-        assigned = samp.select(
-            "q", _assign_struct(F.col("q"), cents)[0]["cell"].alias("cell")
-        )
-        sums = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("q", d + 1)).alias(f"s_{d}")
-                for d in range(dim)
-            ],
-        )
-        new = {
-            int(r.cell): [int(x) for x in r.c]
-            for r in sums.select(
-                "cell", F.array(*_centroid_update_exprs(dim)).alias("c")
-            ).collect()
-        }
+        C = np.array([c for _, c in cents], dtype=np.int64)  # (k, D)
+        # exact integer distances; argmin tie-breaks to the FIRST minimum,
+        # and cents is sorted by cell id — same (d2, cell) ordering as the
+        # relational form. max d2 = D * (2*QUANT)^2 ~ 2.6e10, safe in int64.
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (m, k)
+        a = d2.argmin(axis=1)
+        new = {}
+        for ci in range(len(cents)):
+            mask = a == ci
+            m = int(mask.sum())
+            if m:
+                sums = X[mask].sum(axis=0)
+                new[cents[ci][0]] = [
+                    _imean_round(int(sv), m) for sv in sums
+                ]
         # empty cells keep their previous centroid
         cents = [(cell, new.get(cell, vec)) for cell, vec in cents]
-    samp.unpersist()
     return cents
 
 

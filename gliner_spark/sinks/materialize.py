@@ -17,10 +17,16 @@ checkpoint with per-partition lineage + metrics"):
   table each run (same contract as an Iceberg snapshot rebuild of derived
   tables).
 
-On a real cluster the same layout maps 1:1 onto Iceberg: partitioned table
-writes become snapshot commits and the lineage table keys snapshot ids; use
-``format="iceberg"`` with a configured catalog. This module keeps plain
-parquet as the format so the sandbox run is self-contained.
+On a real cluster the same layout maps 1:1 onto Iceberg via the ``fmt``
+flag (TableIO below): partitioned table writes become snapshot commits
+(``writeTo(ident).overwritePartitions()``), the parquet pre-delete step
+disappears (Iceberg's dynamic overwrite is transactional and removes
+vanished partitions), and every lineage row carries the commit's
+``snapshot_id`` read from the table's ``.snapshots`` metadata. The sandbox
+has no Iceberg runtime jar, so ``fmt="parquet"`` (default) is the
+self-contained path; ``fmt="iceberg"`` is exercised on a cluster by
+setting the catalog configs in session.cluster_conf and passing the
+catalog.namespace prefix as ``base`` (exact calls in SCALE.md).
 """
 
 from __future__ import annotations
@@ -45,24 +51,95 @@ from gliner_spark.operators.linking import canonicalize, rewrite_triples
 LINEAGE_SCHEMA = (
     "bucket int, run_id string, status string, doc_id_min string, "
     "doc_id_max string, n_docs long, n_mentions long, "
-    "n_triples long, wall_ms long, ts double"
+    "n_triples long, wall_ms long, ts double, snapshot_id string"
 )
+
+
+class TableIO:
+    """Format seam between the sandbox (parquet directories under `base`)
+    and a cluster (Iceberg tables under a `catalog.namespace` prefix).
+
+    fmt="parquet": read/write paths; dynamic partition overwrite +
+      explicit pre-delete of re-run partitions; snapshot_id is null.
+    fmt="iceberg": identifiers are f"{base}.{table}"; overwrite-partitions
+      is ``df.writeTo(ident).overwritePartitions()`` (transactional —
+      also removes partitions absent from the new data, so no pre-delete),
+      append is ``df.writeTo(ident).append()``, and snapshot_id() reads
+      the latest commit from ``{ident}.snapshots`` for the lineage row.
+    """
+
+    def __init__(self, spark: SparkSession, base: str, fmt: str = "parquet"):
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported format: {fmt!r}")
+        self.spark, self.base, self.fmt = spark, base, fmt
+
+    def _ident(self, table: str) -> str:
+        return f"{self.base}.{table}"
+
+    def read(self, table: str, schema: Optional[str] = None) -> Optional[DataFrame]:
+        try:
+            if self.fmt == "parquet":
+                r = self.spark.read
+                if schema:
+                    r = r.schema(schema)
+                return r.parquet(os.path.join(self.base, table))
+            return self.spark.read.table(self._ident(table))
+        except Exception:
+            return None
+
+    def overwrite_partitions(self, df: DataFrame, table: str, part_col: str) -> None:
+        if self.fmt == "parquet":
+            df.write.mode("overwrite").partitionBy(part_col).parquet(
+                os.path.join(self.base, table)
+            )
+            return
+        ident = self._ident(table)
+        if not self.spark.catalog.tableExists(ident):
+            df.writeTo(ident).using("iceberg").partitionedBy(part_col).create()
+        else:
+            df.writeTo(ident).overwritePartitions()
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        if self.fmt == "parquet":
+            df.write.mode("overwrite").parquet(os.path.join(self.base, table))
+        else:
+            df.writeTo(self._ident(table)).using("iceberg").createOrReplace()
+
+    def append(self, df: DataFrame, table: str) -> None:
+        if self.fmt == "parquet":
+            df.write.mode("append").parquet(os.path.join(self.base, table))
+            return
+        ident = self._ident(table)
+        if not self.spark.catalog.tableExists(ident):
+            df.writeTo(ident).using("iceberg").create()
+        else:
+            df.writeTo(ident).append()
+
+    def snapshot_id(self, table: str) -> Optional[str]:
+        """Latest Iceberg commit id of `table` (None for parquet) — keys
+        the lineage row to the exact snapshot the bucket committed in, so
+        resume-from-checkpoint can pin reads with VERSION AS OF."""
+        if self.fmt == "parquet":
+            return None
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._ident(table)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return str(row.snapshot_id) if row else None
 
 
 def with_bucket(docs: DataFrame, buckets: int) -> DataFrame:
     return docs.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
 
 
-def read_lineage(spark: SparkSession, base: str) -> Optional[DataFrame]:
-    path = os.path.join(base, "lineage")
-    try:
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
-    except Exception:
-        return None
+def read_lineage(
+    spark: SparkSession, base: str, fmt: str = "parquet"
+) -> Optional[DataFrame]:
+    return TableIO(spark, base, fmt).read("lineage", schema=LINEAGE_SCHEMA)
 
 
-def done_buckets(spark: SparkSession, base: str) -> List[int]:
-    lin = read_lineage(spark, base)
+def done_buckets(spark: SparkSession, base: str, fmt: str = "parquet") -> List[int]:
+    lin = read_lineage(spark, base, fmt)
     if lin is None:
         return []
     return [

@@ -94,23 +94,20 @@ def test_dedup_verify_path_scans_corpus_once(spark):
         )
 
 
-def test_kmeans_training_samples_before_single_partition_exchange(spark):
-    """The quantizer's single-partition exchange must carry only the modulo
-    SAMPLE, never the full corpus: the pmod filter sits BELOW the exchange
-    (evaluated map-side in parallel), and the exchange is a shuffle
-    repartition — not a coalesce that would drag the full scan into one
-    task (the round-2 scale-killer, VERDICT r2 'what's wrong' #1)."""
+def test_kmeans_training_sample_is_fully_narrow(spark):
+    """The quantizer training input must never concentrate the full corpus
+    in one task (the round-2 scale-killer, VERDICT r2 'what's wrong' #1):
+    the modulo sample is a pure narrow filter+projection — NO exchange, NO
+    coalesce anywhere in its plan; the bounded collect is the only
+    driver-side step, and Lloyd runs on the quantizer-sized sample."""
     from gliner_spark.operators.similarity import _quantized, training_sample
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     samp = training_sample(_quantized(emb), s=4)
     p = _plan(samp)
     assert "Coalesce" not in p, p[:2000]
-    ex = p.index("Exchange SinglePartition")
-    flt = p.index("pmod")
-    # toString prints parents first: the filter must appear BELOW (after)
-    # the exchange line, i.e. inside its child subtree
-    assert flt > ex, p[:2000]
+    assert _n_exchanges(p) == 0, p[:2000]
+    assert "pmod" in p, p[:2000]
 
 
 def test_filter_pushdown_reaches_parquet(spark):
