@@ -125,34 +125,25 @@ NPROBE = 2
 KM_SAMPLE_TARGET = 128  # quantizer training-sample size (~16 vecs/cell)
 
 
-def _centroid_update_exprs(dim: int):
-    """Integer-rounded mean per dimension: round-half-away-from-zero in pure
-    bigint arithmetic (DIV) — exact and engine-identical, so the SQL oracle
-    reproduces the Lloyd update bit-for-bit (no IEEE division anywhere)."""
-    return [
-        F.expr(
-            f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + n) DIV (2*n) "
-            f"ELSE -((2*(-s_{d}) + n) DIV (2*n)) END"
-        ).cast("long")
-        for d in range(dim)
-    ]
-
-
-def _assign_struct(q_col, cents, nprobe: int = 1):
+def _assign_struct(q_col, cents, nprobe: int = 1, q_name: str = "q"):
     """Array of the `nprobe` nearest (d2, cell) structs to broadcast-literal
-    centroids — a pure narrow expression, no join, no shuffle."""
+    centroids — a pure narrow expression, no join, no shuffle.
+
+    Built as ONE F.expr SQL string: the python-DSL form issues a py4j call
+    per literal (k cells x D dims = thousands), which measured ~8s of pure
+    DRIVER time per construction at D=64 — the actual round-2 wall of
+    sim_ivf_kmeans. String construction + one parse is milliseconds."""
     structs = []
     for cell, vec in cents:
-        carr = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-        d2 = F.aggregate(
-            F.zip_with(q_col, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{int(v)}L" for v in vec)
+        d2 = (
+            f"aggregate(zip_with({q_name}, array({arr}), "
+            "(a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
-        structs.append(
-            F.struct(d2.alias("d2"), F.lit(int(cell)).alias("cell"))
-        )
-    return F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+        structs.append(f"named_struct('d2', {d2}, 'cell', {int(cell)})")
+    return F.expr(
+        f"slice(array_sort(array({', '.join(structs)})), 1, {int(nprobe)})"
+    )
 
 
 def training_sample(qz: DataFrame, s: int) -> DataFrame:
@@ -169,8 +160,9 @@ def training_sample(qz: DataFrame, s: int) -> DataFrame:
 
 
 def _imean_round(s: int, n: int) -> int:
-    """Round-half-away-from-zero integer mean — the same pure-bigint
-    arithmetic as _centroid_update_exprs / the DuckDB `//` form."""
+    """Round-half-away-from-zero integer mean in pure bigint arithmetic —
+    exact and engine-identical to the oracle's DuckDB form
+    (CASE WHEN s >= 0 THEN (2s+n)//(2n) ELSE -((2(-s)+n)//(2n)) END)."""
     return (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
 
 
@@ -302,29 +294,29 @@ def hyperplane_component(p: int, d: int, dim: int) -> int:
 
 
 def _hp_band_keys(q_col, dim: int, planes: int = HP_PLANES,
-                  bands: int = HP_BANDS) -> list:
+                  bands: int = HP_BANDS, q_name: str = "q") -> list:
     """hk_0..hk_{B-1} band keys: sign bit of q . hyperplane_p, packed
     HP_ROWS bits per band. A pure narrow projection — the corpus goes from
-    scan to signatures with zero shuffle (the minhash-signature shape)."""
+    scan to signatures with zero shuffle (the minhash-signature shape).
+
+    Built as ONE F.expr SQL string per band: the python-DSL form issues a
+    py4j call per literal (planes x dims = 1536 here), which is seconds of
+    pure driver time (see _assign_struct)."""
     rows = planes // bands
-    bits = []
-    for p in range(planes):
-        h = F.array(
-            *[F.lit(hyperplane_component(p, d, dim)).cast("long")
-              for d in range(dim)]
-        )
-        dot = F.aggregate(
-            F.zip_with(q_col, h, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
     keys = []
     for b in range(bands):
-        key = F.lit(0).cast("long")
+        terms = []
         for j in range(rows):
-            key = key + bits[b * rows + j] * F.lit(1 << j)
-        keys.append(key)
+            p = b * rows + j
+            arr = ", ".join(
+                f"{hyperplane_component(p, d, dim)}L" for d in range(dim)
+            )
+            dot = (
+                f"aggregate(zip_with({q_name}, array({arr}), (a, b) -> a*b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j}L ELSE 0L END)")
+        keys.append(F.expr(" + ".join(terms)))
     return keys
 
 
