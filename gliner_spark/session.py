@@ -48,6 +48,8 @@ def cluster_conf(
     executor_cores: int = 4,
     shuffle_partitions: int | None = None,
     checkpoint_dir: str = "hdfs:///tmp/gliner_spark/checkpoints",
+    iceberg_catalog: str | None = None,
+    iceberg_catalog_type: str = "glue",
 ) -> dict:
     """The multi-executor profile for `spark-submit --conf` (SCALE.md): the
     knobs that differ from local mode on a 100 TB / N-executor run. Returned
@@ -62,7 +64,22 @@ def cluster_conf(
     localCheckpoint (PipelineConfig.cc_reliable_checkpoint=True +
     cc_checkpoint_dir=checkpoint_dir)."""
     total_cores = executors * executor_cores
+    iceberg = {}
+    if iceberg_catalog:
+        # the catalog configs that activate sinks/materialize.TableIO's
+        # fmt="iceberg" branch (exact writer calls in SCALE.md)
+        iceberg = {
+            "spark.sql.extensions": (
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions"
+            ),
+            f"spark.sql.catalog.{iceberg_catalog}": (
+                "org.apache.iceberg.spark.SparkCatalog"
+            ),
+            f"spark.sql.catalog.{iceberg_catalog}.type": iceberg_catalog_type,
+        }
     return {
+        **iceberg,
         "spark.executor.instances": str(executors),
         "spark.executor.cores": str(executor_cores),
         "spark.sql.shuffle.partitions": str(

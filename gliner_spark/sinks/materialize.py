@@ -74,7 +74,9 @@ class TableIO:
         self.spark, self.base, self.fmt = spark, base, fmt
 
     def _ident(self, table: str) -> str:
-        return f"{self.base}.{table}"
+        # nested staging layouts ("stream/mentions") flatten to legal
+        # identifiers ("stream_mentions") under a catalog namespace
+        return f"{self.base}.{table.replace('/', '_')}"
 
     def read(self, table: str, schema: Optional[str] = None) -> Optional[DataFrame]:
         try:
@@ -174,13 +176,17 @@ def run_extraction(
     run_id: Optional[str] = None,
     bucket_limit: Optional[int] = None,
     labels=None,
+    fmt: str = "parquet",
 ) -> dict:
     """Resumable extraction: process only buckets with no 'done' lineage row.
 
     bucket_limit processes at most N pending buckets (used by the kill/rerun
     test to simulate a mid-run crash between bucket commits).
     labels restricts extraction to a label subset (zero-shot selection).
+    fmt selects the sink format (TableIO): "parquet" (sandbox default) or
+    "iceberg" (cluster profile — `base` becomes a catalog.namespace).
     """
+    io = TableIO(spark, base, fmt)
     cfg = model.config
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -192,7 +198,7 @@ def run_extraction(
             calibrate_arrow_batch(docs, cfg.arrow_target_mb),
         )
 
-    done = set(done_buckets(spark, base))
+    done = set(done_buckets(spark, base, fmt))
     docs_b = with_bucket(docs, cfg.lineage_buckets)
     pending = sorted(set(range(cfg.lineage_buckets)) - done)
     if bucket_limit is not None:
@@ -220,20 +226,16 @@ def run_extraction(
     t_b = with_bucket(triples, cfg.lineage_buckets)
     fp = graph.select("doc_id", "span_fp", "bucket")
 
-    # pre-delete pending partitions: dynamic overwrite cannot remove a
-    # partition absent from the new data (zero-row re-run bucket)
-    for tbl in ("mentions", "triples_raw", "span_fp"):
-        _clear_bucket_partitions(base, tbl, pending)
+    # pre-delete pending partitions: parquet dynamic overwrite cannot
+    # remove a partition absent from the new data (zero-row re-run bucket);
+    # Iceberg's overwritePartitions is transactional and handles this
+    if fmt == "parquet":
+        for tbl in ("mentions", "triples_raw", "span_fp"):
+            _clear_bucket_partitions(base, tbl, pending)
 
-    m_b.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(base, "mentions")
-    )
-    t_b.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(base, "triples_raw")
-    )
-    fp.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(base, "span_fp")
-    )
+    io.overwrite_partitions(m_b, "mentions", "bucket")
+    io.overwrite_partitions(t_b, "triples_raw", "bucket")
+    io.overwrite_partitions(fp, "span_fp", "bucket")
     wall_ms = int((time.time() - t0) * 1000)
 
     # lineage appended only after data committed — one row per ATTEMPTED
@@ -241,15 +243,9 @@ def run_extraction(
     # Counts come from the tables just WRITTEN (cheap columnar re-read),
     # never from the input DataFrame: re-traversing `todo` would re-run the
     # whole upstream (scan/synthesis) once per aggregate.
-    fp_written = spark.read.parquet(os.path.join(base, "span_fp")).filter(
-        F.col("bucket").isin(pending)
-    )
-    m_written = spark.read.parquet(os.path.join(base, "mentions")).filter(
-        F.col("bucket").isin(pending)
-    )
-    t_written = spark.read.parquet(os.path.join(base, "triples_raw")).filter(
-        F.col("bucket").isin(pending)
-    )
+    fp_written = io.read("span_fp").filter(F.col("bucket").isin(pending))
+    m_written = io.read("mentions").filter(F.col("bucket").isin(pending))
+    t_written = io.read("triples_raw").filter(F.col("bucket").isin(pending))
     stats = (
         spark.createDataFrame([(int(b),) for b in pending], "bucket int")
         .join(
@@ -283,23 +279,24 @@ def run_extraction(
             F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
             F.lit(wall_ms).alias("wall_ms"),
             F.lit(time.time()).alias("ts"),
+            # Iceberg: the mentions table's commit for this bucket batch,
+            # so resume/audit can pin reads with VERSION AS OF; null under
+            # plain parquet (no snapshot concept)
+            F.lit(io.snapshot_id("mentions")).cast("string").alias("snapshot_id"),
         )
     )
-    stats.write.mode("append").parquet(os.path.join(base, "lineage"))
+    io.append(stats, "lineage")
     n_docs = fp_written.count()
     graph.unpersist()
     return {"run_id": run_id, "buckets": len(pending), "n_docs": n_docs, "wall_ms": wall_ms}
 
 
-def _read_optional(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
-
-
 def finalize_graph(
-    spark: SparkSession, base: str, cfg: PipelineConfig, run_id: str = ""
+    spark: SparkSession,
+    base: str,
+    cfg: PipelineConfig,
+    run_id: str = "",
+    fmt: str = "parquet",
 ) -> dict:
     """Canonicalize entities over the full mentions table and rewrite triples
     onto canonical ids; write entities/triples/metrics.
@@ -311,14 +308,15 @@ def finalize_graph(
     — batch supersedes stream, so mixed streaming+batch ingestion never
     double-counts and a batch overwrite can never delete streamed data
     (separate staging layout; the round-1 mixed-mode loss bug)."""
+    io = TableIO(spark, base, fmt)
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
-    mentions = _read_optional(spark, os.path.join(base, "mentions"))
-    triples_raw = _read_optional(spark, os.path.join(base, "triples_raw"))
-    sm = _read_optional(spark, os.path.join(base, "stream", "mentions"))
-    st = _read_optional(spark, os.path.join(base, "stream", "triples_raw"))
+    mentions = io.read("mentions")
+    triples_raw = io.read("triples_raw")
+    sm = io.read("stream/mentions")
+    st = io.read("stream/triples_raw")
     if sm is not None:
-        fp = _read_optional(spark, os.path.join(base, "span_fp"))
+        fp = io.read("span_fp")
         if fp is not None:
             batch_docs = fp.select("doc_id")
             sm = sm.join(batch_docs, "doc_id", "left_anti")
@@ -347,20 +345,22 @@ def finalize_graph(
         )
     entities, surface_map = canonicalize(mentions, cfg)
     triples = rewrite_triples(triples_raw, surface_map)
-    entities.write.mode("overwrite").parquet(os.path.join(base, "entities"))
-    triples.write.mode("overwrite").parquet(os.path.join(base, "triples"))
+    io.overwrite(entities, "entities")
+    io.overwrite(triples, "triples")
     wall_ms = int((time.time() - t0) * 1000)
-    n_e = spark.read.parquet(os.path.join(base, "entities")).count()
-    n_t = spark.read.parquet(os.path.join(base, "triples")).count()
+    n_e = io.read("entities").count()
+    n_t = io.read("triples").count()
+    snap = io.snapshot_id("triples")
     metrics = spark.createDataFrame(
         [
-            (run_id, "finalize", "entities", float(n_e), time.time()),
-            (run_id, "finalize", "triples", float(n_t), time.time()),
-            (run_id, "finalize", "wall_ms", float(wall_ms), time.time()),
+            (run_id, "finalize", "entities", float(n_e), time.time(), snap),
+            (run_id, "finalize", "triples", float(n_t), time.time(), snap),
+            (run_id, "finalize", "wall_ms", float(wall_ms), time.time(), snap),
         ],
-        "run_id string, stage string, metric string, value double, ts double",
+        "run_id string, stage string, metric string, value double, "
+        "ts double, snapshot_id string",
     )
-    metrics.write.mode("append").parquet(os.path.join(base, "metrics"))
+    io.append(metrics, "metrics")
     return {"entities": n_e, "triples": n_t, "wall_ms": wall_ms}
 
 
@@ -371,10 +371,12 @@ def run_pipeline(
     base: str,
     bucket_limit: Optional[int] = None,
     labels=None,
+    fmt: str = "parquet",
 ) -> dict:
     """End-to-end: resumable extraction + global finalize."""
     ext = run_extraction(
-        spark, docs, model, base, bucket_limit=bucket_limit, labels=labels
+        spark, docs, model, base,
+        bucket_limit=bucket_limit, labels=labels, fmt=fmt,
     )
-    fin = finalize_graph(spark, base, model.config, run_id=ext["run_id"])
+    fin = finalize_graph(spark, base, model.config, run_id=ext["run_id"], fmt=fmt)
     return {**ext, **fin}

@@ -168,3 +168,32 @@ def test_resume_no_loss_no_duplicates(spark, model):
     finally:
         shutil.rmtree(base_crash, ignore_errors=True)
         shutil.rmtree(base_clean, ignore_errors=True)
+
+
+def test_format_seam_parquet_flag_and_lineage_snapshot_column(spark, model):
+    """The TableIO format seam (sinks/materialize): fmt='parquet' is the
+    sandbox path and must behave identically to the default; the lineage
+    and metrics tables carry the snapshot_id column (null under parquet,
+    the Iceberg commit id on a cluster). fmt='iceberg' only flips writer
+    calls (documented in SCALE.md) and rejects unknown formats."""
+    import pytest
+
+    from gliner_spark.sinks.materialize import TableIO, read_lineage
+
+    docs = synth_docs(spark, 80, partitions=4)
+    base = tempfile.mkdtemp(prefix="gs_fmt_")
+    try:
+        out = run_pipeline(spark, docs, model, base, fmt="parquet")
+        assert out["triples"] > 0
+        lin = read_lineage(spark, base, fmt="parquet")
+        assert "snapshot_id" in lin.columns
+        assert lin.filter(F.col("snapshot_id").isNotNull()).count() == 0
+        met = spark.read.parquet(f"{base}/metrics")
+        assert "snapshot_id" in met.columns
+        with pytest.raises(ValueError):
+            TableIO(spark, base, "csv")
+        # iceberg identifiers flatten staging paths to legal table names
+        io = TableIO(spark, "cat.kg", "iceberg")
+        assert io._ident("stream/mentions") == "cat.kg.stream_mentions"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
