@@ -219,20 +219,45 @@ def train_kmeans_cells(
     return cents
 
 
+def save_cells(cents: list, path: str) -> None:
+    """Persist a trained coarse quantizer (k x D ints — a few KB of JSON).
+    The IVF index lifecycle at scale is build-once / probe-many: training
+    reads the corpus once, every later query job loads the centroids from
+    the index file and goes straight to assignment+probe (zero training
+    jobs)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"cells": [[int(c), [int(x) for x in v]] for c, v in cents]}, f)
+
+
+def load_cells(path: str) -> list:
+    import json
+
+    with open(path) as f:
+        return [(int(c), [int(x) for x in v]) for c, v in json.load(f)["cells"]]
+
+
 def kmeans_ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
     n_cells: int = K_CELLS,
     nprobe: int = NPROBE,
+    cells: list | None = None,
 ) -> DataFrame:
     """IVF with a LEARNED coarse quantizer: deterministic k-means centroids,
     corpus bucketed by nearest cell, queries probe their `nprobe` nearest
     cells. The 100 TB ANN path: candidate set pruned ~(n_cells/nprobe)x,
     assignment narrow, the only shuffles are the per-cell equi-join and the
-    top-k window."""
+    top-k window.
+
+    cells: a prebuilt quantizer (save_cells/load_cells) — skips training
+    entirely (the build-once / probe-many index shape)."""
     qz = _quantized(emb)
-    cents = train_kmeans_cells(qz, k=n_cells)
+    cents = cells if cells is not None else train_kmeans_cells(qz, k=n_cells)
 
     corpus = qz.select(
         "vec_id",

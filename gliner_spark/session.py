@@ -93,6 +93,11 @@ def cluster_conf(
         "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
         "spark.speculation": "true",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # materialization I/O: zstd halves graph-table bytes vs snappy at
+        # similar CPU; larger row groups favor the columnar re-reads
+        # (lineage counts, finalize) over random access
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.hadoop.parquet.block.size": str(256 * 1024 * 1024),
         "spark.checkpoint.dir": checkpoint_dir,
         # large-broadcast hygiene for real encoder weights
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

@@ -43,6 +43,22 @@ def test_kmeans_ivf_recall_beats_chance(spark):
     assert recall >= 0.5, recall
 
 
+def test_ivf_index_persistence_round_trip(spark, tmp_path):
+    """Build-once / probe-many: centroids persist to a tiny JSON index and
+    a prebuilt-quantizer query run returns identical rows with zero
+    training jobs."""
+    from gliner_spark.operators.similarity import load_cells, save_cells
+
+    emb = _emb(spark)
+    cents = train_kmeans_cells(_quantized(emb))
+    path = str(tmp_path / "ivf_index.json")
+    save_cells(cents, path)
+    assert load_cells(path) == cents
+    a = kmeans_ivf_topk(emb, n_queries=5, k=5).collect()
+    b = kmeans_ivf_topk(emb, n_queries=5, k=5, cells=load_cells(path)).collect()
+    assert a == b
+
+
 def test_neardup_finds_all_identical_vectors(spark):
     """Identical vectors produce identical sign bits, so they collide in
     EVERY band: recall of exact duplicates is 1.0 by construction — the
