@@ -124,6 +124,33 @@ def q_kg_triples(spark, sf_dir):
     return df.withColumn("score", F.round("score", 6))
 
 
+def q_kg_degree(spark, sf_dir):
+    """Entity degree profile over the canonical graph (out/in edge counts,
+    distinct predicates) — the first consumption query on a materialized
+    KG; two map-side-combined aggregates, no self-join."""
+    from gliner_spark.operators.graph_analytics import entity_degrees
+
+    return entity_degrees(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_two_hop(spark, sf_dir):
+    """2-hop path counts src->mid->dst over the distinct edge set, with a
+    deterministic mid-node fan-out cap (hub-skew guard: bounds the join
+    output by |E| x cap)."""
+    from gliner_spark.operators.graph_analytics import two_hop_paths
+
+    return two_hop_paths(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-round integer PageRank in bigint micro-units — contributions
+    are rank DIV out_deg, so per-node sums are order-independent and the
+    result is bit-identical under any partitioning (and in the oracle)."""
+    from gliner_spark.operators.graph_analytics import pagerank
+
+    return pagerank(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_span_f1(spark, sf_dir):
     """Span micro-F1 of the pipeline vs planted gold (evaluator operator)."""
     from gliner_spark.operators.evaluation import span_prf
@@ -779,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_raw": q_kg_triples_raw,
         "kg_entities": q_kg_entities,
         "kg_triples": q_kg_triples,
+        "kg_degree": q_kg_degree,
+        "kg_two_hop": q_kg_two_hop,
+        "kg_pagerank": q_kg_pagerank,
         "kg_span_f1": q_kg_span_f1,
         "kg_mentions_zeroshot": q_kg_mentions_zeroshot,
         "kg_eval_ner": q_kg_eval_ner,
@@ -1595,10 +1625,12 @@ ORDER BY entity_id
 """
 
 
-def _kg_triples_canonical_oracle() -> str:
-    snap = _kg_snapshot()
-    return f"""
-WITH RECURSIVE {_kg_mentions_sql_base(snap)},
+def _kg_canonical_triples_cte(snap: str) -> str:
+    """WITH-body (requires WITH RECURSIVE) ending in `ktriples` — the full
+    canonical-triple pipeline re-derived in SQL: mentions -> linking/CC ->
+    raw triples -> entity-id rewrite. Shared by the kg_triples gate and
+    the graph-analytics gates that consume canonical triples."""
+    return f"""{_kg_mentions_sql_base(snap)},
 {_kg_canonical_sql_base(snap)},
 rels AS (SELECT phrase, rel FROM '{snap}/rel_patterns.parquet'),
 raw_triples AS (
@@ -1614,17 +1646,120 @@ raw_triples AS (
   FROM '{snap}/media.parquet' m
   JOIN (SELECT doc_id, norm, label FROM kmentions WHERE ent_idx = 0) a
     ON a.doc_id = m.doc_id
+),
+ktriples AS (
+  SELECT rt.doc_id,
+    coalesce(ms.entity_id, rt.subj) AS subj,
+    rt.pred,
+    CASE WHEN rt.obj_type = 'media' THEN rt.obj
+         ELSE coalesce(mo.entity_id, rt.obj) END AS obj,
+    rt.subj_type, rt.obj_type, rt.score
+  FROM raw_triples rt
+  LEFT JOIN surface_map ms ON ms.label = rt.subj_type AND ms.norm = rt.subj
+  LEFT JOIN surface_map mo ON mo.label = rt.obj_type AND mo.norm = rt.obj
+)"""
+
+
+def _kg_triples_canonical_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)}
+SELECT doc_id, subj, pred, obj, subj_type, obj_type, score
+FROM ktriples
+ORDER BY doc_id, subj, pred, obj
+"""
+
+
+_KG_EDGES_CTE = """
+kedges AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM ktriples WHERE subj != obj
+)"""
+
+
+def _kg_degree_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+outd AS (
+  SELECT subj AS entity, count(*) AS out_deg,
+         count(DISTINCT pred) AS n_pred_out
+  FROM ktriples GROUP BY subj
+),
+ind AS (
+  SELECT obj AS entity, count(*) AS in_deg,
+         count(DISTINCT pred) AS n_pred_in
+  FROM ktriples GROUP BY obj
 )
-SELECT rt.doc_id,
-  coalesce(ms.entity_id, rt.subj) AS subj,
-  rt.pred,
-  CASE WHEN rt.obj_type = 'media' THEN rt.obj
-       ELSE coalesce(mo.entity_id, rt.obj) END AS obj,
-  rt.subj_type, rt.obj_type, rt.score
-FROM raw_triples rt
-LEFT JOIN surface_map ms ON ms.label = rt.subj_type AND ms.norm = rt.subj
-LEFT JOIN surface_map mo ON mo.label = rt.obj_type AND mo.norm = rt.obj
-ORDER BY rt.doc_id, subj, pred, obj
+SELECT coalesce(o.entity, i.entity) AS entity,
+  CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+  CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+  CAST(coalesce(o.n_pred_out, 0) AS BIGINT) AS n_pred_out,
+  CAST(coalesce(i.n_pred_in, 0) AS BIGINT) AS n_pred_in,
+  CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
+FROM outd o FULL OUTER JOIN ind i ON o.entity = i.entity
+ORDER BY entity
+"""
+
+
+def _kg_two_hop_oracle() -> str:
+    from gliner_spark.operators.graph_analytics import TWO_HOP_MAX_FANOUT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+fan AS (SELECT src, count(*) AS fan FROM kedges GROUP BY src),
+okmid AS (
+  SELECT e.src, e.dst FROM kedges e
+  JOIN fan f ON f.src = e.src WHERE f.fan <= {TWO_HOP_MAX_FANOUT}
+)
+SELECT a.src AS src, b.dst AS dst, CAST(count(*) AS BIGINT) AS n_paths
+FROM kedges a JOIN okmid b ON a.dst = b.src
+WHERE a.src != b.dst
+GROUP BY a.src, b.dst
+ORDER BY 1, 2
+"""
+
+
+def _kg_pagerank_oracle() -> str:
+    from gliner_spark.operators.graph_analytics import (
+        PR_DAMP,
+        PR_ITERS,
+        PR_UNIT,
+    )
+
+    snap = _kg_snapshot()
+    base = PR_UNIT * (1000 - PR_DAMP) // 1000
+    ctes = [
+        f"r0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS rank FROM knodes)"
+    ]
+    for it in range(PR_ITERS):
+        ctes.append(f"""
+c{it + 1} AS (
+  SELECT e.dst AS node, sum(r.rank // o.out_deg) AS s
+  FROM kedges e
+  JOIN r{it} r ON r.node = e.src
+  JOIN kod o ON o.node = e.src
+  GROUP BY e.dst
+),
+r{it + 1} AS (
+  SELECT n.node,
+    CAST({base} + ({PR_DAMP} * coalesce(c.s, 0)) // 1000 AS BIGINT) AS rank
+  FROM knodes n LEFT JOIN c{it + 1} c ON c.node = n.node
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+knodes AS (
+  -- NB: inside WITH RECURSIVE, DuckDB treats a CTE-level UNION as the
+  -- recursive-union operator (no dedup) — use explicit DISTINCT
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM kedges UNION ALL SELECT dst FROM kedges
+  )
+),
+kod AS (SELECT src AS node, count(*) AS out_deg FROM kedges GROUP BY src),
+{', '.join(ctes)}
+SELECT node, rank FROM r{PR_ITERS} ORDER BY rank DESC, node ASC
 """
 
 
@@ -2157,6 +2292,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_triples_raw": _kg_triples_oracle(),
         "kg_entities": _kg_entities_oracle(),
         "kg_triples": _kg_triples_canonical_oracle(),
+        "kg_degree": _kg_degree_oracle(),
+        "kg_two_hop": _kg_two_hop_oracle(),
+        "kg_pagerank": _kg_pagerank_oracle(),
         "kg_mentions_zeroshot": _kg_zeroshot_oracle(),
         "kg_media_nodes": _kg_media_nodes_oracle(),
         "kg_span_f1": _kg_span_f1_oracle(),

@@ -1,0 +1,144 @@
+"""Graph analytics over the materialized (subj, pred, obj) triples — the
+consumption layer a KG-construction pipeline feeds (degree profiles, path
+counting, centrality). Beyond the reference's own surface (it stops at
+triple emission); these are the first queries users run on the output.
+
+Scale + determinism design:
+- node/edge tables derive from DISTINCT projections of the fact table —
+  map-side-combined aggregates, never a self-join of raw rows;
+- the 2-hop join caps mid-node fan-out (the hub-skew guard: a celebrity
+  node would otherwise contribute deg^2 pairs — same defense as the LSH
+  bucket caps in dedup/linking);
+- PageRank runs a FIXED number of rounds in pure bigint micro-units
+  (rank DIV out_deg contributions) — order-independent integer sums, so
+  the result is deterministic under any partitioning AND bit-reproducible
+  by the ANSI-SQL oracle (no IEEE accumulation anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PR_UNIT = 1_000_000   # rank micro-units (1.0 == 1e6)
+PR_DAMP = 850         # damping * 1000
+PR_ITERS = 3
+TWO_HOP_MAX_FANOUT = 64
+
+
+def graph_edges(triples: DataFrame) -> DataFrame:
+    """Distinct directed (src, dst) edges from the canonical triples."""
+    return (
+        triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def entity_degrees(triples: DataFrame) -> DataFrame:
+    """Per-node degree profile: out/in edge counts and distinct predicates.
+
+    Two grouped aggregates (map-side partial) merged on the node id via a
+    full outer join — the fact table is scanned once per direction and
+    never self-joined."""
+    out = triples.groupBy(F.col("subj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.countDistinct("pred").alias("n_pred_out"),
+    )
+    inn = triples.groupBy(F.col("obj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("in_deg"),
+        F.countDistinct("pred").alias("n_pred_in"),
+    )
+    return (
+        out.join(inn, "entity", "full_outer")
+        .na.fill(0, ["out_deg", "n_pred_out", "in_deg", "n_pred_in"])
+        .select(
+            "entity",
+            F.col("out_deg").cast("long").alias("out_deg"),
+            F.col("in_deg").cast("long").alias("in_deg"),
+            F.col("n_pred_out").cast("long").alias("n_pred_out"),
+            F.col("n_pred_in").cast("long").alias("n_pred_in"),
+            (F.col("out_deg") + F.col("in_deg")).cast("long").alias("degree"),
+        )
+        .orderBy("entity")
+    )
+
+
+def two_hop_paths(
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+) -> DataFrame:
+    """(src, dst, n_paths) over 2-hop walks src -> mid -> dst (src != dst),
+    counted over the DISTINCT edge set.
+
+    Mid nodes with out-fanout > max_fanout are excluded from the hop join
+    (deterministic cap, reported implicitly by absence): at web scale a hub
+    mid contributes in_deg x out_deg pairs, so the cap bounds the join
+    output by |E| * max_fanout."""
+    e = graph_edges(triples)
+    w = Window.partitionBy("src")
+    ok_mid = (
+        e.withColumn("fan", F.count(F.lit(1)).over(w))
+        .filter(F.col("fan") <= max_fanout)
+        .drop("fan")
+    )
+    a = e.select(F.col("src"), F.col("dst").alias("mid"))
+    b = ok_mid.select(F.col("src").alias("mid"), F.col("dst"))
+    return (
+        a.join(b, "mid")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy("src", "dst")
+    )
+
+
+def pagerank(
+    triples: DataFrame, iters: int = PR_ITERS, damping: int = PR_DAMP
+) -> DataFrame:
+    """Integer PageRank over the distinct edge set: fixed `iters` rounds of
+    r'(v) = (1-d) + d * sum_{u->v} (r(u) DIV out_deg(u)),
+    all in bigint micro-units (PR_UNIT == rank 1.0). Dangling-node mass is
+    dropped (documented simplification, mirrored exactly by the oracle).
+
+    Integer contributions make the per-node sum order-independent — the
+    result is bit-identical under any partitioning/engine, unlike a float
+    PageRank whose accumulation order varies per shuffle. Each round is
+    one broadcast-size join (ranks x edges) + one grouped sum; the edge
+    table is computed once and reused across rounds."""
+    e = graph_edges(triples).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    od = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = PR_UNIT * (1000 - damping) // 1000
+    ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(od.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping} * coalesce(s, 0)) DIV 1000"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    out = ranks.orderBy(F.desc("rank"), F.asc("node"))
+    e.unpersist()
+    return out
