@@ -445,6 +445,15 @@ def q_ta_diversity(spark, sf_dir):
     )
 
 
+def q_ta_clean_corpus(spark, sf_dir):
+    """The composed pre-training cleaning chain (C4/RefinedWeb shape):
+    exact-dedup keep-first -> lang-id filter -> quality floor -> minhash
+    near-dup keep-first, as ONE declarative plan."""
+    from gliner_spark.operators.text_analysis import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_ta_fingerprint(spark, sf_dir):
     from gliner_spark.operators.text_analysis import doc_fingerprint
 
@@ -829,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_token_stats": q_ta_token_stats,
         "ta_quality": q_ta_quality,
         "ta_lang_id": q_ta_lang_id,
+        "ta_clean_corpus": q_ta_clean_corpus,
         "ta_fingerprint": q_ta_fingerprint,
         "ta_diversity": q_ta_diversity,
         # dedup family
@@ -921,6 +931,63 @@ def _bands_sql() -> str:
             f"SELECT doc_id, {band} AS band, {key} AS bkey FROM sigs"
         )
     return "\n  UNION ALL\n  ".join(parts)
+
+
+def _ta_clean_corpus_oracle() -> str:
+    """The full cleaning chain re-derived in SQL: verified minhash pairs
+    (same CTEs as dd_minhash) -> drop doc_b's; md5 keep-first window; lang
+    CASE; quality floors."""
+    score_cols, score_names = [], []
+    for lang in LANG_ORDER:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(text,' '), "
+            f"x -> list_contains([{lst}], x))) AS s_{lang}"
+        )
+        score_names.append(f"s_{lang}")
+    greatest = "greatest(" + ", ".join(score_names) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for lang in LANG_ORDER:
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH {_TOKS},
+{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql())},
+cnt AS (SELECT doc_id, count(*) AS n_tok FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN dtok ta ON ta.doc_id = p.doc_a
+  JOIN dtok tb ON tb.doc_id = p.doc_b AND tb.token_id = ta.token_id
+  GROUP BY p.doc_a, p.doc_b
+),
+dropb AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_a
+  JOIN cnt cb ON cb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE)/(ca.n_tok + cb.n_tok - i.n_inter) >= 0.5
+),
+feat AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS distinct_ratio,
+    {', '.join(score_cols)},
+    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM documents
+)
+SELECT doc_id, {case} AS pred_lang,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(distinct_ratio, 6) AS distinct_ratio
+FROM feat
+WHERE keep_id = doc_id
+  AND {case} = 'en'
+  AND n_tokens >= 5
+  AND distinct_ratio >= 0.3
+  AND doc_id NOT IN (SELECT doc_id FROM dropb)
+ORDER BY doc_id
+"""
 
 
 def _lang_sql() -> str:
@@ -1988,6 +2055,7 @@ SELECT doc_id, n_tokens, n_stopwords,
 FROM s ORDER BY doc_id
 """,
         "ta_lang_id": _lang_sql(),
+        "ta_clean_corpus": _ta_clean_corpus_oracle(),
         "ta_diversity": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents

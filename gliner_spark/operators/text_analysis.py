@@ -95,6 +95,72 @@ def bpe_stats(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.3,
+    lang: str = "en",
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """The standard pre-training corpus filter chain (C4/RefinedWeb shape)
+    composed as ONE declarative plan: exact-dedup keep-first (md5 groups)
+    -> language filter (marker lang-id) -> quality floor (token count +
+    distinct ratio) -> near-dup keep-first (verified minhash pairs drop
+    the lexicographically larger doc). Returns the surviving docs with
+    their features.
+
+    Scale shape: features are narrow per-row expressions; the only
+    shuffles are the md5 keep-first window, the LSH band join inside
+    minhash_dedup, and the final anti-join — no stage touches full text
+    twice (the dedup subtree stages its token ids once)."""
+    from pyspark.sql import Window
+
+    from gliner_spark.operators.dedup import minhash_dedup
+
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    nd = F.size(F.array_distinct(arr))
+    scores = {
+        lg: F.size(F.filter(arr, lambda t: t.isin(LANG_MARKERS[lg])))
+        for lg in LANG_ORDER
+    }
+    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    pred = F.lit("und")
+    for lg in reversed(LANG_ORDER):  # earlier langs win ties -> apply last
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+
+    w_md5 = Window.partitionBy(F.md5("text"))
+    staged = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (nd.cast("double") / n).alias("distinct_ratio"),
+        pred.alias("pred_lang"),
+        F.min("doc_id").over(w_md5).alias("keep_id"),
+    )
+    kept = staged.filter(
+        (F.col("doc_id") == F.col("keep_id"))
+        & (F.col("pred_lang") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+    dups = (
+        minhash_dedup(docs, threshold=neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        kept.join(dups, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "pred_lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint from fold-hash token ids:
 
