@@ -178,6 +178,64 @@ def stream_exact_dedup(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_neardup_candidates(docs_stream: DataFrame) -> DataFrame:
+    """Streaming minhash-LSH near-dup candidate pairs: the signature/band
+    computation is the SAME narrow column expression as batch (dedup.py —
+    it lifts onto a streaming DataFrame unchanged), and the band-bucket
+    state is carried across micro-batches via applyInPandasWithState keyed
+    on (band, bkey): each arriving doc pairs against every doc previously
+    seen in its bucket, then joins the bucket's member list.
+
+    Bucket cap semantics vs batch: batch drops an oversized bucket
+    RETROACTIVELY (window count > MAX_BUCKET excludes the whole bucket);
+    a stream cannot un-emit, so the cap here is prefix-freeze — once a
+    bucket reaches MAX_BUCKET members it stops emitting and stops growing
+    (state stays bounded per key). Equal outputs whenever no bucket
+    overflows; the overflow case is the documented skew guard either way.
+    Downstream, pairs dedup across bands in the (stateless) verify join,
+    exactly like batch candidate_pairs' distinct."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gliner_spark.operators.dedup import (
+        MAX_BUCKET,
+        _band_buckets,
+        minhash_signatures,
+    )
+
+    # state schema is fixed (array<string>) — canonicalize the id type
+    docs_stream = docs_stream.withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    buckets = _band_buckets(minhash_signatures(docs_stream))
+
+    out_ddl = "doc_a string, doc_b string, band int, bkey long"
+    state_ddl = "docs array<string>"
+
+    def fn(key, pdfs, state: GroupState):
+        members = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            for doc_id in sorted(pdf["doc_id"]):
+                if len(members) >= MAX_BUCKET:
+                    break
+                for prev in members:
+                    a, b = (prev, doc_id) if prev < doc_id else (doc_id, prev)
+                    rows.append(
+                        {"doc_a": a, "doc_b": b,
+                         "band": int(key[0]), "bkey": int(key[1])}
+                    )
+                members.append(doc_id)
+        state.update((members,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band", "bkey"])
+
+    return buckets.groupBy("band", "bkey").applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_windowed_counts(
     events_stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -138,6 +138,78 @@ def test_streaming_exact_dedup_first_seen_wins(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_neardup_candidates_equal_batch(spark):
+    """Candidate pairs from the stateful streaming LSH (state carried
+    across TWO micro-batch drops) == batch candidate_pairs over the same
+    corpus — including pairs whose two docs arrived in different
+    micro-batches."""
+    from gliner_spark.operators.dedup import candidate_pairs
+    from gliner_spark.streaming.pipeline import stream_neardup_candidates
+
+    src = tempfile.mkdtemp(prefix="gs_nd_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_nd_ckpt_")
+    out = tempfile.mkdtemp(prefix="gs_nd_out_")
+    try:
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .persist()
+        )
+        # split into two drops so buckets span micro-batches
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream_neardup_candidates(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        # overflowing buckets differ BY DESIGN: batch drops them
+        # retroactively, the stream prefix-freezes at the cap (documented
+        # in the operator). On non-overflowing buckets the two must agree
+        # exactly — compare there, orientation-free (the stream
+        # canonicalizes ids to strings, whose ordering differs from bigint)
+        from gliner_spark.operators.dedup import (
+            MAX_BUCKET,
+            _band_buckets,
+            minhash_signatures,
+        )
+
+        oversized = {
+            (r.band, r.bkey)
+            for r in _band_buckets(minhash_signatures(docs))
+            .groupBy("band", "bkey")
+            .count()
+            .filter(F.col("count") > MAX_BUCKET)
+            .collect()
+        }
+        got = {
+            frozenset((r.doc_a, r.doc_b))
+            for r in spark.read.parquet(out).collect()
+            if (r.band, r.bkey) not in oversized
+        }
+        want = {
+            frozenset((str(r.doc_a), str(r.doc_b)))
+            for r in candidate_pairs(docs).collect()
+        }
+        assert got == want and len(want) > 0
+        assert len(oversized) > 0  # the divergence case was actually hit
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_watermark_drops_late_keeps_on_time(spark):
     src = tempfile.mkdtemp(prefix="gs_wm_src_")
     ckpt = tempfile.mkdtemp(prefix="gs_wm_ckpt_")
