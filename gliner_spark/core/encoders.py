@@ -1,27 +1,26 @@
-"""Real-encoder seam.
+"""Real-encoder seam — adapter code that is RUNNABLE today.
 
 GlinerSparkModel's scoring surface needs exactly two artifacts per batch:
-span representations (S, D) and a frozen label-prompt matrix (C, D). Two
-torch-free fills exist today:
+span representations (S, D) and a frozen label-prompt matrix (C, D). The
+encoder that produces per-word vectors is a pluggable BACKEND; everything
+downstream of the word vectors (mean-pooled label prompts, SpanMarkerV0,
+matmul/sigmoid scoring) is implemented HERE in numpy and unit-tested —
+bit-identical to the oracle-gated dense path when given the same word
+vectors (tests/test_encoders_seam.py).
 
-- the deterministic hash construction (core/model.py) — exact-parity tests;
-- the RUNNABLE npz-checkpoint dense path (core/dense.py): hash-bucket token
-  embeddings -> SpanMarkerV0 -> mean-pooled prompts, weights loaded from a
-  single .npz and shipped by sc.broadcast (operators/extraction.
-  extract_spans_dense) — accepts real exported GLiNER head weights as-is.
+Backend protocol (one method):
+    word_vectors(words: list[str]) -> np.ndarray (len(words), D)
 
-This module stubs the remaining transformer-backed variants so swapping
-them in touches zero Spark code:
-
-1. driver: load checkpoint, embed the label strings ONCE
-   (encode_labels / compress_prompt_embeddings, reference
-   model.py:2455-2709) -> numpy (C, D) -> broadcast;
-2. executor: per Arrow batch, run the token encoder + word pooling +
-   SpanMarkerV0 (numpy port in core/heads.py takes the exported weights)
-   -> (S, D) -> the same matmul/sigmoid/greedy path.
-
-Both torch and onnxruntime are optional: the container for this build has
-neither, so construction raises ImportError with the exact dependency.
+Shipped backends:
+- DenseCheckpointBackend — hash-bucket embedding lookup from a loadable
+  npz DenseCheckpoint (core/dense.py); torch-free, runs in this container,
+  and is exactly the encoder the `kg_mentions_dense` gate verifies.
+- HFTransformerBackend — HuggingFace transformer word vectors
+  (first-subtoken pooling, the reference token_rep_layer default —
+  gliner/modeling/encoder.py:868-879). Construction is import-gated:
+  torch/transformers are not in this container, so only this class raises
+  ImportError; every line downstream of it is exercised by tests through
+  the protocol.
 """
 
 from __future__ import annotations
@@ -30,49 +29,140 @@ from typing import List, Sequence
 
 import numpy as np
 
+from gliner_spark.core.decode import sigmoid
+from gliner_spark.core.heads import MarkerV0Weights, span_marker_v0
+from gliner_spark.core.spans import enumerate_spans
+from gliner_spark.core.tokenization import tokenize_with_offsets
 
-class TorchSpanEncoder:
-    """Trained-encoder adapter (requires torch + transformers).
 
-    Usage (on a real cluster):
-        enc = TorchSpanEncoder("urchade/gliner_small")  # driver
-        label_matrix = enc.encode_labels(labels)        # (C, D), broadcast
-        # executors: enc shipped via spark.files / --py-files; per-process
-        # singleton via functools.lru_cache, batch through enc.span_reps
+class DenseCheckpointBackend:
+    """Torch-free backend: per-word vectors from a DenseCheckpoint's
+    hash-bucket embedding table (core/dense.encode_tokens)."""
+
+    def __init__(self, ckpt):
+        self.ckpt = ckpt
+
+    def word_vectors(self, words: List[str]) -> np.ndarray:
+        from gliner_spark.core.dense import encode_tokens
+
+        return encode_tokens(list(words), self.ckpt)
+
+
+class HFTransformerBackend:
+    """HuggingFace transformer backend (requires torch + transformers).
+
+    Word vector = FIRST subtoken's hidden state (reference token_rep_layer
+    subtoken pooling default). Built on the driver; on executors ship the
+    model directory via --py-files/SparkFiles and construct lazily per
+    python worker (same pattern as core/dense.load_checkpoint_sparkfile).
     """
 
     def __init__(self, model_name_or_path: str, device: str = "cpu"):
         try:
             import torch  # noqa: F401
-            import transformers  # noqa: F401
+            from transformers import AutoModel, AutoTokenizer
         except ImportError as e:  # pragma: no cover - not in this container
             raise ImportError(
-                "TorchSpanEncoder needs torch+transformers; this container "
-                "ships neither. Use the deterministic GlinerSparkModel for "
-                "tests, or install torch on the cluster image."
+                "HFTransformerBackend needs torch+transformers; this "
+                "container ships neither. Use DenseCheckpointBackend for "
+                "torch-free runs, or install torch on the cluster image."
             ) from e
-        raise NotImplementedError(
-            "wire HF encoder -> word pooling -> SpanMarkerV0 here; the "
-            "numpy-side math (span_marker_v0, score_spans) already exists "
-            "in gliner_spark.core.heads and is unit-tested."
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.model = AutoModel.from_pretrained(model_name_or_path).to(device)
+        self.model.eval()
+        self.device = device
+
+    def word_vectors(self, words: List[str]) -> np.ndarray:  # pragma: no cover
+        import torch
+
+        enc = self.tokenizer(
+            list(words), is_split_into_words=True, return_tensors="pt",
+            truncation=True,
+        )
+        with torch.no_grad():
+            hidden = self.model(
+                **{k: v.to(self.device) for k, v in enc.items()}
+            ).last_hidden_state[0].cpu().numpy()
+        first = {}
+        for pos, wid in enumerate(enc.word_ids(0)):
+            if wid is not None and wid not in first:
+                first[wid] = pos
+        return hidden[[first[i] for i in range(len(words))]]
+
+
+class SpanEncoder:
+    """Backend-agnostic scoring adapter: word vectors -> mean-pooled label
+    prompts + SpanMarkerV0 span reps -> matmul/sigmoid span-probability
+    grid. This is the seam a real trained GLiNER drops into: swap the
+    backend, keep every downstream stage (and its tests/oracles)."""
+
+    def __init__(self, backend):
+        self.backend = backend
+
+    def encode_labels(self, labels: Sequence[str]) -> np.ndarray:
+        """(C, D) label prompt matrix = mean of each label text's word
+        vectors (reference label-encoder mean pooling, base.py:83-121).
+        Driver-side, once; broadcast the result."""
+        rows = []
+        for lab in labels:
+            words = lab.lower().split()
+            if not words:
+                rows.append(None)
+                continue
+            rows.append(self.backend.word_vectors(words).mean(axis=0))
+        dim = next(r.shape[0] for r in rows if r is not None)
+        return np.stack(
+            [r if r is not None else np.zeros(dim) for r in rows]
         )
 
-    def encode_labels(self, labels: Sequence[str]) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError
-
     def span_reps(
-        self, tokens: List[str], span_idx: np.ndarray
-    ) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError
+        self, tokens: List[str], span_idx: np.ndarray, marker: MarkerV0Weights
+    ) -> np.ndarray:
+        """(S, D) SpanMarkerV0 reps over the backend's word vectors
+        (reference span_rep.py:464-511 via the numpy port in core/heads)."""
+        h = self.backend.word_vectors(tokens)
+        return span_marker_v0(h, span_idx, marker)
+
+    def score_text(
+        self,
+        text: str,
+        marker: MarkerV0Weights,
+        label_matrix: np.ndarray,
+        scale: float,
+        bias: float,
+        max_width: int,
+    ):
+        """Full forward pass for one doc: (span_idx (S,2), valid (S,),
+        probs (S,C)) — the same contract as core/dense.score_doc_dense."""
+        tokens, _, _ = tokenize_with_offsets(text)
+        if not tokens:
+            return (
+                np.zeros((0, 2), np.int64),
+                np.zeros(0, bool),
+                np.zeros((0, label_matrix.shape[0])),
+            )
+        span_idx, valid = enumerate_spans(len(tokens), max_width)
+        rep = self.span_reps(tokens, span_idx, marker)
+        logits = (rep @ label_matrix.T - bias) * scale
+        return span_idx, valid, sigmoid(logits)
+
+
+def TorchSpanEncoder(model_name_or_path: str, device: str = "cpu") -> SpanEncoder:
+    """Back-compat constructor: a SpanEncoder over the HF backend."""
+    return SpanEncoder(HFTransformerBackend(model_name_or_path, device))
 
 
 class OnnxSpanEncoder:
-    """ONNX Runtime variant (reference model.py:1493-1556 exports; CPU
-    scoring inside executors without torch)."""
+    """ONNX Runtime backend stub (reference model.py:1493-1556 exports;
+    CPU scoring inside executors without torch). Same protocol: implement
+    word_vectors() over an ORT session and wrap in SpanEncoder."""
 
     def __init__(self, onnx_path: str):
         try:
             import onnxruntime  # noqa: F401
         except ImportError as e:  # pragma: no cover
             raise ImportError("OnnxSpanEncoder needs onnxruntime.") from e
-        raise NotImplementedError  # pragma: no cover
+        raise NotImplementedError(  # pragma: no cover
+            "load the exported session and implement word_vectors(); "
+            "SpanEncoder provides everything downstream."
+        )
