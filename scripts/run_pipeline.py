@@ -33,7 +33,12 @@ def main():
                     choices=["parquet", "iceberg", "json"])
     ap.add_argument("--synth", type=int, default=0,
                     help="synthesize N docs instead of reading --input")
-    ap.add_argument("--output", required=True, help="graph base path")
+    ap.add_argument("--output", required=True,
+                    help="graph base path (parquet) or catalog.namespace "
+                         "(--sink-format iceberg)")
+    ap.add_argument("--sink-format", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="graph-table sink format (sinks/materialize.TableIO)")
     ap.add_argument("--buckets", type=int, default=64,
                     help="lineage/resume bucket count (cluster: 1000s)")
     ap.add_argument("--labels", default="",
@@ -70,9 +75,16 @@ def main():
         if unknown:
             ap.error(f"--labels not in model label set: {unknown}")
 
-    stats = run_extraction(spark, docs, model, args.output, labels=labels)
+    stats = run_extraction(
+        spark, docs, model, args.output, labels=labels, fmt=args.sink_format
+    )
     if not args.extract_only:
-        stats = {**stats, **finalize_graph(spark, args.output, model.config)}
+        stats = {
+            **stats,
+            **finalize_graph(
+                spark, args.output, model.config, fmt=args.sink_format
+            ),
+        }
     print(json.dumps(stats))
     spark.stop()
 

@@ -114,3 +114,40 @@ def test_filter_pushdown_reaches_parquet(spark):
     docs = spark.read.parquet(DOCS)
     p = _plan(docs.filter(F.col("doc_id") < 100).select("doc_id"))
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in p, p
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Bucketing for co-located joins (SCALE.md): two tables bucketed +
+    sorted on the join key join with ZERO exchanges — the physical layout
+    every repeated big-x-big join should use at 100 TB. Plan-asserted so
+    the property can't silently rot."""
+    import shutil
+    import tempfile
+
+    d1 = tempfile.mkdtemp(prefix="gs_bkt1_")
+    d2 = tempfile.mkdtemp(prefix="gs_bkt2_")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        (li.select("l_orderkey", "l_quantity").write
+         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .option("path", d1).saveAsTable("gs_li_b"))
+        (od.select("o_orderkey", "o_totalprice").write
+         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .option("path", d2).saveAsTable("gs_od_b"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("gs_li_b").join(
+            spark.table("gs_od_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = _plan(j)
+        assert "SortMergeJoin" in p, p[:2000]
+        assert _n_exchanges(p) == 0, p[:2000]
+        assert j.count() == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS gs_li_b")
+        spark.sql("DROP TABLE IF EXISTS gs_od_b")
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
