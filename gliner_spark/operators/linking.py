@@ -148,13 +148,49 @@ def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).select("label", "norm_a", "norm_b")
 
 
+def _cc_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for component graphs that fit comfortably in
+    driver memory (gated by cfg.cc_driver_max_nodes — the same order as the
+    threshold that collapses the LSH subplan to one partition). Two bounded
+    collects replace ~2 Spark actions per pointer-jumping round; the output
+    contract is identical (component = min reachable node id: union-by-min
+    keeps every root the minimum of its set)."""
+    ids = [r.id for r in nodes.collect()]
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        if r.src not in parent or r.dst not in parent:
+            continue
+        a, b = find(r.src), find(r.dst)
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    rows = [(i, find(i)) for i in ids]
+    return nodes.sparkSession.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
+    nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Min-id label propagation WITH pointer jumping (path compression).
 
     nodes: (id long); edges: (src long, dst long) undirected (one direction
     given). Returns (id, component) with component = min node id reachable.
+
+    Adaptive small-graph path: at or below cfg.cc_driver_max_nodes nodes
+    (pass n_nodes if the caller already knows the count), union-find runs
+    on the driver (_cc_driver) — the post-aggregation surface graph is
+    Zipf-collapsed and tiny, and each distributed round costs two actions.
+    Above the threshold, the distributed loop below is the 100 TB design:
 
     Each round does (a) a propagation step — component = min over self and
     neighbors' components — and (b) a pointer-jumping step — component <-
@@ -164,6 +200,10 @@ def connected_components(
     clustering); with jumping, rounds are O(log diameter). Non-convergence
     raises instead of returning a wrong answer.
     """
+    if cfg.cc_driver_max_nodes:
+        n = n_nodes if n_nodes is not None else nodes.count()
+        if n <= cfg.cc_driver_max_nodes:
+            return _cc_driver(nodes, edges)
     # persist: every loop round's jobs traverse sym/comp; without it each
     # round re-evaluates the full upstream (surface agg + LSH + jaccard)
     sym = edges.union(
@@ -241,7 +281,8 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     # one task comfortably, collapse the LSH/CC subplan to a single
     # partition — every per-round shuffle becomes a single-task exchange
     # (the count is already paid: it materializes the persist).
-    if surfaces.count() <= 100_000:
+    n_surfaces = surfaces.count()
+    if n_surfaces <= 100_000:
         surfaces = surfaces.coalesce(1)
     edges_s = similarity_edges(surfaces, cfg)
 
@@ -251,7 +292,9 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
         .withColumn("dst", F.xxhash64("label", "norm_b"))
         .select("src", "dst")
     )
-    comp = connected_components(keyed.select("id"), edge_ids, cfg)
+    comp = connected_components(
+        keyed.select("id"), edge_ids, cfg, n_nodes=n_surfaces
+    )
     clustered = keyed.join(comp, "id").persist()
 
     # canonical representative: most mentions, then shortest, then lexic. min

@@ -86,10 +86,38 @@ def test_cc_chain_converges_logarithmically(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
-    comp = connected_components(nodes, chain, PipelineConfig())
+    # pin the DISTRIBUTED loop (cc_driver_max_nodes=0 disables the
+    # small-graph driver path) — this test is about the loop's round bound
+    comp = connected_components(
+        nodes, chain, PipelineConfig(cc_driver_max_nodes=0)
+    )
     rows = comp.collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {0}
+
+
+def test_cc_driver_path_equals_distributed_path(spark):
+    """The adaptive small-graph union-find must produce the identical
+    (id, component) clustering as the pointer-jumping loop — chains,
+    cycles, singletons, and cross-links."""
+    import random
+
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.operators.linking import connected_components
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(i, i + 1) for i in range(0, 80)]            # long chain
+    edges += [(100 + i, 100 + (i + 1) % 30) for i in range(30)]  # cycle
+    edges += [(rng.randrange(150, 250), rng.randrange(150, 250))
+              for _ in range(60)]                          # random blob
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fast = {r.id: r.component for r in connected_components(
+        nodes, e, PipelineConfig()).collect()}
+    dist = {r.id: r.component for r in connected_components(
+        nodes, e, PipelineConfig(cc_driver_max_nodes=0)).collect()}
+    assert fast == dist
 
 
 def test_cc_disjoint_components(spark):
