@@ -44,6 +44,70 @@ def test_two_hop_counts_and_fanout_cap(spark):
     assert not any(s == "w" for s, _ in got)
 
 
+def test_random_graph_matches_python_brute_force(spark):
+    """Degree / 2-hop / PageRank on a random graph vs an independent pure-
+    python reimplementation of the same definitions (exact integer math,
+    so equality is == not approx)."""
+    import random
+
+    from gliner_spark.operators.graph_analytics import (
+        PR_DAMP,
+        PR_ITERS,
+        two_hop_paths,
+    )
+
+    rng = random.Random(11)
+    names = [f"e{i:03d}" for i in range(40)]
+    triples = list({
+        (rng.choice(names), rng.choice(["r1", "r2", "r3"]), rng.choice(names))
+        for _ in range(120)
+    })
+    t = _triples(spark, triples)
+
+    # --- python brute force over the same distinct edge set
+    edges = sorted({(s, o) for s, _, o in triples if s != o})
+    out_nb = {}
+    for s, d in edges:
+        out_nb.setdefault(s, []).append(d)
+
+    # degree profile over raw triples
+    got_deg = {r.entity: r for r in entity_degrees(t).collect()}
+    for ent, row in got_deg.items():
+        assert row.out_deg == sum(1 for s, _, o in triples if s == ent)
+        assert row.in_deg == sum(1 for s, _, o in triples if o == ent)
+        assert row.n_pred_out == len({p for s, p, o in triples if s == ent})
+
+    # capped 2-hop counts
+    cap = 4
+    ok_mid = {m for m in out_nb if len(out_nb[m]) <= cap}
+    want_paths = {}
+    for s, m in edges:
+        if m not in ok_mid:
+            continue
+        for d in out_nb.get(m, []):
+            if s != d:
+                want_paths[(s, d)] = want_paths.get((s, d), 0) + 1
+    got_paths = {
+        (r.src, r.dst): r.n_paths
+        for r in two_hop_paths(t, max_fanout=cap).collect()
+    }
+    assert got_paths == want_paths
+
+    # integer pagerank
+    nodes = sorted({x for e in edges for x in e})
+    base = PR_UNIT * (1000 - PR_DAMP) // 1000
+    rank = {v: PR_UNIT for v in nodes}
+    for _ in range(PR_ITERS):
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // len(out_nb[s])
+        rank = {
+            v: base + (PR_DAMP * contrib.get(v, 0)) // 1000 for v in nodes
+        }
+    got_rank = {r.node: r.rank for r in pagerank(t).collect()}
+    assert got_rank == rank
+
+
 def test_pagerank_sink_outranks_source_and_is_deterministic(spark):
     t = _triples(spark, [("a", "r", "c"), ("b", "r", "c"), ("c", "r", "d")])
     r1 = {r.node: r.rank for r in pagerank(t).collect()}
