@@ -31,6 +31,22 @@ def test_label_subset_restricts_types():
     assert got == want
 
 
+def test_label_subset_equals_postfilter_many_docs():
+    """Restrict-before-predict == predict-all-then-filter across 200 docs
+    (both suite seeds). Load-bearing for the shared-pass eval suite
+    (ner_eval.evaluate_ner_suite applies zero-shot subsets as prediction
+    post-filters — the oracle's definition); would diverge if greedy decode
+    ever let an excluded-label span suppress an included one."""
+    subset = ["person", "location"]
+    for seed in (303, 404):
+        for i in range(100):
+            text = assembled_text(gen_doc(i, seed=seed)["spans"])
+            a, *_ = MODEL.predict_doc(text, labels=subset)
+            b_all, *_ = MODEL.predict_doc(text)
+            b = [m for m in b_all if m["label"] in subset]
+            assert sorted(map(repr, a)) == sorted(map(repr, b)), (seed, i)
+
+
 def test_label_subset_order_preserving_dedup():
     text = _text(0)
     a, *_ = MODEL.predict_doc(text, labels=["person", "person", "date"])
