@@ -18,6 +18,13 @@ def _triples(spark, rows):
     )
 
 
+def test_empty_triples_yield_empty_outputs(spark):
+    t = _triples(spark, [])
+    assert entity_degrees(t).count() == 0
+    assert two_hop_paths(t).count() == 0
+    assert pagerank(t).count() == 0
+
+
 def test_degree_profile_hand_checked(spark):
     t = _triples(spark, [
         ("a", "r1", "b"), ("a", "r2", "b"), ("a", "r1", "c"), ("b", "r1", "c"),
