@@ -87,7 +87,15 @@ class HFTransformerBackend:
         for pos, wid in enumerate(enc.word_ids(0)):
             if wid is not None and wid not in first:
                 first[wid] = pos
-        return hidden[[first[i] for i in range(len(words))]]
+        # words truncated away (doc longer than the encoder's max length)
+        # or tokenized to zero subtokens get a zero vector instead of a
+        # KeyError crashing the executor batch
+        out = np.zeros((len(words), hidden.shape[1]), dtype=hidden.dtype)
+        for i in range(len(words)):
+            pos = first.get(i)
+            if pos is not None:
+                out[i] = hidden[pos]
+        return out
 
 
 class SpanEncoder:
@@ -103,6 +111,8 @@ class SpanEncoder:
         """(C, D) label prompt matrix = mean of each label text's word
         vectors (reference label-encoder mean pooling, base.py:83-121).
         Driver-side, once; broadcast the result."""
+        if not labels:
+            raise ValueError("encode_labels: labels must be non-empty")
         rows = []
         for lab in labels:
             words = lab.lower().split()
@@ -110,6 +120,10 @@ class SpanEncoder:
                 rows.append(None)
                 continue
             rows.append(self.backend.word_vectors(words).mean(axis=0))
+        if all(r is None for r in rows):
+            raise ValueError(
+                f"encode_labels: every label is empty/whitespace: {labels!r}"
+            )
         dim = next(r.shape[0] for r in rows if r is not None)
         return np.stack(
             [r if r is not None else np.zeros(dim) for r in rows]

@@ -207,6 +207,9 @@ DENSE_SPANS_DDL = (
     "doc_id string, word_start int, word_end int, label string, score double"
 )
 
+# driver-side registry of shipped checkpoint basenames (collision guard)
+_SHIPPED_CKPTS: dict = {}
+
 
 def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     """Dense-encoder scoring stage: embedding lookup -> SpanMarkerV0 ->
@@ -230,8 +233,20 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     )
 
     if isinstance(ckpt, (str, _os.PathLike)):
-        docs.sparkSession.sparkContext.addFile(str(ckpt))
-        name = _os.path.basename(str(ckpt))
+        path = _os.path.abspath(str(ckpt))
+        name = _os.path.basename(path)
+        # SparkFiles keys executor files (and our per-worker cache) by
+        # BASENAME: two different checkpoints sharing a basename within one
+        # application would silently serve the first one's weights
+        prev = _SHIPPED_CKPTS.get(name)
+        if prev is not None and prev != path:
+            raise ValueError(
+                f"checkpoint basename collision: {name!r} already shipped "
+                f"from {prev!r}; rename {path!r} (SparkFiles is "
+                "basename-keyed per application)"
+            )
+        _SHIPPED_CKPTS[name] = path
+        docs.sparkSession.sparkContext.addFile(path)
 
         def get_ckpt():
             return load_checkpoint_sparkfile(name)

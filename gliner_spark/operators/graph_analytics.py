@@ -103,9 +103,12 @@ def pagerank(
     Integer contributions make the per-node sum order-independent — the
     result is bit-identical under any partitioning/engine, unlike a float
     PageRank whose accumulation order varies per shuffle. Each round is
-    one broadcast-size join (ranks x edges) + one grouped sum; the edge
-    table is computed once and reused across rounds."""
-    e = graph_edges(triples).persist()
+    one join (ranks x edges) + one grouped sum; the edge table is
+    MATERIALIZED once (eager localCheckpoint — a persist() alone would be
+    a no-op here, since no action runs before this function returns the
+    lazy result) and its 2*iters+2 downstream references read the
+    checkpoint instead of re-running the distinct shuffle."""
+    e = graph_edges(triples).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -139,6 +142,4 @@ def pagerank(
                 ).cast("long").alias("rank"),
             )
         )
-    out = ranks.orderBy(F.desc("rank"), F.asc("node"))
-    e.unpersist()
-    return out
+    return ranks.orderBy(F.desc("rank"), F.asc("node"))

@@ -150,13 +150,12 @@ def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def _cc_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Driver-side union-find for component graphs that fit comfortably in
-    driver memory (gated by cfg.cc_driver_max_nodes — the same order as the
-    threshold that collapses the LSH subplan to one partition). Two bounded
-    collects replace ~2 Spark actions per pointer-jumping round; the output
-    contract is identical (component = min reachable node id: union-by-min
-    keeps every root the minimum of its set)."""
-    ids = [r.id for r in nodes.collect()]
-    parent = {i: i for i in ids}
+    driver memory (the caller gates on BOTH node and edge counts). Two
+    bounded collects replace ~2 Spark actions per pointer-jumping round;
+    the output contract is identical (component = min reachable node id:
+    union-by-min keeps every root the minimum of its set). Edges must
+    reference ids present in nodes (raises otherwise — see inline note)."""
+    parent = {r.id: r.id for r in nodes.collect()}
 
     def find(x: int) -> int:
         while parent[x] != x:
@@ -166,14 +165,21 @@ def _cc_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     for r in edges.collect():
         if r.src not in parent or r.dst not in parent:
-            continue
+            # the distributed loop's behavior for unknown endpoints is an
+            # accident of its propagate union (it emits rows for them but
+            # never seeds their own ids) — refuse instead of silently
+            # diverging; canonicalize always passes a closed node set
+            raise ValueError(
+                f"connected_components: edge ({r.src}, {r.dst}) references "
+                "an id absent from nodes; pass a closed node set"
+            )
         a, b = find(r.src), find(r.dst)
         if a != b:
             if a < b:
                 parent[b] = a
             else:
                 parent[a] = b
-    rows = [(i, find(i)) for i in ids]
+    rows = [(i, find(i)) for i in parent]
     return nodes.sparkSession.createDataFrame(rows, "id long, component long")
 
 
@@ -202,7 +208,12 @@ def connected_components(
     """
     if cfg.cc_driver_max_nodes:
         n = n_nodes if n_nodes is not None else nodes.count()
-        if n <= cfg.cc_driver_max_nodes:
+        # bound BOTH collects: a dense similarity graph can carry far more
+        # edges than nodes — fall through to the distributed loop then
+        if n <= cfg.cc_driver_max_nodes and (
+            edges.limit(cfg.cc_driver_max_nodes * 8 + 1).count()
+            <= cfg.cc_driver_max_nodes * 8
+        ):
             return _cc_driver(nodes, edges)
     # persist: every loop round's jobs traverse sym/comp; without it each
     # round re-evaluates the full upstream (surface agg + LSH + jaccard)

@@ -63,7 +63,7 @@ def char_to_word_ner(docs: DataFrame) -> DataFrame:
 
 
 def predict_word_spans(
-    eval_df: DataFrame, model: GlinerSparkModel, labels=None
+    eval_df: DataFrame, model: GlinerSparkModel, labels=None, _bc=None
 ) -> DataFrame:
     """Word-level span predictions over gold-tokenized docs (the evaluate()
     prediction pass, model.py:1975-2016). labels restricts to a zero-shot
@@ -72,8 +72,9 @@ def predict_word_spans(
     The model ships via an explicit ``sc.broadcast`` (same discipline as
     operators/extraction.extract_graph): a closure capture re-serializes the
     model into every task of every stage, which matters once the weights are
-    a real 100 MB+ encoder checkpoint."""
-    bc = eval_df.sparkSession.sparkContext.broadcast(model)
+    a real 100 MB+ encoder checkpoint. Callers issuing several prediction
+    passes reuse one broadcast via _bc."""
+    bc = _bc or eval_df.sparkSession.sparkContext.broadcast(model)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = bc.value
@@ -179,29 +180,37 @@ def evaluate_ner_suite(
     grouped into benchmark vs zero-shot, averaged per group).
 
     ONE shared pipeline: a single synth job generates all datasets (seed
-    folded into the generator), ONE prediction pass scores every doc, and
-    a grouped full-outer join computes all per-dataset counts — instead of
-    five independent synth+predict subplans. The zero-shot label subsets
-    are applied as post-filters on the predictions, which matches the
-    oracle's definition exactly (it filters the full mention set) and is
-    equivalent here because span scores are per-(span, label) independent
-    in the bi-encoder head."""
+    folded into the generator), one prediction pass PER DISTINCT LABEL SET
+    over its disjoint slice of the corpus (restrict-before-predict — the
+    reference evaluate() semantics, preserved exactly: under flat greedy
+    decode an excluded-label span must not be able to suppress an
+    included-label one), and a grouped full-outer join computes all
+    per-dataset counts — instead of five independent synth+predict
+    subplans. Total prediction work is unchanged (the slices partition the
+    corpus); the synth/char->word subtree is shared and runs once."""
+    from functools import reduce
+
     docs = synth_suite_docs(spark, n_per_dataset, suite)
-    # branch point: the prediction UDF and the gold explode both consume
+    # branch point: the prediction UDFs and the gold explode all consume
     # this frame — persist so synth + char->word conversion run once
     eval_df = char_to_word_ner(docs).persist()
-    pred = predict_word_spans(eval_df, model, labels=None)
 
     ds = F.split_part(F.col("doc_id"), F.lit(":"), F.lit(1))
-    # zero-shot datasets: restrict predictions to their label subset
-    drop = None
+    # one pass per distinct label subset, over that subset's datasets only
+    by_labels = {}
     for name, _, _, labels in suite:
-        if labels is None:
-            continue
-        c = (ds == name) & ~F.col("label").isin(labels)
-        drop = c if drop is None else drop | c
-    if drop is not None:
-        pred = pred.filter(~drop)
+        key = tuple(labels) if labels is not None else None
+        by_labels.setdefault(key, []).append(name)
+    bc = spark.sparkContext.broadcast(model)  # one broadcast for all passes
+    preds = []
+    for key, names in by_labels.items():
+        part = eval_df.filter(ds.isin(names))
+        preds.append(
+            predict_word_spans(
+                part, model, labels=list(key) if key else None, _bc=bc
+            )
+        )
+    pred = reduce(lambda a, b: a.unionByName(b), preds)
 
     gold = eval_df.select("doc_id", F.explode("ner").alias("g")).select(
         "doc_id", "g.start", "g.end", "g.label"

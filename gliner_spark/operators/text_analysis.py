@@ -51,10 +51,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Keyword-marker language ID: argmax of per-language marker counts,
-    deterministic tie-break by LANG_ORDER; 'und' when all scores are 0."""
-    arr = F.split("text", " ")
+def _lang_exprs(arr):
+    """(scores dict, pred_lang column) — the ORACLE-BEARING lang-id
+    expression block, shared by lang_id and clean_corpus so the two gates
+    can never disagree on tie-break/und semantics: argmax of per-language
+    marker counts, ties broken by LANG_ORDER, 'und' when all zero."""
     scores = {
         lang: F.size(F.filter(arr, lambda t: t.isin(LANG_MARKERS[lang])))
         for lang in LANG_ORDER
@@ -64,6 +65,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
     for lang in reversed(LANG_ORDER):  # earlier langs win ties -> apply last
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scores, pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Keyword-marker language ID (see _lang_exprs)."""
+    arr = F.split("text", " ")
+    scores, pred = _lang_exprs(arr)
     out = docs.select(
         "doc_id",
         *[scores[l].alias(f"score_{l}") for l in LANG_ORDER],
@@ -120,15 +128,7 @@ def clean_corpus(
     arr = F.split("text", " ")
     n = F.size(arr)
     nd = F.size(F.array_distinct(arr))
-    scores = {
-        lg: F.size(F.filter(arr, lambda t: t.isin(LANG_MARKERS[lg])))
-        for lg in LANG_ORDER
-    }
-    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
-    pred = F.lit("und")
-    for lg in reversed(LANG_ORDER):  # earlier langs win ties -> apply last
-        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    _, pred = _lang_exprs(arr)
 
     w_md5 = Window.partitionBy(F.md5("text"))
     staged = docs.select(

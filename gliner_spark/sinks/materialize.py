@@ -62,10 +62,17 @@ class TableIO:
     fmt="parquet": read/write paths; dynamic partition overwrite +
       explicit pre-delete of re-run partitions; snapshot_id is null.
     fmt="iceberg": identifiers are f"{base}.{table}"; overwrite-partitions
-      is ``df.writeTo(ident).overwritePartitions()`` (transactional —
-      also removes partitions absent from the new data, so no pre-delete),
-      append is ``df.writeTo(ident).append()``, and snapshot_id() reads
-      the latest commit from ``{ident}.snapshots`` for the lineage row.
+      is ``df.writeTo(ident).overwritePartitions()``; append is
+      ``df.writeTo(ident).append()``; snapshot_id() reads the latest
+      commit from ``{ident}.snapshots`` for the lineage row.
+
+    Re-run hygiene: overwritePartitions (like parquet dynamic overwrite)
+    replaces only partitions PRESENT in the new data — a re-run bucket
+    that now legitimately produces zero rows would leave the crashed
+    attempt's rows visible. delete_partitions() is therefore called for
+    the pending buckets in BOTH modes before writing: an fs delete under
+    parquet, a transactional ``DELETE FROM ident WHERE col IN (...)``
+    (Iceberg overwrite-by-filter) under iceberg.
     """
 
     def __init__(self, spark: SparkSession, base: str, fmt: str = "parquet"):
@@ -78,7 +85,14 @@ class TableIO:
         # identifiers ("stream_mentions") under a catalog namespace
         return f"{self.base}.{table.replace('/', '_')}"
 
-    def read(self, table: str, schema: Optional[str] = None) -> Optional[DataFrame]:
+    def read(
+        self, table: str, schema: Optional[str] = None, required: bool = False
+    ) -> Optional[DataFrame]:
+        """required=False (default) returns None for a missing OPTIONAL
+        table (lineage on first run, stream staging). Post-write read-backs
+        pass required=True so a real read error (permissions, corrupt
+        footer, wrong base) surfaces as the underlying Spark exception
+        instead of a downstream NoneType AttributeError."""
         try:
             if self.fmt == "parquet":
                 r = self.spark.read
@@ -87,6 +101,8 @@ class TableIO:
                 return r.parquet(os.path.join(self.base, table))
             return self.spark.read.table(self._ident(table))
         except Exception:
+            if required:
+                raise
             return None
 
     def overwrite_partitions(self, df: DataFrame, table: str, part_col: str) -> None:
@@ -116,6 +132,25 @@ class TableIO:
             df.writeTo(ident).using("iceberg").create()
         else:
             df.writeTo(ident).append()
+
+    def delete_partitions(self, table: str, col: str, values) -> None:
+        """Remove the given partitions before a re-run write (see class
+        doc): fs delete for parquet, transactional DELETE for iceberg."""
+        values = [int(v) for v in values]
+        if self.fmt == "parquet":
+            import shutil
+
+            for v in values:
+                p = os.path.join(self.base, table, f"{col}={v}")
+                if os.path.exists(p):
+                    shutil.rmtree(p, ignore_errors=True)
+            return
+        ident = self._ident(table)
+        if self.spark.catalog.tableExists(ident):
+            self.spark.sql(
+                f"DELETE FROM {ident} WHERE {col} IN "
+                f"({', '.join(str(v) for v in values)})"
+            )
 
     def snapshot_id(self, table: str) -> Optional[str]:
         """Latest Iceberg commit id of `table` (None for parquet) — keys
@@ -148,24 +183,6 @@ def done_buckets(spark: SparkSession, base: str, fmt: str = "parquet") -> List[i
         r.bucket
         for r in lin.filter(F.col("status") == "done").select("bucket").distinct().collect()
     ]
-
-
-def _clear_bucket_partitions(base: str, table: str, buckets) -> None:
-    """Delete the pending buckets' partition directories before re-writing.
-
-    Dynamic partition overwrite only replaces partitions PRESENT in the new
-    data: a re-run bucket that legitimately produces zero rows for a table
-    would leave a crashed attempt's partial files visible (phantom rows that
-    also inflate the lineage counts read back from the written tables).
-    Local-FS implementation; on a real cluster this is the Iceberg
-    overwrite-by-filter / Hadoop FS delete of the same partition paths.
-    """
-    import shutil
-
-    for b in buckets:
-        p = os.path.join(base, table, f"bucket={int(b)}")
-        if os.path.exists(p):
-            shutil.rmtree(p, ignore_errors=True)
 
 
 def run_extraction(
@@ -226,12 +243,11 @@ def run_extraction(
     t_b = with_bucket(triples, cfg.lineage_buckets)
     fp = graph.select("doc_id", "span_fp", "bucket")
 
-    # pre-delete pending partitions: parquet dynamic overwrite cannot
-    # remove a partition absent from the new data (zero-row re-run bucket);
-    # Iceberg's overwritePartitions is transactional and handles this
-    if fmt == "parquet":
-        for tbl in ("mentions", "triples_raw", "span_fp"):
-            _clear_bucket_partitions(base, tbl, pending)
+    # pre-delete pending partitions in BOTH modes: dynamic overwrite
+    # (parquet and Iceberg alike) cannot remove a partition absent from
+    # the new data — the zero-row re-run bucket case
+    for tbl in ("mentions", "triples_raw", "span_fp"):
+        io.delete_partitions(tbl, "bucket", pending)
 
     io.overwrite_partitions(m_b, "mentions", "bucket")
     io.overwrite_partitions(t_b, "triples_raw", "bucket")
@@ -243,9 +259,15 @@ def run_extraction(
     # Counts come from the tables just WRITTEN (cheap columnar re-read),
     # never from the input DataFrame: re-traversing `todo` would re-run the
     # whole upstream (scan/synthesis) once per aggregate.
-    fp_written = io.read("span_fp").filter(F.col("bucket").isin(pending))
-    m_written = io.read("mentions").filter(F.col("bucket").isin(pending))
-    t_written = io.read("triples_raw").filter(F.col("bucket").isin(pending))
+    fp_written = io.read("span_fp", required=True).filter(
+        F.col("bucket").isin(pending)
+    )
+    m_written = io.read("mentions", required=True).filter(
+        F.col("bucket").isin(pending)
+    )
+    t_written = io.read("triples_raw", required=True).filter(
+        F.col("bucket").isin(pending)
+    )
     stats = (
         spark.createDataFrame([(int(b),) for b in pending], "bucket int")
         .join(
@@ -348,8 +370,8 @@ def finalize_graph(
     io.overwrite(entities, "entities")
     io.overwrite(triples, "triples")
     wall_ms = int((time.time() - t0) * 1000)
-    n_e = io.read("entities").count()
-    n_t = io.read("triples").count()
+    n_e = io.read("entities", required=True).count()
+    n_t = io.read("triples", required=True).count()
     snap = io.snapshot_id("triples")
     metrics = spark.createDataFrame(
         [

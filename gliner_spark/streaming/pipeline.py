@@ -215,9 +215,15 @@ def stream_neardup_candidates(docs_stream: DataFrame) -> DataFrame:
 
     def fn(key, pdfs, state: GroupState):
         members = list(state.get[0]) if state.exists else []
+        seen = set(members)
         rows = []
         for pdf in pdfs:
             for doc_id in sorted(pdf["doc_id"]):
+                if doc_id in seen:
+                    # duplicate row / redelivery: batch candidate_pairs
+                    # never self-pairs (strict a < b join) — skip, and
+                    # don't let re-sends inflate state toward the cap
+                    continue
                 if len(members) >= MAX_BUCKET:
                     break
                 for prev in members:
@@ -227,6 +233,7 @@ def stream_neardup_candidates(docs_stream: DataFrame) -> DataFrame:
                          "band": int(key[0]), "bkey": int(key[1])}
                     )
                 members.append(doc_id)
+                seen.add(doc_id)
         state.update((members,))
         if rows:
             yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band", "bkey"])

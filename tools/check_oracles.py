@@ -60,7 +60,13 @@ def main():
     if n_documents != 500:
         for k in ("kg_mentions", "kg_triples_raw", "kg_entities", "kg_triples",
                   "kg_mentions_zeroshot", "kg_media_nodes", "kg_span_f1",
-                  "kg_eval_ner", "kg_media_features"):
+                  "kg_eval_ner", "kg_media_features",
+                  # round-2/3 oracles on the same fixed-size fixture snapshot
+                  "kg_mentions_dense", "kg_relations_prompted",
+                  "kg_triples_scored", "kg_triples_spans", "kg_eval_suite",
+                  "kg_classify", "kg_qa", "kg_summarize",
+                  "ev_docred", "ev_squad",
+                  "kg_degree", "kg_two_hop", "kg_pagerank"):
             oracles.pop(k, None)
     failures = []
     for name, fn in qs.items():
