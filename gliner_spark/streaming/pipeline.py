@@ -243,6 +243,100 @@ def stream_neardup_candidates(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_neardup_pairs(
+    docs_stream: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Streaming VERIFIED near-dup pairs: the full minhash_dedup semantics
+    (LSH banding -> exact token-set Jaccard >= threshold) incrementally.
+    Band-bucket state stores each member's distinct token-id set alongside
+    its doc_id (bounded: MAX_BUCKET sets per key), so each arriving doc is
+    exact-verified against its bucket's members in-place — no second join
+    stage. Same prefix-freeze cap semantics as stream_neardup_candidates;
+    pairs may re-verify in multiple bands (downstream dedup or set
+    consumption, mirroring batch candidate_pairs' distinct)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gliner_spark.functions.text import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        P31,
+        affine_hash,
+        token_id_array,
+    )
+    from gliner_spark.operators.dedup import MAX_BUCKET
+
+    staged = docs_stream.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_distinct(token_id_array("text")).alias("_ids"),
+    )
+
+    def _perm(j):
+        return lambda x: affine_hash(x, j)
+
+    sigs = staged.select(
+        "doc_id", "_ids",
+        *[
+            F.array_min(F.transform("_ids", _perm(j))).alias(f"mh_{j}")
+            for j in range(MINHASH_ROWS)
+        ],
+    )
+    per = MINHASH_ROWS // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        key = F.lit(0).cast("long")
+        for j in range(b * per, (b + 1) * per):
+            key = (key * 1000003 + F.col(f"mh_{j}")) % F.lit(P31)
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = sigs.select(
+        "doc_id", "_ids", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "_ids", "bb.band", "bb.bkey")
+
+    out_ddl = "doc_a string, doc_b string, jaccard double, band int, bkey long"
+    state_ddl = "docs array<string>, idsets array<array<bigint>>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            docs, idsets = list(state.get[0]), [set(s) for s in state.get[1]]
+        else:
+            docs, idsets = [], []
+        seen = set(docs)
+        rows = []
+        for pdf in pdfs:
+            for doc_id, ids in sorted(
+                zip(pdf["doc_id"], pdf["_ids"]), key=lambda t: t[0]
+            ):
+                if doc_id in seen:
+                    continue
+                if len(docs) >= MAX_BUCKET:
+                    break
+                s = set(int(x) for x in ids)
+                for prev, prev_s in zip(docs, idsets):
+                    inter = len(s & prev_s)
+                    if inter == 0:
+                        continue
+                    jac = inter / (len(s) + len(prev_s) - inter)
+                    if jac >= threshold:
+                        a, b = (prev, doc_id) if prev < doc_id else (doc_id, prev)
+                        rows.append(
+                            {"doc_a": a, "doc_b": b, "jaccard": jac,
+                             "band": int(key[0]), "bkey": int(key[1])}
+                        )
+                docs.append(doc_id)
+                idsets.append(s)
+                seen.add(doc_id)
+        state.update((docs, [sorted(s) for s in idsets]))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "jaccard", "band", "bkey"]
+            )
+
+    return buckets.groupBy("band", "bkey").applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_windowed_counts(
     events_stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

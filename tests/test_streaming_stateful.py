@@ -210,6 +210,68 @@ def test_streaming_neardup_candidates_equal_batch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_verified_neardup_equals_batch_minhash_dedup(spark):
+    """The VERIFIED streaming near-dup (LSH + exact Jaccard in bucket
+    state) == batch minhash_dedup on non-overflowing buckets, with equal
+    jaccard values, across a two-drop stream."""
+    from gliner_spark.operators.dedup import (
+        MAX_BUCKET,
+        _band_buckets,
+        minhash_dedup,
+        minhash_signatures,
+    )
+    from gliner_spark.streaming.pipeline import stream_neardup_pairs
+
+    src = tempfile.mkdtemp(prefix="gs_ndv_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_ndv_ckpt_")
+    out = tempfile.mkdtemp(prefix="gs_ndv_out_")
+    try:
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .persist()
+        )
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream_neardup_pairs(stream, threshold=0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        oversized = {
+            (r.band, r.bkey)
+            for r in _band_buckets(minhash_signatures(docs))
+            .groupBy("band", "bkey")
+            .count()
+            .filter(F.col("count") > MAX_BUCKET)
+            .collect()
+        }
+        got = {}
+        for r in spark.read.parquet(out).collect():
+            if (r.band, r.bkey) not in oversized:
+                got[frozenset((r.doc_a, r.doc_b))] = round(r.jaccard, 9)
+        want = {
+            frozenset((str(r.doc_a), str(r.doc_b))): round(r.jaccard, 9)
+            for r in minhash_dedup(docs, threshold=0.5).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_watermark_drops_late_keeps_on_time(spark):
     src = tempfile.mkdtemp(prefix="gs_wm_src_")
     ckpt = tempfile.mkdtemp(prefix="gs_wm_ckpt_")
