@@ -62,6 +62,16 @@ PROMOTED = [
 
 BENCH_QUERIES = LEGACY8 + PROMOTED
 
+# round-3 operators, timed once per run (kg_* re-run the full pipeline —
+# too expensive for 3 headline rounds; promoted next round per the r2
+# pattern once they have a comparison baseline)
+EXTRA_QUERIES = [
+    "kg_degree",
+    "kg_two_hop",
+    "kg_pagerank",
+    "ta_clean_corpus",
+]
+
 
 def _spin(n: int) -> int:
     x = 0
@@ -101,6 +111,12 @@ def main():
             counts[name] = qs[name](spark, SF_DIR).count()
             samples[name].append(round(time.time() - t0, 3))
 
+    extra = {}
+    for name in EXTRA_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        extra[name] = round(time.time() - t0, 3)
+
     spin_after = spin_probe(cpus)
 
     timings = {n: min(s) for n, s in samples.items()}
@@ -121,6 +137,7 @@ def main():
         "triples_per_sec": triples_per_sec,
         "counts": counts,
         "legacy8_value": round(sum(timings[n] for n in LEGACY8), 3),
+        "extra_queries": extra,
         "median": medians,
         "spread": samples,
         "rounds": ROUNDS,
