@@ -127,7 +127,12 @@ def q_kg_triples(spark, sf_dir):
 def q_kg_degree(spark, sf_dir):
     """Entity degree profile over the canonical graph (out/in edge counts,
     distinct predicates) — the first consumption query on a materialized
-    KG; two map-side-combined aggregates, no self-join."""
+    KG; two map-side-combined aggregates, no self-join.
+
+    The operator takes ANY triples DataFrame; in deployment it reads the
+    materialized base/triples table (spark.read.parquet / .table). The
+    gate composes it with the extraction chain only because queries() must
+    be self-contained over the raw sf_dir inputs."""
     from gliner_spark.operators.graph_analytics import entity_degrees
 
     return entity_degrees(q_kg_triples(spark, sf_dir))
@@ -136,7 +141,8 @@ def q_kg_degree(spark, sf_dir):
 def q_kg_two_hop(spark, sf_dir):
     """2-hop path counts src->mid->dst over the distinct edge set, with a
     deterministic mid-node fan-out cap (hub-skew guard: bounds the join
-    output by |E| x cap)."""
+    output by |E| x cap). Deployment input: the materialized triples table
+    (see q_kg_degree note)."""
     from gliner_spark.operators.graph_analytics import two_hop_paths
 
     return two_hop_paths(q_kg_triples(spark, sf_dir))
@@ -145,7 +151,8 @@ def q_kg_two_hop(spark, sf_dir):
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
-    result is bit-identical under any partitioning (and in the oracle)."""
+    result is bit-identical under any partitioning (and in the oracle).
+    Deployment input: the materialized triples table (see q_kg_degree)."""
     from gliner_spark.operators.graph_analytics import pagerank
 
     return pagerank(q_kg_triples(spark, sf_dir))
