@@ -55,14 +55,16 @@ def staged_token_ids(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", token_id_array("text").alias("_ids"))
 
 
-def _signatures_from_ids(staged: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_{R-1}) minhash over distinct token ids.
+def _signatures_from_ids(staged: DataFrame, keep: tuple = ()) -> DataFrame:
+    """(doc_id, [keep...], mh_0..mh_{R-1}) minhash over distinct token ids.
 
     Narrow: per-doc distinct ids are an array_distinct over the in-row
     token array; each permutation minimum is an array_min — the whole
-    signature stage is a projection (no explode, no groupBy)."""
+    signature stage is a projection (no explode, no groupBy). `keep`
+    passes extra columns through (the streaming verified near-dup carries
+    the id sets alongside, streaming/pipeline.stream_neardup_pairs)."""
     with_ids = staged.select(
-        "doc_id", F.array_distinct("_ids").alias("_ids")
+        "doc_id", *keep, F.array_distinct("_ids").alias("_ids")
     )
 
     # NB: closures must be built via a factory — PySpark binds EVERY lambda
@@ -74,14 +76,14 @@ def _signatures_from_ids(staged: DataFrame) -> DataFrame:
         F.array_min(F.transform(F.col("_ids"), _perm(j))).alias(f"mh_{j}")
         for j in range(MINHASH_ROWS)
     ]
-    return with_ids.select("doc_id", *aggs)
+    return with_ids.select("doc_id", *keep, *aggs)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     return _signatures_from_ids(staged_token_ids(docs))
 
 
-def _band_buckets(sigs: DataFrame) -> DataFrame:
+def _band_buckets(sigs: DataFrame, keep: tuple = ()) -> DataFrame:
     per = MINHASH_ROWS // MINHASH_BANDS
     bands = []
     for b in range(MINHASH_BANDS):
@@ -90,8 +92,8 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
             key = (key * 1000003 + F.col(f"mh_{j}")) % F.lit(P31)
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
     return sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bkey")
+        "doc_id", *keep, F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", *keep, "bb.band", "bb.bkey")
 
 
 def candidate_pairs(docs: DataFrame) -> DataFrame:

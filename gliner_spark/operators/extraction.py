@@ -233,20 +233,24 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     )
 
     if isinstance(ckpt, (str, _os.PathLike)):
+        sc = docs.sparkSession.sparkContext
         path = _os.path.abspath(str(ckpt))
         name = _os.path.basename(path)
         # SparkFiles keys executor files (and our per-worker cache) by
         # BASENAME: two different checkpoints sharing a basename within one
-        # application would silently serve the first one's weights
-        prev = _SHIPPED_CKPTS.get(name)
+        # APPLICATION would silently serve the first one's weights — the
+        # registry key includes applicationId so a fresh SparkContext
+        # (fresh SparkFiles state) never trips a stale-process collision
+        reg_key = (sc.applicationId, name)
+        prev = _SHIPPED_CKPTS.get(reg_key)
         if prev is not None and prev != path:
             raise ValueError(
                 f"checkpoint basename collision: {name!r} already shipped "
-                f"from {prev!r}; rename {path!r} (SparkFiles is "
-                "basename-keyed per application)"
+                f"from {prev!r} in this application; rename {path!r} "
+                "(SparkFiles is basename-keyed per application)"
             )
-        _SHIPPED_CKPTS[name] = path
-        docs.sparkSession.sparkContext.addFile(path)
+        _SHIPPED_CKPTS[reg_key] = path
+        sc.addFile(path)
 
         def get_ckpt():
             return load_checkpoint_sparkfile(name)

@@ -93,7 +93,11 @@ def two_hop_paths(
 
 
 def pagerank(
-    triples: DataFrame, iters: int = PR_ITERS, damping: int = PR_DAMP
+    triples: DataFrame,
+    iters: int = PR_ITERS,
+    damping: int = PR_DAMP,
+    reliable_checkpoint: bool = False,
+    checkpoint_dir: str = "",
 ) -> DataFrame:
     """Integer PageRank over the distinct edge set: fixed `iters` rounds of
     r'(v) = (1-d) + d * sum_{u->v} (r(u) DIV out_deg(u)),
@@ -104,11 +108,25 @@ def pagerank(
     result is bit-identical under any partitioning/engine, unlike a float
     PageRank whose accumulation order varies per shuffle. Each round is
     one join (ranks x edges) + one grouped sum; the edge table is
-    MATERIALIZED once (eager localCheckpoint — a persist() alone would be
-    a no-op here, since no action runs before this function returns the
-    lazy result) and its 2*iters+2 downstream references read the
-    checkpoint instead of re-running the distinct shuffle."""
-    e = graph_edges(triples).localCheckpoint()
+    MATERIALIZED once (eager checkpoint — a persist() alone would be a
+    no-op here, since no action runs before this function returns the lazy
+    result) and its 2*iters+2 downstream references read the checkpoint
+    instead of re-running the distinct shuffle. On a real cluster pass
+    reliable_checkpoint=True (+ checkpoint_dir=hdfs://...): an executor
+    loss invalidates localCheckpoint blocks — the same trade the CC loop's
+    cc_reliable_checkpoint config covers (operators/linking.py)."""
+    e = graph_edges(triples)
+    if reliable_checkpoint:
+        sc = e.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(
+                checkpoint_dir or tempfile.mkdtemp(prefix="gs_pr_ckpt_")
+            )
+        e = e.checkpoint()
+    else:
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

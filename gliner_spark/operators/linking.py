@@ -148,13 +148,15 @@ def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).select("label", "norm_a", "norm_b")
 
 
-def _cc_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _cc_driver(nodes: DataFrame, edge_rows: list) -> DataFrame:
     """Driver-side union-find for component graphs that fit comfortably in
-    driver memory (the caller gates on BOTH node and edge counts). Two
-    bounded collects replace ~2 Spark actions per pointer-jumping round;
-    the output contract is identical (component = min reachable node id:
-    union-by-min keeps every root the minimum of its set). Edges must
-    reference ids present in nodes (raises otherwise — see inline note)."""
+    driver memory (the caller gates on BOTH node and edge counts, and
+    hands in the already-collected edge rows — the edge subplan evaluates
+    exactly once). One bounded node collect replaces ~2 Spark actions per
+    pointer-jumping round; the output contract is identical (component =
+    min reachable node id: union-by-min keeps every root the minimum of
+    its set). Edges must reference ids present in nodes (raises otherwise
+    — see inline note)."""
     parent = {r.id: r.id for r in nodes.collect()}
 
     def find(x: int) -> int:
@@ -163,7 +165,7 @@ def _cc_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in edges.collect():
+    for r in edge_rows:
         if r.src not in parent or r.dst not in parent:
             # the distributed loop's behavior for unknown endpoints is an
             # accident of its propagate union (it emits rows for them but
@@ -208,13 +210,15 @@ def connected_components(
     """
     if cfg.cc_driver_max_nodes:
         n = n_nodes if n_nodes is not None else nodes.count()
-        # bound BOTH collects: a dense similarity graph can carry far more
-        # edges than nodes — fall through to the distributed loop then
-        if n <= cfg.cc_driver_max_nodes and (
-            edges.limit(cfg.cc_driver_max_nodes * 8 + 1).count()
-            <= cfg.cc_driver_max_nodes * 8
-        ):
-            return _cc_driver(nodes, edges)
+        if n <= cfg.cc_driver_max_nodes:
+            # bound the edge collect too (a dense similarity graph can
+            # carry far more edges than nodes): ONE limited collect both
+            # checks the bound and feeds the union-find — the expensive
+            # LSH/verify edge subplan is never evaluated twice
+            cap = cfg.cc_driver_max_nodes * 8
+            edge_rows = edges.limit(cap + 1).collect()
+            if len(edge_rows) <= cap:
+                return _cc_driver(nodes, edge_rows)
     # persist: every loop round's jobs traverse sym/comp; without it each
     # round re-evaluates the full upstream (surface agg + LSH + jaccard)
     sym = edges.union(

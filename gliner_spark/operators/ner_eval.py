@@ -205,9 +205,12 @@ def evaluate_ner_suite(
     preds = []
     for key, names in by_labels.items():
         part = eval_df.filter(ds.isin(names))
+        # `key is not None`, NOT truthiness: an empty label list is a valid
+        # degenerate zero-shot spec (predict nothing), not "no restriction"
         preds.append(
             predict_word_spans(
-                part, model, labels=list(key) if key else None, _bc=bc
+                part, model,
+                labels=list(key) if key is not None else None, _bc=bc,
             )
         )
     pred = reduce(lambda a, b: a.unionByName(b), preds)

@@ -137,6 +137,8 @@ class TableIO:
         """Remove the given partitions before a re-run write (see class
         doc): fs delete for parquet, transactional DELETE for iceberg."""
         values = [int(v) for v in values]
+        if not values:
+            return  # 'IN ()' would be a parse error under iceberg
         if self.fmt == "parquet":
             import shutil
 

@@ -204,10 +204,12 @@ def stream_neardup_candidates(docs_stream: DataFrame) -> DataFrame:
         minhash_signatures,
     )
 
-    # state schema is fixed (array<string>) — canonicalize the id type
+    # state schema is fixed (array<string>) — canonicalize the id type;
+    # null/empty text would put rows in a null-bkey state group and crash
+    # the query permanently (checkpoint replays the poison micro-batch)
     docs_stream = docs_stream.withColumn(
         "doc_id", F.col("doc_id").cast("string")
-    )
+    ).filter(F.col("text").isNotNull() & (F.length("text") > 0))
     buckets = _band_buckets(minhash_signatures(docs_stream))
 
     out_ddl = "doc_a string, doc_b string, band int, bkey long"
@@ -258,40 +260,26 @@ def stream_neardup_pairs(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from gliner_spark.functions.text import (
-        MINHASH_BANDS,
-        MINHASH_ROWS,
-        P31,
-        affine_hash,
-        token_id_array,
-    )
-    from gliner_spark.operators.dedup import MAX_BUCKET
-
-    staged = docs_stream.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.array_distinct(token_id_array("text")).alias("_ids"),
+    from gliner_spark.operators.dedup import (
+        MAX_BUCKET,
+        _band_buckets,
+        _signatures_from_ids,
+        staged_token_ids,
     )
 
-    def _perm(j):
-        return lambda x: affine_hash(x, j)
-
-    sigs = staged.select(
-        "doc_id", "_ids",
-        *[
-            F.array_min(F.transform("_ids", _perm(j))).alias(f"mh_{j}")
-            for j in range(MINHASH_ROWS)
-        ],
+    # same null/poison guard as stream_neardup_candidates
+    docs_stream = docs_stream.withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    ).filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    # the SAME batch helpers build signatures and band keys (keep=idset
+    # threads the distinct id sets through for the in-state verify) — any
+    # change to batch banding automatically applies here, preserving the
+    # documented '== batch minhash_dedup' contract
+    staged = staged_token_ids(docs_stream).select(
+        "doc_id", "_ids", F.array_distinct("_ids").alias("idset")
     )
-    per = MINHASH_ROWS // MINHASH_BANDS
-    bands = []
-    for b in range(MINHASH_BANDS):
-        key = F.lit(0).cast("long")
-        for j in range(b * per, (b + 1) * per):
-            key = (key * 1000003 + F.col(f"mh_{j}")) % F.lit(P31)
-        bands.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
-    buckets = sigs.select(
-        "doc_id", "_ids", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "_ids", "bb.band", "bb.bkey")
+    sigs = _signatures_from_ids(staged, keep=("idset",))
+    buckets = _band_buckets(sigs, keep=("idset",))
 
     out_ddl = "doc_a string, doc_b string, jaccard double, band int, bkey long"
     state_ddl = "docs array<string>, idsets array<array<bigint>>"
@@ -305,7 +293,7 @@ def stream_neardup_pairs(
         rows = []
         for pdf in pdfs:
             for doc_id, ids in sorted(
-                zip(pdf["doc_id"], pdf["_ids"]), key=lambda t: t[0]
+                zip(pdf["doc_id"], pdf["idset"]), key=lambda t: t[0]
             ):
                 if doc_id in seen:
                     continue
