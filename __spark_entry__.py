@@ -461,6 +461,31 @@ def q_ta_clean_corpus(spark, sf_dir):
     return clean_corpus(_t(spark, sf_dir, "documents"))
 
 
+_MIX_RATES = {"src0": (1, 1), "src1": (1, 2), "src2": (1, 4)}
+_MIX_DEFAULT = (2, 5)
+_TOKEN_BUDGET = 400  # ~10 of each source's 25 docs at sf0.01 — binding
+
+
+def q_ta_mix(spark, sf_dir):
+    """Deterministic per-source mixture sampling (the pretraining data-mix
+    op): exact rational keep-rates per source over a fold-hash of doc_id —
+    retry/partitioning-invariant, unlike DataFrame.sample()."""
+    from gliner_spark.operators.text_analysis import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), _MIX_RATES, default=_MIX_DEFAULT
+    )
+
+
+def q_ta_token_budget(spark, sf_dir):
+    """Per-source token-budget selection: docs in deterministic doc_id
+    order until the running whitespace-token total would exceed the
+    budget (exact integer running sums)."""
+    from gliner_spark.operators.text_analysis import token_budget_select
+
+    return token_budget_select(_t(spark, sf_dir, "documents"), _TOKEN_BUDGET)
+
+
 def q_ta_fingerprint(spark, sf_dir):
     from gliner_spark.operators.text_analysis import doc_fingerprint
 
@@ -846,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_quality": q_ta_quality,
         "ta_lang_id": q_ta_lang_id,
         "ta_clean_corpus": q_ta_clean_corpus,
+        "ta_mix": q_ta_mix,
+        "ta_token_budget": q_ta_token_budget,
         "ta_fingerprint": q_ta_fingerprint,
         "ta_diversity": q_ta_diversity,
         # dedup family
@@ -993,6 +1020,22 @@ WHERE keep_id = doc_id
   AND n_tokens >= 5
   AND distinct_ratio >= 0.3
   AND doc_id NOT IN (SELECT doc_id FROM dropb)
+ORDER BY doc_id
+"""
+
+
+def _ta_mix_oracle() -> str:
+    """Per-source rational keep-rates over the fold-hash of doc_id —
+    identical arithmetic to operators/text_analysis.mixture_sample."""
+    h = _sql_fold("CAST(doc_id AS VARCHAR)")
+    num, den = _MIX_DEFAULT
+    cases = " ".join(
+        f"WHEN source = '{src}' THEN ({h}) % {d_} < {n_}"
+        for src, (n_, d_) in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE CASE {cases} ELSE ({h}) % {den} < {num} END
 ORDER BY doc_id
 """
 
@@ -2063,6 +2106,20 @@ FROM s ORDER BY doc_id
 """,
         "ta_lang_id": _lang_sql(),
         "ta_clean_corpus": _ta_clean_corpus_oracle(),
+        "ta_mix": _ta_mix_oracle(),
+        "ta_token_budget": f"""
+WITH sized AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(sum(len(string_split(text, ' '))) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM sized WHERE cum_tokens <= {_TOKEN_BUDGET}
+ORDER BY doc_id
+""",
         "ta_diversity": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents

@@ -103,6 +103,65 @@ def bpe_stats(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mixture_sample(
+    docs: DataFrame, rates: dict, default=(1, 1), key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the pretraining
+    data-mix operator (upsample/downsample sources to a target mixture):
+    keep a doc iff fold_hash(key) % den < num for its source's (num, den)
+    rate. A pure narrow filter: no RNG state, reproducible on any engine
+    and any retry, and the SAME doc is kept or dropped regardless of
+    partitioning — the property DataFrame.sample() lacks under task
+    retries. Rates are exact rationals, so expected mixture proportions
+    are auditable from the config alone."""
+    from gliner_spark.functions.text import fold_hash
+
+    h = fold_hash(F.col(key).cast("string"))
+    num, den = default
+    keep = F.pmod(h, F.lit(int(den))) < int(num)
+    for src, (n_, d_) in sorted(rates.items()):
+        keep = F.when(
+            F.col("source") == src, F.pmod(h, F.lit(int(d_))) < int(n_)
+        ).otherwise(keep)
+    return (
+        docs.filter(keep)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def token_budget_select(docs: DataFrame, budget_tokens: int) -> DataFrame:
+    """Per-source token-budget selection — cap each source's contribution
+    at `budget_tokens` whitespace tokens, taking docs in deterministic
+    doc_id order until the running total would exceed the budget
+    (cumulative count INCLUDING the current doc must fit).
+
+    Scale shape: one shuffle (partition by source) + an in-partition sort
+    for the running sum; per-source data volume is bounded by the budget
+    itself downstream. The deterministic order makes re-runs reproduce the
+    identical selection — budget sampling with .sample() or zipWithIndex
+    would not survive a retry."""
+    from pyspark.sql import Window
+
+    n = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n).over(w)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n.cast("long").alias("n_tokens"),
+            cum.cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .orderBy("doc_id")
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     min_tokens: int = 5,

@@ -31,3 +31,49 @@ def test_clean_corpus_deterministic_across_partitionings(spark):
     a = clean_corpus(docs).collect()
     b = clean_corpus(docs.repartition(11)).collect()
     assert a == b
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from gliner_spark.operators.text_analysis import mixture_sample
+
+    docs = spark.read.parquet(DOCS)
+    rates = {"src0": (1, 1), "src1": (0, 1)}
+    out = mixture_sample(docs, rates, default=(1, 2))
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src.get("src0") == 25        # keep-all source: every doc
+    assert "src1" not in by_src           # keep-none source: zero docs
+    # default 1/2 on the rest: strictly between none and all per source
+    for s, n in by_src.items():
+        if s != "src0":
+            assert 0 < n < 25, (s, n)
+    # retry/partitioning invariance — the property sample() lacks
+    assert rows == mixture_sample(
+        docs.repartition(13), rates, default=(1, 2)
+    ).collect()
+
+
+def test_token_budget_select_budget_and_order(spark):
+    from gliner_spark.operators.text_analysis import token_budget_select
+
+    docs = spark.read.parquet(DOCS)
+    out = token_budget_select(docs, 400).collect()
+    assert 0 < len(out) < docs.count()
+    per_src_max = {}
+    for r in out:
+        assert r.cum_tokens <= 400
+        per_src_max[r.source] = max(per_src_max.get(r.source, 0), r.cum_tokens)
+    # selection is the doc_id-ordered PREFIX per source: the next doc
+    # (smallest excluded id) must overflow the budget
+    by_src_ids = {}
+    for r in docs.select("doc_id", "source").collect():
+        by_src_ids.setdefault(r.source, []).append(r.doc_id)
+    kept = {}
+    for r in out:
+        kept.setdefault(r.source, set()).add(r.doc_id)
+    for s, ids in by_src_ids.items():
+        ks = kept.get(s, set())
+        prefix = sorted(ids)[: len(ks)]
+        assert set(prefix) == ks, s
