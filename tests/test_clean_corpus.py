@@ -55,6 +55,34 @@ def test_mixture_sample_rates_and_determinism(spark):
     ).collect()
 
 
+def test_token_budget_monotone_and_mixture_nested(spark):
+    """Property pair, checked over a budget/denominator ladder (driver-side
+    over one collected feature table — no per-example Spark jobs):
+    - token budget monotonicity: a larger budget selects a SUPERSET;
+    - mixture nesting: keep-rate num/den over the same hash is nested in
+      num (num+1 keeps a superset) — the property that makes rate changes
+      incremental (upsampling adds docs, never swaps them)."""
+    from gliner_spark.operators.text_analysis import (
+        mixture_sample,
+        token_budget_select,
+    )
+
+    docs = spark.read.parquet(DOCS).persist()
+    prev = set()
+    for budget in (100, 300, 700, 1500):
+        cur = {r.doc_id for r in token_budget_select(docs, budget).collect()}
+        assert prev <= cur, budget
+        prev = cur
+    prev = set()
+    for num in (1, 2, 3, 5):
+        cur = {
+            r.doc_id
+            for r in mixture_sample(docs, {}, default=(num, 5)).collect()
+        }
+        assert prev <= cur, num
+        prev = cur
+
+
 def test_token_budget_select_budget_and_order(spark):
     from gliner_spark.operators.text_analysis import token_budget_select
 
