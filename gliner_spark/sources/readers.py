@@ -41,7 +41,29 @@ def load_docs(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
         # explicit schema: inference would order struct fields alphabetically
         # and drop all-null columns (media_ref) — the DDL pins both
         return spark.read.schema(DOCS_DDL).json(path).select("doc_id", "spans")
+    if fmt == "orc":
+        return spark.read.schema(DOCS_DDL).orc(path).select("doc_id", "spans")
+    if fmt == "csv":
+        # flat interchange shape: CSV/TSV with the nested spans column
+        # JSON-encoded (the common export from labeling tools and
+        # warehouse dumps that can't hold array<struct>)
+        spans_ddl = DOCS_DDL.split(", ", 1)[1].split(" ", 1)[1]
+        raw = spark.read.option("header", "true").option("escape", '"').csv(path)
+        return raw.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.from_json("spans_json", spans_ddl).alias("spans"),
+        )
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def write_docs_csv(docs: DataFrame, path: str) -> None:
+    """Inverse of load_docs(fmt='csv'): spans JSON-encoded into one column
+    (round-trip tested)."""
+    docs.select(
+        "doc_id", F.to_json("spans").alias("spans_json")
+    ).write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(path)
 
 
 def load_ner_eval_json(spark: SparkSession, path: str) -> DataFrame:

@@ -13,19 +13,29 @@ from gliner_spark.sources.readers import load_docs, load_ner_eval_json
 from gliner_spark.sources.synth import synth_docs
 
 
-def test_load_docs_parquet_and_json_roundtrip(spark):
+def test_load_docs_formats_roundtrip(spark):
+    """parquet / json / orc / csv-with-JSON-spans all load to identical
+    rows (csv written by write_docs_csv — the labeling-tool/warehouse-dump
+    interchange shape)."""
+    from gliner_spark.sources.readers import write_docs_csv
+
     tmp = tempfile.mkdtemp(prefix="gs_rd_")
     try:
         docs = synth_docs(spark, 50, partitions=2)
         docs.write.mode("overwrite").parquet(f"{tmp}/p")
         docs.write.mode("overwrite").json(f"{tmp}/j")
-        a = load_docs(spark, f"{tmp}/p", fmt="parquet")
-        b = load_docs(spark, f"{tmp}/j", fmt="json")
-        assert a.count() == b.count() == 50
-        # fingerprint equality across formats (order-insensitive)
-        fa = {r.doc_id: str(r.spans) for r in a.collect()}
-        fb = {r.doc_id: str(r.spans) for r in b.collect()}
-        assert fa == fb
+        docs.write.mode("overwrite").orc(f"{tmp}/o")
+        write_docs_csv(docs, f"{tmp}/c")
+        loaded = {
+            fmt: load_docs(spark, f"{tmp}/{fmt[0]}", fmt=fmt)
+            for fmt in ("parquet", "json", "orc", "csv")
+        }
+        fp = {
+            fmt: {r.doc_id: str(r.spans) for r in df.collect()}
+            for fmt, df in loaded.items()
+        }
+        assert all(df.count() == 50 for df in loaded.values())
+        assert fp["parquet"] == fp["json"] == fp["orc"] == fp["csv"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
