@@ -30,7 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="docs table path / iceberg identifier")
     ap.add_argument("--format", default="parquet",
-                    choices=["parquet", "iceberg", "json"])
+                    choices=["parquet", "iceberg", "json", "orc", "csv"])
     ap.add_argument("--synth", type=int, default=0,
                     help="synthesize N docs instead of reading --input")
     ap.add_argument("--output", required=True,
