@@ -343,6 +343,28 @@ def stream_windowed_counts(
     )
 
 
+def run_stream_to_table(
+    df_stream: DataFrame,
+    ident: str,
+    checkpoint: str,
+    available_now: bool = True,
+    fmt: str | None = None,
+):
+    """Stream into a CATALOG TABLE (writeStream.toTable) — the streaming
+    counterpart of sinks/materialize.TableIO: with an Iceberg catalog
+    configured (session.cluster_conf iceberg_catalog), pass
+    fmt='iceberg' and a catalog.namespace.table identifier for
+    exactly-once snapshot-committed streaming ingestion; in-sandbox the
+    default (parquet) provider exercises the identical code path."""
+    w = df_stream.writeStream.option("checkpointLocation", checkpoint)
+    if fmt:
+        w = w.format(fmt)
+    w = w.outputMode("append")
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.toTable(ident)
+
+
 def run_stream_to_parquet(
     graph_stream: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
 ):

@@ -210,6 +210,38 @@ def test_streaming_neardup_candidates_equal_batch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_to_catalog_table(spark):
+    """writeStream.toTable lands micro-batches in a catalog table (the
+    Iceberg streaming-ingest seam, exercised via the default provider)."""
+    from gliner_spark.streaming.pipeline import run_stream_to_table
+
+    src = tempfile.mkdtemp(prefix="gs_tt_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_tt_ckpt_")
+    loc = tempfile.mkdtemp(prefix="gs_tt_loc_")
+    try:
+        ev = spark.read.parquet(EVENTS).limit(40)
+        ev.write.mode("append").parquet(src)
+        spark.conf.set(
+            "spark.sql.streaming.checkpointLocation.skipExistenceCheck", "true"
+        )
+        spark.sql(
+            "CREATE TABLE gs_stream_tbl "
+            f"({EVENTS_DDL}) USING parquet LOCATION '{loc}'"
+        )
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 100)
+            .parquet(src)
+        )
+        q = run_stream_to_table(stream, "gs_stream_tbl", ckpt)
+        q.awaitTermination(120)
+        assert spark.table("gs_stream_tbl").count() == 40
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gs_stream_tbl")
+        for d in (src, ckpt, loc):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_verified_neardup_equals_batch_minhash_dedup(spark):
     """The VERIFIED streaming near-dup (LSH + exact Jaccard in bucket
     state) == batch minhash_dedup on non-overflowing buckets, with equal
