@@ -13,6 +13,7 @@ def test_clean_corpus_invariants(spark):
     docs = spark.read.parquet(DOCS)
     out = clean_corpus(docs).persist()
     rows = out.collect()
+    out.unpersist()
     assert 0 < len(rows) < docs.count()  # filters something, keeps something
     # survivors satisfy every stage's predicate
     assert all(r.pred_lang == "en" for r in rows)
@@ -67,20 +68,29 @@ def test_token_budget_monotone_and_mixture_nested(spark):
         token_budget_select,
     )
 
+    # NB: unpersist in finally — a leaked cache of this raw scan would make
+    # Spark's CacheManager substitute InMemoryRelation for OTHER tests'
+    # identical scans (test_plans' pushdown assertions would see no
+    # PushedFilters)
     docs = spark.read.parquet(DOCS).persist()
-    prev = set()
-    for budget in (100, 300, 700, 1500):
-        cur = {r.doc_id for r in token_budget_select(docs, budget).collect()}
-        assert prev <= cur, budget
-        prev = cur
-    prev = set()
-    for num in (1, 2, 3, 5):
-        cur = {
-            r.doc_id
-            for r in mixture_sample(docs, {}, default=(num, 5)).collect()
-        }
-        assert prev <= cur, num
-        prev = cur
+    try:
+        prev = set()
+        for budget in (100, 300, 700, 1500):
+            cur = {
+                r.doc_id for r in token_budget_select(docs, budget).collect()
+            }
+            assert prev <= cur, budget
+            prev = cur
+        prev = set()
+        for num in (1, 2, 3, 5):
+            cur = {
+                r.doc_id
+                for r in mixture_sample(docs, {}, default=(num, 5)).collect()
+            }
+            assert prev <= cur, num
+            prev = cur
+    finally:
+        docs.unpersist()
 
 
 def test_token_budget_select_budget_and_order(spark):
