@@ -688,17 +688,23 @@ def q_rel_revenue_region(spark, sf_dir):
 
 def q_rel_setops(spark, sf_dir):
     """Set operations (SURVEY §2.7): customers appearing in both/either of
-    two order cohorts via intersect / exceptAll."""
+    two order cohorts via intersect / exceptAll. ONE lazy plan: the three
+    cohort counts are 1-row aggregates cross-joined together — zero jobs
+    run until the caller's action (the old form ran two eager .count()s at
+    plan-construction time)."""
     o = _t(spark, sf_dir, "orders")
     hi = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    both = hi.intersect(urgent).count()
-    hi_only = hi.distinct().exceptAll(urgent.distinct()).count()
-    urgent_only = urgent.distinct().exceptAll(hi.distinct()).count()
-    return spark.createDataFrame(
-        [(both, hi_only, urgent_only)],
-        "n_both long, n_hi_only long, n_urgent_only long",
+    both = hi.intersect(urgent).agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
     )
+    hi_only = hi.distinct().exceptAll(urgent.distinct()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hi_only")
+    )
+    urgent_only = urgent.distinct().exceptAll(hi.distinct()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urgent_only")
+    )
+    return both.crossJoin(hi_only).crossJoin(urgent_only)
 
 
 def q_rel_events_sessions(spark, sf_dir):

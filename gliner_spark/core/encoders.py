@@ -67,7 +67,18 @@ class HFTransformerBackend:
                 "container ships neither. Use DenseCheckpointBackend for "
                 "torch-free runs, or install torch on the cluster image."
             ) from e
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        # word_vectors() relies on enc.word_ids(), which only fast (Rust)
+        # tokenizers provide — fail at construction with a clear error
+        # instead of a ValueError on first executor batch
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_name_or_path, use_fast=True
+        )
+        if not getattr(self.tokenizer, "is_fast", False):
+            raise ValueError(
+                f"{model_name_or_path!r} resolved to a slow tokenizer; "
+                "HFTransformerBackend needs a fast tokenizer (word_ids "
+                "support). Convert the checkpoint or supply tokenizer.json."
+            )
         self.model = AutoModel.from_pretrained(model_name_or_path).to(device)
         self.model.eval()
         self.device = device

@@ -208,19 +208,25 @@ def connected_components(
     clustering); with jumping, rounds are O(log diameter). Non-convergence
     raises instead of returning a wrong answer.
     """
+    # persist the edge subplan up front: the small-graph gate's bounded
+    # collect, and (on bucket overflow) the distributed loop's symmetrized
+    # view, both read it — without the persist an overflowing collect would
+    # silently re-evaluate the expensive LSH/verify subplan a second time
+    edges = edges.persist()
     if cfg.cc_driver_max_nodes:
         n = n_nodes if n_nodes is not None else nodes.count()
         if n <= cfg.cc_driver_max_nodes:
             # bound the edge collect too (a dense similarity graph can
             # carry far more edges than nodes): ONE limited collect both
-            # checks the bound and feeds the union-find — the expensive
-            # LSH/verify edge subplan is never evaluated twice
+            # checks the bound and feeds the union-find
             cap = cfg.cc_driver_max_nodes * 8
             edge_rows = edges.limit(cap + 1).collect()
             if len(edge_rows) <= cap:
-                return _cc_driver(nodes, edge_rows)
-    # persist: every loop round's jobs traverse sym/comp; without it each
-    # round re-evaluates the full upstream (surface agg + LSH + jaccard)
+                out = _cc_driver(nodes, edge_rows)
+                edges.unpersist()
+                return out
+    # sym: every loop round's jobs traverse it; built from the persisted
+    # edges so the union's two branches hit the cache, not the raw subplan
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -274,6 +280,7 @@ def connected_components(
             converged = True
             break
     sym.unpersist()
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within "
