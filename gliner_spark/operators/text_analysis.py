@@ -130,34 +130,78 @@ def mixture_sample(
     )
 
 
-def token_budget_select(docs: DataFrame, budget_tokens: int) -> DataFrame:
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    bucket_width: int = 65536,
+    bucket=None,
+) -> DataFrame:
     """Per-source token-budget selection — cap each source's contribution
     at `budget_tokens` whitespace tokens, taking docs in deterministic
     doc_id order until the running total would exceed the budget
     (cumulative count INCLUDING the current doc must fit).
 
-    Scale shape: one shuffle (partition by source) + an in-partition sort
-    for the running sum; per-source data volume is bounded by the budget
-    itself downstream. The deterministic order makes re-runs reproduce the
-    identical selection — budget sampling with .sample() or zipWithIndex
-    would not survive a retry."""
+    Scale shape — a TWO-PHASE distributed prefix sum (a naive
+    Window.partitionBy("source") cumsum would pull every row of a source
+    through ONE task, since `source` has a handful of distinct values):
+
+    1. bucket docs by doc_id range (`doc_id DIV bucket_width` — order-
+       preserving for non-negative ids; corpora with string ids pass an
+       order-preserving `bucket` Column instead, e.g. a fixed-length
+       prefix) and aggregate per-(source, bucket) token totals — a
+       map-side-combined aggregate whose result is tiny (1 row per bucket);
+    2. per-source running OFFSETS over that tiny table (the only
+       source-partitioned window, applied to 1-row-per-bucket input);
+    3. broadcast the offsets back and compute a LOCAL cumsum inside each
+       (source, bucket) window partition + its bucket offset — every
+       window-sort task now holds at most `bucket_width` docs.
+
+    Because buckets are contiguous doc_id ranges, offset + local cumsum
+    equals the global per-source running sum exactly — the output is
+    bit-identical to the single-window form (tests/test_features.py).
+    The deterministic order makes re-runs reproduce the identical
+    selection — budget sampling with .sample() or zipWithIndex would not
+    survive a retry."""
     from pyspark.sql import Window
 
     n = F.size(F.split("text", " "))
-    w = (
+    b = (
+        bucket
+        if bucket is not None
+        else F.expr(f"CAST(doc_id AS BIGINT) DIV {int(bucket_width)}")
+    )
+    sized = docs.select(
+        "doc_id",
+        "source",
+        n.cast("long").alias("n_tokens"),
+        b.alias("_tb_bucket"),
+    )
+    totals = sized.groupBy("source", "_tb_bucket").agg(
+        F.sum("n_tokens").alias("_tot")
+    )
+    wb = (
         Window.partitionBy("source")
+        .orderBy("_tb_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "_tb_bucket",
+        F.coalesce(F.sum("_tot").over(wb), F.lit(0)).alias("_off"),
+    )
+    wl = (
+        Window.partitionBy("source", "_tb_bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(n).over(w)
     return (
-        docs.select(
-            "doc_id",
-            "source",
-            n.cast("long").alias("n_tokens"),
-            cum.cast("long").alias("cum_tokens"),
+        sized.join(F.broadcast(offsets), ["source", "_tb_bucket"])
+        .withColumn(
+            "cum_tokens",
+            (F.sum("n_tokens").over(wl) + F.col("_off")).cast("long"),
         )
         .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     )
 

@@ -115,3 +115,34 @@ def test_token_budget_select_budget_and_order(spark):
         ks = kept.get(s, set())
         prefix = sorted(ids)[: len(ks)]
         assert set(prefix) == ks, s
+
+
+def test_token_budget_two_phase_equals_single_window(spark):
+    """The two-phase prefix sum (bucket totals -> offsets -> local cumsum)
+    must be bit-identical to the naive per-source global window it
+    replaced, across bucket widths that split sources into many / one /
+    per-doc buckets."""
+    from pyspark.sql import Window
+
+    from gliner_spark.operators.text_analysis import token_budget_select
+
+    docs = spark.read.parquet(DOCS)
+    n = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = sorted(
+        docs.select(
+            "doc_id",
+            "source",
+            n.cast("long").alias("n_tokens"),
+            F.sum(n).over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 900)
+        .collect()
+    )
+    for width in (1, 7, 64, 1 << 40):
+        got = sorted(token_budget_select(docs, 900, bucket_width=width).collect())
+        assert got == ref, width

