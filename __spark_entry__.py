@@ -1415,11 +1415,16 @@ ORDER BY doc_id, subj, pred, obj
 def _sim_ivf_kmeans_oracle() -> str:
     """Unrolled deterministic k-means (sample -> init -> [assign ->
     update] x2 -> final assign -> nprobe probe -> per-cell scoring). The
-    quantizer trains on the SAME deterministic modulo sample as Spark
-    (vec_id % s == 0, s = ceil(n/target) — similarity.train_kmeans_cells);
-    all centroid math is exact bigint arithmetic, only the final cosine
-    touches IEEE."""
-    from gliner_spark.operators.similarity import KM_SAMPLE_TARGET
+    quantizer trains on the SAME deterministic hash-scrambled sample as
+    Spark (hash(vec_id) % s == 0, s = ceil(n/target), init = the k
+    smallest-vec_id sample members — similarity.train_kmeans_cells /
+    training_sample); all centroid math is exact bigint arithmetic, only
+    the final cosine touches IEEE."""
+    from gliner_spark.operators.similarity import (
+        _P31,
+        _SAMPLE_MULT,
+        KM_SAMPLE_TARGET,
+    )
 
     D, K, ITERS, NPROBE, NQ, TOPK = 64, 8, 2, 2, 10, 5
     T = KM_SAMPLE_TARGET
@@ -1439,9 +1444,11 @@ def _sim_ivf_kmeans_oracle() -> str:
     )
     ctes = [
         f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
-        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE n.vec_id % sp.s = 0)",
-        f"c0 AS (SELECT n.vec_id AS cell, n.q AS c FROM samp n, sp "
-        f"WHERE n.vec_id < {K} * sp.s)",
+        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE "
+        f"((n.vec_id % {_P31}) * {_SAMPLE_MULT}) % {_P31} % sp.s = 0)",
+        "c0 AS (SELECT vec_id AS cell, q AS c FROM ("
+        "SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn "
+        f"FROM samp) WHERE rn <= {K})",
     ]
     for it in range(ITERS):
         ctes.append(f"""

@@ -123,6 +123,8 @@ K_CELLS = 8
 KM_ITERS = 2
 NPROBE = 2
 KM_SAMPLE_TARGET = 128  # quantizer training-sample size (~16 vecs/cell)
+_P31 = 2147483647       # 2^31 - 1 (Mersenne prime), sample-hash domain
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative-hash constant (2^32 * phi)
 
 
 def _assign_struct(q_col, cents, nprobe: int = 1, q_name: str = "q"):
@@ -147,15 +149,26 @@ def _assign_struct(q_col, cents, nprobe: int = 1, q_name: str = "q"):
 
 
 def training_sample(qz: DataFrame, s: int) -> DataFrame:
-    """Deterministic modulo sample for quantizer training: every s-th
-    vec_id. A pure narrow filter+projection — the pmod predicate is
-    evaluated map-side in PARALLEL across the corpus partitions, with NO
-    exchange anywhere (never a coalesce(1), which would collapse the
-    upstream scan into one task — the full-corpus-in-one-task shape this
-    exists to avoid)."""
+    """Deterministic 1-in-s sample for quantizer training, keyed on a
+    multiplicative HASH of vec_id rather than the raw id: a raw
+    `vec_id % s` assumes dense ids from 0 — with sparse or offset id
+    spaces (every id sharing a residue class) it can select far fewer
+    rows than targeted, or none at all. The affine scramble
+    `((vec_id % P31) * 2654435761) % P31` spreads any arithmetic-
+    progression id space uniformly over the modulus (all operands stay
+    < 2^63 — ANSI-overflow-safe), and the SQL oracle replays the same
+    integer expression exactly. A pure narrow filter+projection — the
+    pmod predicate is evaluated map-side in PARALLEL across the corpus
+    partitions, with NO exchange anywhere (never a coalesce(1), which
+    would collapse the upstream scan into one task — the
+    full-corpus-in-one-task shape this exists to avoid)."""
     samp = qz.select("vec_id", "q")
     if s > 1:
-        samp = samp.filter(F.pmod(F.col("vec_id"), F.lit(s)) == 0)
+        h = F.pmod(
+            F.pmod(F.col("vec_id"), F.lit(_P31)) * F.lit(_SAMPLE_MULT),
+            F.lit(_P31),
+        )
+        samp = samp.filter(F.pmod(h, F.lit(s)) == 0)
     return samp
 
 
@@ -173,8 +186,11 @@ def train_kmeans_cells(
     sample_target: int = KM_SAMPLE_TARGET,
 ) -> list:
     """Deterministic Lloyd k-means over a deterministic SAMPLE of the
-    quantized vectors: sample = vec_id % s == 0 with s = ceil(n / target),
-    init = the sample's first k vectors (vec_id < k*s), fixed iteration
+    quantized vectors: sample = hash(vec_id) % s == 0 with
+    s = ceil(n / target) (training_sample — id-space-agnostic), init = the
+    k sample vectors with the smallest vec_ids (raises if the sample has
+    fewer than k — an empty/near-empty sample would otherwise yield
+    missing centroids and silently empty IVF cells), fixed iteration
     count, integer-rounded means, ties broken by cell id.
     Returns [(cell, centroid_ints)].
 
@@ -194,10 +210,15 @@ def train_kmeans_cells(
     s = max(1, (n + sample_target - 1) // sample_target)
     rows = training_sample(qz, s).collect()  # bounded: ~sample_target rows
     rows.sort(key=lambda r: r.vec_id)  # collect order is partition-dependent
+    if len(rows) < k:
+        raise ValueError(
+            f"train_kmeans_cells: sample yielded {len(rows)} vectors for "
+            f"k={k} cells (corpus n={n}, stride s={s}); lower k or raise "
+            "sample_target"
+        )
     vids = np.array([r.vec_id for r in rows], dtype=np.int64)
     X = np.array([r.q for r in rows], dtype=np.int64)  # (m, D)
-    init = vids < k * s
-    cents = [(int(v), [int(x) for x in q]) for v, q in zip(vids[init], X[init])]
+    cents = [(int(v), [int(x) for x in q]) for v, q in zip(vids[:k], X[:k])]
     for _ in range(iters):
         C = np.array([c for _, c in cents], dtype=np.int64)  # (k, D)
         # exact integer distances; argmin tie-breaks to the FIRST minimum,

@@ -43,6 +43,25 @@ def test_kmeans_ivf_recall_beats_chance(spark):
     assert recall >= 0.5, recall
 
 
+def test_kmeans_sample_robust_to_sparse_offset_ids(spark):
+    """The training sample hashes vec_id before the modulo (ADVICE r3):
+    an offset arithmetic-progression id space (every id in one residue
+    class, where a raw `vec_id % s` would select nothing) must still
+    yield a full-size sample and k centroids."""
+    emb = _emb(spark).withColumn(
+        "vec_id", F.col("vec_id") * 7 + 1_000_003
+    )
+    cents = train_kmeans_cells(_quantized(emb))
+    assert len(cents) == 8
+    # and a too-small corpus raises instead of silently under-initializing
+    tiny = _emb(spark).filter(F.col("vec_id") < 3)
+    try:
+        train_kmeans_cells(_quantized(tiny))
+        raise AssertionError("expected ValueError for n < k")
+    except ValueError as e:
+        assert "sample yielded" in str(e)
+
+
 def test_ivf_index_persistence_round_trip(spark, tmp_path):
     """Build-once / probe-many: centroids persist to a tiny JSON index and
     a prebuilt-quantizer query run returns identical rows with zero
