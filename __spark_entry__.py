@@ -932,7 +932,7 @@ ids AS (
 """
 
 _MINHASH_SIGS = """
-dtok AS (SELECT DISTINCT doc_id, token_id FROM ids),
+dtok AS (SELECT DISTINCT doc_id, token_id FROM {dtok_src}),
 sigs AS (
   SELECT doc_id,
     {mh_cols}
@@ -974,9 +974,11 @@ def _bands_sql() -> str:
 
 
 def _ta_clean_corpus_oracle() -> str:
-    """The full cleaning chain re-derived in SQL: verified minhash pairs
-    (same CTEs as dd_minhash) -> drop doc_b's; md5 keep-first window; lang
-    CASE; quality floors."""
+    """The full cleaning chain re-derived in SQL: md5 keep-first window +
+    lang CASE + quality floors define the SURVIVORS; verified minhash
+    pairs (same CTEs as dd_minhash, restricted to survivors via dtok_src)
+    drop doc_b's among them — mirroring clean_corpus's
+    keep-first-among-survivors semantics exactly."""
     score_cols, score_names = [], []
     for lang in LANG_ORDER:
         lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
@@ -991,8 +993,25 @@ def _ta_clean_corpus_oracle() -> str:
         case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
     case += "END"
     return f"""
-WITH {_TOKS},
-{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql())},
+WITH feat AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS distinct_ratio,
+    {', '.join(score_cols)},
+    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM documents
+),
+surv AS (
+  SELECT doc_id FROM feat
+  WHERE keep_id = doc_id
+    AND {case} = 'en'
+    AND n_tokens >= 5
+    AND distinct_ratio >= 0.3
+),
+{_TOKS},
+{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql(),
+                      dtok_src='ids JOIN surv USING (doc_id)')},
 cnt AS (SELECT doc_id, count(*) AS n_tok FROM dtok GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS n_inter
@@ -1007,24 +1026,12 @@ dropb AS (
   JOIN cnt ca ON ca.doc_id = i.doc_a
   JOIN cnt cb ON cb.doc_id = i.doc_b
   WHERE CAST(i.n_inter AS DOUBLE)/(ca.n_tok + cb.n_tok - i.n_inter) >= 0.5
-),
-feat AS (
-  SELECT doc_id,
-    len(string_split(text, ' ')) AS n_tokens,
-    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      / len(string_split(text, ' ')) AS distinct_ratio,
-    {', '.join(score_cols)},
-    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-  FROM documents
 )
 SELECT doc_id, {case} AS pred_lang,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   round(distinct_ratio, 6) AS distinct_ratio
 FROM feat
-WHERE keep_id = doc_id
-  AND {case} = 'en'
-  AND n_tokens >= 5
-  AND distinct_ratio >= 0.3
+WHERE doc_id IN (SELECT doc_id FROM surv)
   AND doc_id NOT IN (SELECT doc_id FROM dropb)
 ORDER BY doc_id
 """
@@ -2179,7 +2186,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
 """,
         "dd_minhash": f"""
 WITH {_TOKS},
-{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql())},
+{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql(), dtok_src='ids')},
 cnt AS (SELECT doc_id, count(*) AS n_tok FROM dtok GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS n_inter
@@ -2212,7 +2219,7 @@ FROM votes ORDER BY doc_id
 """,
         "dd_ngram": f"""
 WITH {_TOKS},
-{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql())},
+{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql(), dtok_src='ids')},
 grams AS (
   SELECT DISTINCT g1.doc_id,
     (((g1.token_id*1009 + g2.token_id) % {P31}) * 1013 + g3.token_id) % {P31} AS gram

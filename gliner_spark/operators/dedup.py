@@ -160,12 +160,14 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     stage's exploded item sets (explode of array_distinct — already unique
     per doc, so no distinct shuffle either). The corpus text is scanned
     exactly once in the physical plan."""
+    from gliner_spark.cache import attach_caches
+
     staged = staged_token_ids(docs).persist()
     ids = staged.select(
         "doc_id", F.explode(F.array_distinct("_ids")).alias("item")
     )
     pairs = _candidate_pairs_from_ids(staged)
-    return _jaccard_verify(pairs, ids, threshold)
+    return attach_caches(_jaccard_verify(pairs, ids, threshold), staged)
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
@@ -203,6 +205,8 @@ def ngram_jaccard_dedup(
     gone; only the verify-stage intersection join shuffles. ONE tokenize
     pass: the staged id arrays feed both the gram explode and the LSH
     candidate stage (persisted at the branch point)."""
+    from gliner_spark.cache import attach_caches
+
     assert n == 3, "gram fold below is specialized for n=3"
     staged = staged_token_ids(docs).persist()
     ids_arr = F.col("_ids")
@@ -220,4 +224,4 @@ def ngram_jaccard_dedup(
     )
     grams = staged.select("doc_id", F.explode(grams_arr).alias("item"))
     pairs = _candidate_pairs_from_ids(staged)
-    return _jaccard_verify(pairs, grams, threshold)
+    return attach_caches(_jaccard_verify(pairs, grams, threshold), staged)

@@ -270,4 +270,8 @@ def evaluate_ner_suite(
             "grp", "n_pred", "n_gold", "tp", "precision", "recall", "f1",
         )
     )
-    return per_ds.unionByName(avgs)
+    from gliner_spark.cache import attach_caches
+
+    # eval_df persists past return by design (the caller's action hits the
+    # cache); release with cache.release_caches() after consuming
+    return attach_caches(per_ds.unionByName(avgs), eval_df)

@@ -216,16 +216,28 @@ def clean_corpus(
     """The standard pre-training corpus filter chain (C4/RefinedWeb shape)
     composed as ONE declarative plan: exact-dedup keep-first (md5 groups)
     -> language filter (marker lang-id) -> quality floor (token count +
-    distinct ratio) -> near-dup keep-first (verified minhash pairs drop
-    the lexicographically larger doc). Returns the surviving docs with
-    their features.
+    distinct ratio) -> near-dup keep-first over the SURVIVORS (verified
+    minhash pairs drop the lexicographically larger doc). Returns the
+    surviving docs with their features.
+
+    The near-dup stage runs on the docs that survived the earlier stages,
+    not the raw corpus (ADVICE r3): with raw-corpus pairs a doc could be
+    dropped as doc_b of a pair whose keep-side doc_a was itself removed by
+    exact-dedup/lang/quality — every copy of that content would vanish.
+    Keep-first now means the kept representative of each surviving pair is
+    actually in the output.
 
     Scale shape: features are narrow per-row expressions; the only
     shuffles are the md5 keep-first window, the LSH band join inside
-    minhash_dedup, and the final anti-join — no stage touches full text
-    twice (the dedup subtree stages its token ids once)."""
+    minhash_dedup, the survivor semi-join, and the final anti-join. The
+    corpus text is scanned twice (feature pass + survivor tokenize) —
+    cheaper than carrying full text through the md5 window shuffle, and
+    the second scan tokenizes only survivors. The survivor filter is
+    persisted at the branch point; release with cache.release_caches()
+    after the consuming action."""
     from pyspark.sql import Window
 
+    from gliner_spark.cache import attach_caches
     from gliner_spark.operators.dedup import minhash_dedup
 
     arr = F.split("text", " ")
@@ -246,13 +258,11 @@ def clean_corpus(
         & (F.col("pred_lang") == lang)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("distinct_ratio") >= min_distinct_ratio)
-    )
-    dups = (
-        minhash_dedup(docs, threshold=neardup_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    return (
+    ).persist()
+    survivors = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    dd = minhash_dedup(survivors, threshold=neardup_threshold)
+    dups = dd.select(F.col("doc_b").alias("doc_id")).distinct()
+    out = (
         kept.join(dups, "doc_id", "left_anti")
         .select(
             "doc_id",
@@ -262,6 +272,7 @@ def clean_corpus(
         )
         .orderBy("doc_id")
     )
+    return attach_caches(out, kept, dd)
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:

@@ -10,10 +10,11 @@ DOCS = "/root/testdata/sf0.01/documents.parquet"
 
 
 def test_clean_corpus_invariants(spark):
+    from gliner_spark.cache import release_caches
+
     docs = spark.read.parquet(DOCS)
-    out = clean_corpus(docs).persist()
+    out = clean_corpus(docs)
     rows = out.collect()
-    out.unpersist()
     assert 0 < len(rows) < docs.count()  # filters something, keeps something
     # survivors satisfy every stage's predicate
     assert all(r.pred_lang == "en" for r in rows)
@@ -22,9 +23,26 @@ def test_clean_corpus_invariants(spark):
     # exact-dup losers are gone (only group minima may survive)
     keepers = {r.keep_id for r in exact_dedup(docs).collect()}
     assert ids <= keepers
-    # near-dup doc_b's are gone
-    dup_b = {r.doc_b for r in minhash_dedup(docs, threshold=0.5).collect()}
-    assert not (ids & dup_b)
+    # near-dup runs over the SURVIVORS of stages 1-3 (keep-first among
+    # survivors): threshold > 1.0 disables the near-dup stage, exposing
+    # the pre-neardup survivor set; the final output must equal exactly
+    # that set minus the doc_b side of survivor-restricted verified pairs
+    pre = clean_corpus(docs, neardup_threshold=1.1)
+    pre_ids = {r.doc_id for r in pre.collect()}
+    surv_docs = docs.join(
+        pre.select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = minhash_dedup(surv_docs, threshold=0.5).collect()
+    dup_b = {r.doc_b for r in pairs}
+    assert ids == pre_ids - dup_b
+    # keep-first representative actually in the output unless it is
+    # itself the doc_b of another surviving pair
+    for r in pairs:
+        assert r.doc_a in ids or r.doc_a in dup_b
+    # cache handles: every branch-point persist is released on request
+    assert release_caches(out) > 0
+    assert release_caches(out) == 0  # idempotent
+    release_caches(pre)
 
 
 def test_clean_corpus_deterministic_across_partitionings(spark):

@@ -76,6 +76,9 @@ def main():
         try:
             df = fn(spark, SF)
             pdf = df.toPandas()
+            from gliner_spark.cache import release_caches
+
+            release_caches(df)  # free operator branch-point persists
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {str(e)[:300]}")
