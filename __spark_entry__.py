@@ -158,6 +158,17 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_pagerank_dangling(spark, sf_dir):
+    """Exact-integer PageRank WITH standard dangling-mass redistribution:
+    each round the sink nodes' total rank is one extra 1-row aggregate and
+    every node receives DT DIV N inbound mass before damping — the form
+    real centrality consumers expect (the default gate keeps the
+    drop-dangling simplification)."""
+    from gliner_spark.operators.graph_analytics import pagerank
+
+    return pagerank(q_kg_triples(spark, sf_dir), dangling=True)
+
+
 def q_kg_span_f1(spark, sf_dir):
     """Span micro-F1 of the pipeline vs planted gold (evaluator operator)."""
     from gliner_spark.operators.evaluation import span_prf
@@ -856,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree": q_kg_degree,
         "kg_two_hop": q_kg_two_hop,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_dangling": q_kg_pagerank_dangling,
         "kg_span_f1": q_kg_span_f1,
         "kg_mentions_zeroshot": q_kg_mentions_zeroshot,
         "kg_eval_ner": q_kg_eval_ner,
@@ -1858,7 +1870,7 @@ ORDER BY 1, 2
 """
 
 
-def _kg_pagerank_oracle() -> str:
+def _kg_pagerank_oracle(dangling: bool = False) -> str:
     from gliner_spark.operators.graph_analytics import (
         PR_DAMP,
         PR_ITERS,
@@ -1871,7 +1883,27 @@ def _kg_pagerank_oracle() -> str:
         f"r0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS rank FROM knodes)"
     ]
     for it in range(PR_ITERS):
-        ctes.append(f"""
+        if dangling:
+            # total sink mass this round, redistributed DT DIV N per node
+            # (graph_analytics.pagerank dangling=True — identical bigint)
+            extra = f"""
+d{it} AS (
+  SELECT coalesce(sum(rank), 0) AS dt FROM r{it}
+  WHERE node NOT IN (SELECT node FROM kod)
+),"""
+            upd = (
+                f"CAST({base} + ({PR_DAMP} * (coalesce(c.s, 0) "
+                f"+ d{it}.dt // nn.n)) // 1000 AS BIGINT)"
+            )
+            tail = f" CROSS JOIN d{it} CROSS JOIN nn"
+        else:
+            extra = ""
+            upd = (
+                f"CAST({base} + ({PR_DAMP} * coalesce(c.s, 0)) "
+                "// 1000 AS BIGINT)"
+            )
+            tail = ""
+        ctes.append(f"""{extra}
 c{it + 1} AS (
   SELECT e.dst AS node, sum(r.rank // o.out_deg) AS s
   FROM kedges e
@@ -1880,9 +1912,8 @@ c{it + 1} AS (
   GROUP BY e.dst
 ),
 r{it + 1} AS (
-  SELECT n.node,
-    CAST({base} + ({PR_DAMP} * coalesce(c.s, 0)) // 1000 AS BIGINT) AS rank
-  FROM knodes n LEFT JOIN c{it + 1} c ON c.node = n.node
+  SELECT n.node, {upd} AS rank
+  FROM knodes n LEFT JOIN c{it + 1} c ON c.node = n.node{tail}
 )""")
     return f"""
 WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
@@ -1894,6 +1925,7 @@ knodes AS (
     SELECT src AS node FROM kedges UNION ALL SELECT dst FROM kedges
   )
 ),
+nn AS (SELECT count(*) AS n FROM knodes),
 kod AS (SELECT src AS node, count(*) AS out_deg FROM kedges GROUP BY src),
 {', '.join(ctes)}
 SELECT node, rank FROM r{PR_ITERS} ORDER BY rank DESC, node ASC
@@ -2447,6 +2479,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_degree": _kg_degree_oracle(),
         "kg_two_hop": _kg_two_hop_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_mentions_zeroshot": _kg_zeroshot_oracle(),
         "kg_media_nodes": _kg_media_nodes_oracle(),
         "kg_span_f1": _kg_span_f1_oracle(),

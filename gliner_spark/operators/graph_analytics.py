@@ -98,11 +98,20 @@ def pagerank(
     damping: int = PR_DAMP,
     reliable_checkpoint: bool = False,
     checkpoint_dir: str = "",
+    dangling: bool = False,
 ) -> DataFrame:
     """Integer PageRank over the distinct edge set: fixed `iters` rounds of
     r'(v) = (1-d) + d * sum_{u->v} (r(u) DIV out_deg(u)),
-    all in bigint micro-units (PR_UNIT == rank 1.0). Dangling-node mass is
-    dropped (documented simplification, mirrored exactly by the oracle).
+    all in bigint micro-units (PR_UNIT == rank 1.0). By default
+    dangling-node mass is dropped (documented simplification, mirrored
+    exactly by the oracle); dangling=True adds the standard uniform
+    redistribution — each round the total rank of sink nodes (no
+    out-edges) is summed (ONE extra 1-row aggregate, an anti-join vs the
+    out-degree table) and every node receives `DT DIV N` extra inbound
+    mass before damping:
+    r'(v) = (1-d) + d * (sum_contribs(v) + DT DIV N), still pure bigint —
+    deterministic under any partitioning and replayed exactly by the
+    kg_pagerank_dangling oracle.
 
     Integer contributions make the per-node sum order-independent — the
     result is bit-identical under any partitioning/engine, unlike a float
@@ -136,6 +145,10 @@ def pagerank(
         F.count(F.lit(1)).alias("out_deg")
     )
     base = PR_UNIT * (1000 - damping) // 1000
+    n_nodes = None
+    if dangling:
+        nodes = nodes.persist()
+        n_nodes = nodes.count()  # materializes the persist; N is fixed
     ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = (
@@ -148,16 +161,44 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping} * coalesce(s, 0)) DIV 1000"
-                    )
-                ).cast("long").alias("rank"),
+        if dangling:
+            # total sink mass this round: 1-row aggregate over the ranks
+            # of nodes absent from the out-degree table, broadcast back
+            share = (
+                ranks.join(od, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dt"))
+                .select(F.expr(f"_dt DIV {n_nodes}").alias("_share"))
             )
-        )
-    return ranks.orderBy(F.desc("rank"), F.asc("node"))
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(share))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping} * (coalesce(s, 0) + _share)) "
+                            "DIV 1000"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+            )
+        else:
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping} * coalesce(s, 0)) DIV 1000"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+            )
+    out = ranks.orderBy(F.desc("rank"), F.asc("node"))
+    if dangling:
+        from gliner_spark.cache import attach_caches
+
+        out = attach_caches(out, nodes)
+    return out

@@ -114,6 +114,27 @@ def test_random_graph_matches_python_brute_force(spark):
     got_rank = {r.node: r.rank for r in pagerank(t).collect()}
     assert got_rank == rank
 
+    # integer pagerank WITH dangling-mass redistribution: sinks' total
+    # rank is split DT DIV N to every node inside the damping term
+    rank_d = {v: PR_UNIT for v in nodes}
+    for _ in range(PR_ITERS):
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank_d[s] // len(out_nb[s])
+        dt = sum(rank_d[v] for v in nodes if v not in out_nb)
+        share = dt // len(nodes)
+        rank_d = {
+            v: base + (PR_DAMP * (contrib.get(v, 0) + share)) // 1000
+            for v in nodes
+        }
+    got_rank_d = {
+        r.node: r.rank for r in pagerank(t, dangling=True).collect()
+    }
+    assert got_rank_d == rank_d
+    # the graph has sinks, so redistribution must actually move mass
+    assert any(v not in out_nb for v in nodes)
+    assert got_rank_d != got_rank
+
 
 def test_pagerank_sink_outranks_source_and_is_deterministic(spark):
     t = _triples(spark, [("a", "r", "c"), ("b", "r", "c"), ("c", "r", "d")])

@@ -66,7 +66,8 @@ def main():
                   "kg_triples_scored", "kg_triples_spans", "kg_eval_suite",
                   "kg_classify", "kg_qa", "kg_summarize",
                   "ev_docred", "ev_squad",
-                  "kg_degree", "kg_two_hop", "kg_pagerank"):
+                  "kg_degree", "kg_two_hop", "kg_pagerank",
+                  "kg_pagerank_dangling"):
             oracles.pop(k, None)
     failures = []
     for name, fn in qs.items():
