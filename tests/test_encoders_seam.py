@@ -56,3 +56,37 @@ def test_hf_backend_is_import_gated():
 
     with pytest.raises(ImportError, match="torch"):
         HFTransformerBackend("any/model")
+
+
+def test_extract_spans_encoder_equals_dense_on_spark(spark, tmp_path):
+    """The distributed SpanEncoder route (SparkFiles npz -> backend ->
+    protocol scoring inside mapInPandas) must emit the exact rows of the
+    oracle-gated extract_spans_dense broadcast route — the end-to-end
+    proof that swapping the encoder backend touches zero Spark code."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.extraction import (
+        extract_spans_dense,
+        extract_spans_encoder,
+    )
+
+    ckpt = random_quantized(["person", "organization", "location", "date"])
+    p = str(tmp_path / "seam_ckpt.npz")
+    ckpt.save_npz(p)
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", assembled_text(gen_doc(i)["spans"])) for i in range(40)],
+        "doc_id string, text string",
+    ).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    a = sorted(map(tuple, extract_spans_dense(docs, ckpt).collect()))
+    b = sorted(map(tuple, extract_spans_encoder(docs, p).collect()))
+    assert a == b and len(a) > 0

@@ -62,7 +62,8 @@ def main():
                   "kg_mentions_zeroshot", "kg_media_nodes", "kg_span_f1",
                   "kg_eval_ner", "kg_media_features",
                   # round-2/3 oracles on the same fixed-size fixture snapshot
-                  "kg_mentions_dense", "kg_relations_prompted",
+                  "kg_mentions_dense", "kg_mentions_encoder",
+                  "kg_relations_prompted",
                   "kg_triples_scored", "kg_triples_spans", "kg_eval_suite",
                   "kg_classify", "kg_qa", "kg_summarize",
                   "ev_docred", "ev_squad",
