@@ -101,16 +101,21 @@ def candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def _candidate_pairs_from_ids(staged: DataFrame) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b), dedup'd across bands."""
+    """LSH candidate pairs (doc_a < doc_b), dedup'd across bands.
+
+    The bucket cap is AUDITED, not silent: a 1-row audit aggregate of
+    dropped over-cap rows rides the returned frame (metrics.capped_filter;
+    read with metrics.skew_metrics — one cached-scan agg job)."""
+    from gliner_spark.metrics import attach_audits, capped_filter
+
     buckets = _band_buckets(_signatures_from_ids(staged))
     w = Window.partitionBy("band", "bkey")
-    buckets = (
-        buckets.withColumn("n", F.count(F.lit(1)).over(w))
-        .filter(F.col("n") <= MAX_BUCKET)
-        .drop("n")
+    buckets, audit = capped_filter(
+        buckets.withColumn("n", F.count(F.lit(1)).over(w)),
+        "n", MAX_BUCKET, "dedup_lsh_bucket_cap",
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -122,6 +127,7 @@ def _candidate_pairs_from_ids(staged: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    return attach_audits(out, audit)
 
 
 def _jaccard_verify(pairs: DataFrame, items: DataFrame, threshold: float) -> DataFrame:
@@ -161,13 +167,15 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     per doc, so no distinct shuffle either). The corpus text is scanned
     exactly once in the physical plan."""
     from gliner_spark.cache import attach_caches
+    from gliner_spark.metrics import attach_audits
 
     staged = staged_token_ids(docs).persist()
     ids = staged.select(
         "doc_id", F.explode(F.array_distinct("_ids")).alias("item")
     )
     pairs = _candidate_pairs_from_ids(staged)
-    return attach_caches(_jaccard_verify(pairs, ids, threshold), staged)
+    out = attach_caches(_jaccard_verify(pairs, ids, threshold), staged)
+    return attach_audits(out, pairs)  # forward the bucket-cap audit
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
@@ -224,4 +232,7 @@ def ngram_jaccard_dedup(
     )
     grams = staged.select("doc_id", F.explode(grams_arr).alias("item"))
     pairs = _candidate_pairs_from_ids(staged)
-    return attach_caches(_jaccard_verify(pairs, grams, threshold), staged)
+    out = attach_caches(_jaccard_verify(pairs, grams, threshold), staged)
+    from gliner_spark.metrics import attach_audits
+
+    return attach_audits(out, pairs)

@@ -70,26 +70,29 @@ def two_hop_paths(
     """(src, dst, n_paths) over 2-hop walks src -> mid -> dst (src != dst),
     counted over the DISTINCT edge set.
 
-    Mid nodes with out-fanout > max_fanout are excluded from the hop join
-    (deterministic cap, reported implicitly by absence): at web scale a hub
-    mid contributes in_deg x out_deg pairs, so the cap bounds the join
-    output by |E| * max_fanout."""
+    Mid nodes with out-fanout > max_fanout are excluded from the hop join:
+    at web scale a hub mid contributes in_deg x out_deg pairs, so the cap
+    bounds the join output by |E| * max_fanout. The cap is AUDITED,
+    never silent (capped-hub edge counts ride the returned frame — read
+    with metrics.skew_metrics)."""
+    from gliner_spark.metrics import attach_audits, capped_filter
+
     e = graph_edges(triples)
     w = Window.partitionBy("src")
-    ok_mid = (
-        e.withColumn("fan", F.count(F.lit(1)).over(w))
-        .filter(F.col("fan") <= max_fanout)
-        .drop("fan")
+    ok_mid, audit = capped_filter(
+        e.withColumn("fan", F.count(F.lit(1)).over(w)),
+        "fan", max_fanout, "two_hop_hub_cap",
     )
     a = e.select(F.col("src"), F.col("dst").alias("mid"))
     b = ok_mid.select(F.col("src").alias("mid"), F.col("dst"))
-    return (
+    out = (
         a.join(b, "mid")
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
         .orderBy("src", "dst")
     )
+    return attach_audits(out, audit)
 
 
 def pagerank(

@@ -90,11 +90,11 @@ def _with_shingles(surfaces: DataFrame, k: int) -> DataFrame:
     )
 
 
-def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """LSH-blocked candidate pairs verified by exact Jaccard.
-
-    Returns (label, norm_a, norm_b) undirected edges (norm_a < norm_b).
-    """
+def banded_surfaces(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(label, norm, shingles, band, sig) LSH band keys for each surface —
+    the shared blocking stage of similarity_edges and the incremental
+    delta↔existing candidate join (canonicalize_incremental). UNCAPPED:
+    callers apply their own bucket-cap policy."""
     rows, bands = cfg.link_minhash_rows, cfg.link_minhash_bands
     per_band = rows // bands
     sh = _with_shingles(surfaces, cfg.link_shingle_size)
@@ -106,17 +106,28 @@ def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
         for j in range(b * per_band, (b + 1) * per_band):
             sig = (sig * F.lit(1000003) + F.col(f"mh_{j}")) % F.lit(_P31)
         band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    blocked = sh.select(
+    return sh.select(
         "label", "norm", "shingles",
         F.explode(F.array(*band_cols)).alias("bk"),
     ).select("label", "norm", "shingles", "bk.band", "bk.sig")
 
-    # skew guard: drop degenerate blocks (identity linkage is implicit)
+
+def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """LSH-blocked candidate pairs verified by exact Jaccard.
+
+    Returns (label, norm_a, norm_b) undirected edges (norm_a < norm_b).
+    """
+    blocked = banded_surfaces(surfaces, cfg)
+
+    # skew guard: drop degenerate blocks (identity linkage is implicit);
+    # the cap is observed — dropped-row counts ride the caller's action
+    # (metrics.skew_metrics) instead of firing silently
+    from gliner_spark.metrics import capped_filter
+
     w = Window.partitionBy("label", "band", "sig")
-    blocked = (
-        blocked.withColumn("block_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("block_n") <= cfg.link_max_block_size)
-        .drop("block_n")
+    blocked, _block_audit = capped_filter(
+        blocked.withColumn("block_n", F.count(F.lit(1)).over(w)),
+        "block_n", cfg.link_max_block_size, "linking_lsh_block_cap",
     )
 
     a = blocked.alias("a")
@@ -143,9 +154,12 @@ def similarity_edges(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return pairs.withColumn("jaccard", jac).filter(
+    from gliner_spark.metrics import attach_audits
+
+    out = pairs.withColumn("jaccard", jac).filter(
         F.col("jaccard") >= cfg.link_jaccard_threshold
     ).select("label", "norm_a", "norm_b")
+    return attach_audits(out, _block_audit)
 
 
 def _cc_driver(nodes: DataFrame, edge_rows: list) -> DataFrame:
@@ -293,7 +307,12 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     """mentions -> (entities DF, surface->entity map DF).
 
     entities(entity_id, canonical, label, n_mentions)
-    surface_map(label, norm, entity_id)
+    surface_map(label, norm, entity_id, canonical, n_mentions)
+
+    surface_map carries the per-surface mention count and the component's
+    canonical form so a later DELTA finalize (canonicalize_incremental)
+    can rebuild only touched components; consumers that need just the
+    rewrite mapping use (label, norm, entity_id).
     """
     # surfaces is the root of every downstream branch (edges, CC nodes,
     # cluster join) — persist the tiny post-agg table, not the mentions
@@ -343,7 +362,236 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     entities = surface_map.groupBy("entity_id", "canonical").agg(
         F.first("label").alias("label"), F.sum("n_mentions").alias("n_mentions")
     ).select("entity_id", "canonical", "label", "n_mentions")
-    return entities, surface_map.select("label", "norm", "entity_id")
+    # propagate the LSH-block-cap audit so the pipeline sink can
+    # append skew metrics after its write action
+    from gliner_spark.metrics import attach_audits
+
+    entities = attach_audits(entities, edges_s)
+    return entities, surface_map.select(
+        "label", "norm", "entity_id", "canonical", "n_mentions"
+    )
+
+
+def canonicalize_incremental(
+    new_mentions: DataFrame, old_surface_map: DataFrame, cfg: PipelineConfig
+):
+    """DELTA canonicalization (VERDICT r3 ask #3): incorporate newly
+    arrived mentions (e.g. a streamed micro-batch staged since the last
+    finalize) WITHOUT re-running LSH + connected components over the full
+    surface vocabulary.
+
+    new_mentions: the mentions NOT yet reflected in old_surface_map.
+    old_surface_map: the rich map a previous canonicalize/finalize wrote
+        (label, norm, entity_id, canonical, n_mentions).
+
+    Returns (entities_out, surface_map_out, remap) where remap is
+    (old_entity_id, new_entity_id) for every entity whose id changed — the
+    MERGE-style upsert key for the existing triples table
+    (apply_entity_remap / Iceberg `MERGE INTO triples USING remap ON
+    subj = old_entity_id ...` on a cluster).
+
+    Algorithm — linking/CC run only on the delta + its touched components:
+    1. delta surfaces = new surfaces anti-joined against the existing map;
+       count INCREMENTS for existing surfaces hit by new mentions.
+    2. candidate links: delta↔delta via the normal similarity_edges, and
+       delta↔existing via a broadcast join of the delta's LSH band keys
+       against the existing surfaces' band keys (same banding — the
+       deterministic blocking guarantees the same pairs the full run would
+       find; existing↔existing pairs need no re-discovery, their verdicts
+       are already encoded in the old components).
+    3. touched components = entities linked to by a verified delta edge,
+       plus entities holding a count-incremented surface (the increment
+       can flip the canonical-representative ranking).
+    4. rebuild ONLY delta + touched-component members: CC over delta
+       edges + one spanning STAR per old component (member -> min-id
+       anchor — reproducing the old partition without its edges), then
+       the standard representative ranking with UPDATED counts.
+    5. untouched components pass through byte-identical.
+
+    Equality with a full recompute holds exactly (test_incremental_
+    finalize) with one deliberate divergence class: a full recompute's
+    LSH bucket cap sees delta+existing bucket sizes together and may DROP
+    previously-verified existing↔existing pairs when the delta pushes a
+    bucket over the cap; the incremental path PRESERVES previously-found
+    links (strictly better), so equality is exact whenever no bucket
+    crosses the cap mid-stream.
+    """
+    from gliner_spark.metrics import capped_filter
+
+    new_surf = surface_table(new_mentions)
+    old = old_surface_map
+    # count increments for surfaces the map already knows
+    hits = new_surf.join(
+        old.select("label", "norm", "entity_id"), ["label", "norm"]
+    ).select("label", "norm", "entity_id", F.col("n_mentions").alias("n_inc"))
+    delta = new_surf.join(
+        old.select("label", "norm"), ["label", "norm"], "left_anti"
+    ).persist()
+
+    # --- candidate links
+    dd_edges = similarity_edges(delta, cfg)  # delta↔delta, verified
+    bd = banded_surfaces(delta.select("label", "norm"), cfg)
+    bo = banded_surfaces(old.select("label", "norm"), cfg)
+    w = Window.partitionBy("label", "band", "sig")
+    bo, _audit = capped_filter(
+        bo.withColumn("block_n", F.count(F.lit(1)).over(w)),
+        "block_n", cfg.link_max_block_size, "incremental_lsh_block_cap",
+    )
+    cand = (
+        F.broadcast(
+            bd.select(
+                "label", "band", "sig",
+                F.col("norm").alias("norm_d"),
+                F.col("shingles").alias("sh_d"),
+            )
+        )
+        .join(
+            bo.select(
+                "label", "band", "sig",
+                F.col("norm").alias("norm_o"),
+                F.col("shingles").alias("sh_o"),
+            ),
+            ["label", "band", "sig"],
+        )
+        .dropDuplicates(["label", "norm_d", "norm_o"])
+    )
+    jac = F.size(F.array_intersect("sh_d", "sh_o")) / F.size(
+        F.array_union("sh_d", "sh_o")
+    )
+    do_edges = (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= cfg.link_jaccard_threshold)
+        .select("label", "norm_d", "norm_o")
+    )
+
+    # --- touched components (delta-linked or count-incremented)
+    linked = do_edges.join(
+        old.select("label", F.col("norm").alias("norm_o"), "entity_id"),
+        ["label", "norm_o"],
+    ).select("entity_id")
+    touched_ids = linked.union(hits.select("entity_id")).distinct()
+    touched = old.join(F.broadcast(touched_ids), "entity_id", "left_semi")
+    untouched = old.join(F.broadcast(touched_ids), "entity_id", "left_anti")
+
+    # --- rebuild subgraph: delta + touched members, updated counts
+    t_counts = (
+        touched.join(
+            hits.select("label", "norm", "n_inc"), ["label", "norm"], "left"
+        )
+        .select(
+            "label", "norm", "entity_id",
+            (F.col("n_mentions") + F.coalesce("n_inc", F.lit(0))).alias("n"),
+        )
+    )
+    keyed_t = t_counts.withColumn("id", F.xxhash64("label", "norm"))
+    keyed_d = delta.select(
+        "label", "norm", F.col("n_mentions").alias("n")
+    ).withColumn("id", F.xxhash64("label", "norm"))
+    nodes = keyed_t.select("id").union(keyed_d.select("id")).distinct()
+    # one spanning star per old component reproduces its partition
+    anchors = keyed_t.groupBy("entity_id").agg(F.min("id").alias("anchor"))
+    star = (
+        keyed_t.join(anchors, "entity_id")
+        .filter(F.col("id") != F.col("anchor"))
+        .select(F.col("id").alias("src"), F.col("anchor").alias("dst"))
+    )
+    e_dd = (
+        dd_edges.withColumn("src", F.xxhash64("label", "norm_a"))
+        .withColumn("dst", F.xxhash64("label", "norm_b"))
+        .select("src", "dst")
+    )
+    e_do = (
+        do_edges.withColumn("src", F.xxhash64("label", "norm_d"))
+        .withColumn("dst", F.xxhash64("label", "norm_o"))
+        .select("src", "dst")
+    )
+    comp = connected_components(
+        nodes, star.union(e_dd).union(e_do), cfg
+    )
+    members = (
+        keyed_t.select("label", "norm", "n", "id")
+        .union(keyed_d.select("label", "norm", "n", "id"))
+        .join(comp, "id")
+    )
+    wn = Window.partitionBy("component").orderBy(
+        F.desc("n"), F.length("norm").asc(), F.col("norm").asc()
+    )
+    ranked = members.withColumn("rk", F.row_number().over(wn))
+    canon = ranked.filter(F.col("rk") == 1).select(
+        "component",
+        F.col("norm").alias("canonical"),
+        F.col("label").alias("canon_label"),
+    )
+    rebuilt = members.join(canon, "component").select(
+        "label",
+        "norm",
+        F.concat_ws(
+            ":", F.col("canon_label"),
+            F.substring(
+                F.md5(F.concat_ws("\x00", "canon_label", "canonical")), 1, 16
+            ),
+        ).alias("entity_id"),
+        "canonical",
+        F.col("n").alias("n_mentions"),
+    )
+
+    surface_out = untouched.select(
+        "label", "norm", "entity_id", "canonical", "n_mentions"
+    ).unionByName(rebuilt)
+    entities_out = (
+        surface_out.groupBy("entity_id", "canonical")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+        .select("entity_id", "canonical", "label", "n_mentions")
+    )
+    remap = (
+        touched.select("label", "norm", F.col("entity_id").alias("old_entity_id"))
+        .join(rebuilt.select("label", "norm", "entity_id"), ["label", "norm"])
+        .filter(F.col("old_entity_id") != F.col("entity_id"))
+        .select(
+            "old_entity_id", F.col("entity_id").alias("new_entity_id")
+        )
+        .distinct()
+    )
+    from gliner_spark.cache import attach_caches
+
+    return attach_caches(entities_out, delta), surface_out, remap
+
+
+def apply_entity_remap(triples: DataFrame, remap: DataFrame) -> DataFrame:
+    """MERGE-style upsert of changed entity ids onto an existing CANONICAL
+    triples table: subj/obj values found in remap.old_entity_id are
+    rewritten to new_entity_id; all other rows pass through unchanged.
+    remap is post-Zipf tiny — broadcast both joins (under Iceberg this is
+    literally `MERGE INTO triples t USING remap r ON t.subj =
+    r.old_entity_id WHEN MATCHED THEN UPDATE ...` — SCALE.md)."""
+    rs = F.broadcast(
+        remap.select(
+            F.col("old_entity_id").alias("subj"),
+            F.col("new_entity_id").alias("_new_subj"),
+        )
+    )
+    ro = F.broadcast(
+        remap.select(
+            F.col("old_entity_id").alias("obj"),
+            F.col("new_entity_id").alias("_new_obj"),
+        )
+    )
+    return (
+        triples.join(rs, "subj", "left")
+        .join(ro, "obj", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_new_subj", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_new_obj", "obj").alias("obj"),
+            "subj_type",
+            "obj_type",
+            "score",
+        )
+    )
 
 
 def rewrite_triples(

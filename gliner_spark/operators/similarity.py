@@ -392,11 +392,12 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bkey")
+    from gliner_spark.metrics import attach_audits, capped_filter
+
     w = Window.partitionBy("band", "bkey")
-    buckets = (
-        buckets.withColumn("n", F.count(F.lit(1)).over(w))
-        .filter(F.col("n") <= HP_MAX_BUCKET)
-        .drop("n")
+    buckets, _cap_audit = capped_filter(
+        buckets.withColumn("n", F.count(F.lit(1)).over(w)),
+        "n", HP_MAX_BUCKET, "neardup_srp_bucket_cap",
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
@@ -424,7 +425,7 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return (
+    out = (
         pairs.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn("dot", dot)
@@ -437,3 +438,4 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
         .orderBy("vec_a", "vec_b")
     )
+    return attach_audits(out, _cap_audit)

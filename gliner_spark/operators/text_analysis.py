@@ -272,7 +272,9 @@ def clean_corpus(
         )
         .orderBy("doc_id")
     )
-    return attach_caches(out, kept, dd)
+    from gliner_spark.metrics import attach_audits
+
+    return attach_audits(attach_caches(out, kept, dd), dd)
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:

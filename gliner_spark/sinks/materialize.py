@@ -371,20 +371,111 @@ def finalize_graph(
     triples = rewrite_triples(triples_raw, surface_map)
     io.overwrite(entities, "entities")
     io.overwrite(triples, "triples")
+    # the rich surface map (label, norm, entity_id, canonical, n_mentions)
+    # is the state a later DELTA finalize rebuilds from
+    # (finalize_graph_incremental / linking.canonicalize_incremental)
+    io.overwrite(surface_map, "surface_map")
+    wall_ms = int((time.time() - t0) * 1000)
+    n_e = io.read("entities", required=True).count()
+    n_t = io.read("triples", required=True).count()
+    snap = io.snapshot_id("triples")
+    rows = [
+        (run_id, "finalize", "entities", float(n_e), time.time(), snap),
+        (run_id, "finalize", "triples", float(n_t), time.time(), snap),
+        (run_id, "finalize", "wall_ms", float(wall_ms), time.time(), snap),
+    ]
+    # skew-guard audit rows — "no silent caps": the LSH block cap inside
+    # canonicalize audits its dropped rows (one tiny agg over the
+    # persisted surface table)
+    from gliner_spark.metrics import skew_metrics
+
+    for obs_name, vals in skew_metrics(entities).items():
+        for metric, value in vals.items():
+            rows.append(
+                (run_id, "finalize", f"skew.{obs_name}.{metric}",
+                 float(value), time.time(), snap)
+            )
+    metrics = spark.createDataFrame(
+        rows,
+        "run_id string, stage string, metric string, value double, "
+        "ts double, snapshot_id string",
+    )
+    io.append(metrics, "metrics")
+    return {"entities": n_e, "triples": n_t, "wall_ms": wall_ms}
+
+
+def finalize_graph_incremental(
+    spark: SparkSession,
+    base: str,
+    cfg: PipelineConfig,
+    new_mentions: DataFrame,
+    new_triples_raw: Optional[DataFrame] = None,
+    run_id: str = "",
+    fmt: str = "parquet",
+) -> dict:
+    """DELTA finalize (VERDICT r3 ask #3): fold newly arrived mentions/
+    triples into the already-finalized graph WITHOUT re-running linking/CC
+    over the full surface vocabulary.
+
+    new_mentions / new_triples_raw: the rows staged since the previous
+    finalize (e.g. the streaming staging layout's fresh micro-batches) —
+    the CALLER owns that delta contract; docs already reflected in the
+    graph must not be passed again.
+
+    Linking/CC run only on the delta surfaces + their touched components
+    (linking.canonicalize_incremental); the existing triples table is
+    MERGE-style updated via the (old_entity_id -> new_entity_id) remap
+    (apply_entity_remap — under Iceberg a literal MERGE INTO), and the
+    delta triples are rewritten against the fresh map and appended. Output
+    tables are byte-equal to a full finalize over old+new mentions
+    (tests/test_incremental_finalize.py), modulo the documented
+    cap-crossing edge in canonicalize_incremental."""
+    from gliner_spark.operators.linking import (
+        apply_entity_remap,
+        canonicalize_incremental,
+    )
+
+    io = TableIO(spark, base, fmt)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    old_map = io.read("surface_map", required=True)
+    old_triples = io.read("triples", required=True)
+    entities, surface_map, remap = canonicalize_incremental(
+        new_mentions, old_map, cfg
+    )
+    kept_triples = apply_entity_remap(old_triples, remap)
+    if new_triples_raw is not None:
+        triples = kept_triples.unionByName(
+            rewrite_triples(new_triples_raw, surface_map)
+        )
+    else:
+        triples = kept_triples
+    # the new triples/surface_map tables derive from the OLD ones — stage
+    # them before overwriting the tables their plans read (self-overwrite
+    # would corrupt under parquet; Iceberg's snapshot isolation would not
+    # need this)
+    staged_t = triples.localCheckpoint()
+    staged_sm = surface_map.localCheckpoint()
+    io.overwrite(entities, "entities")
+    io.overwrite(staged_t, "triples")
+    io.overwrite(staged_sm, "surface_map")
     wall_ms = int((time.time() - t0) * 1000)
     n_e = io.read("entities", required=True).count()
     n_t = io.read("triples", required=True).count()
     snap = io.snapshot_id("triples")
     metrics = spark.createDataFrame(
         [
-            (run_id, "finalize", "entities", float(n_e), time.time(), snap),
-            (run_id, "finalize", "triples", float(n_t), time.time(), snap),
-            (run_id, "finalize", "wall_ms", float(wall_ms), time.time(), snap),
+            (run_id, "finalize_delta", "entities", float(n_e), time.time(), snap),
+            (run_id, "finalize_delta", "triples", float(n_t), time.time(), snap),
+            (run_id, "finalize_delta", "wall_ms", float(wall_ms), time.time(), snap),
         ],
         "run_id string, stage string, metric string, value double, "
         "ts double, snapshot_id string",
     )
     io.append(metrics, "metrics")
+    from gliner_spark.cache import release_caches
+
+    release_caches(entities)
     return {"entities": n_e, "triples": n_t, "wall_ms": wall_ms}
 
 

@@ -246,16 +246,26 @@ def stream_neardup_candidates(docs_stream: DataFrame) -> DataFrame:
 
 
 def stream_neardup_pairs(
-    docs_stream: DataFrame, threshold: float = 0.5
+    docs_stream: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    emit_skip_metrics: bool = False,
 ) -> DataFrame:
     """Streaming VERIFIED near-dup pairs: the full minhash_dedup semantics
     (LSH banding -> exact token-set Jaccard >= threshold) incrementally.
     Band-bucket state stores each member's distinct token-id set alongside
-    its doc_id (bounded: MAX_BUCKET sets per key), so each arriving doc is
-    exact-verified against its bucket's members in-place — no second join
-    stage. Same prefix-freeze cap semantics as stream_neardup_candidates;
-    pairs may re-verify in multiple bands (downstream dedup or set
-    consumption, mirroring batch candidate_pairs' distinct)."""
+    its doc_id (bounded: max_bucket sets per key, default dedup.MAX_BUCKET),
+    so each arriving doc is exact-verified against its bucket's members
+    in-place — no second join stage. Same prefix-freeze cap semantics as
+    stream_neardup_candidates; pairs may re-verify in multiple bands
+    (downstream dedup or set consumption, mirroring batch
+    candidate_pairs' distinct).
+
+    No silent caps: the per-bucket skip count is tracked in state, and with
+    emit_skip_metrics=True every micro-batch in which a frozen bucket
+    skipped docs emits one audit row (doc_a='__frozen_bucket__',
+    doc_b='band:bkey', jaccard=cumulative docs skipped) — the streaming
+    analog of metrics.skew_metrics; consumers filter on the sentinel."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -281,24 +291,31 @@ def stream_neardup_pairs(
     sigs = _signatures_from_ids(staged, keep=("idset",))
     buckets = _band_buckets(sigs, keep=("idset",))
 
+    cap = MAX_BUCKET if max_bucket is None else max_bucket
     out_ddl = "doc_a string, doc_b string, jaccard double, band int, bkey long"
-    state_ddl = "docs array<string>, idsets array<array<bigint>>"
+    state_ddl = (
+        "docs array<string>, idsets array<array<bigint>>, n_skipped long"
+    )
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            docs, idsets = list(state.get[0]), [set(s) for s in state.get[1]]
+            st = state.get
+            docs, idsets = list(st[0]), [set(s) for s in st[1]]
+            n_skipped = int(st[2] or 0)
         else:
-            docs, idsets = [], []
+            docs, idsets, n_skipped = [], [], 0
         seen = set(docs)
         rows = []
+        new_skips = 0
         for pdf in pdfs:
             for doc_id, ids in sorted(
                 zip(pdf["doc_id"], pdf["idset"]), key=lambda t: t[0]
             ):
                 if doc_id in seen:
                     continue
-                if len(docs) >= MAX_BUCKET:
-                    break
+                if len(docs) >= cap:
+                    new_skips += 1  # frozen bucket — count, don't silently drop
+                    continue
                 s = set(int(x) for x in ids)
                 for prev, prev_s in zip(docs, idsets):
                     inter = len(s & prev_s)
@@ -314,7 +331,15 @@ def stream_neardup_pairs(
                 docs.append(doc_id)
                 idsets.append(s)
                 seen.add(doc_id)
-        state.update((docs, [sorted(s) for s in idsets]))
+        n_skipped += new_skips
+        state.update((docs, [sorted(s) for s in idsets], n_skipped))
+        if emit_skip_metrics and new_skips:
+            rows.append(
+                {"doc_a": "__frozen_bucket__",
+                 "doc_b": f"{int(key[0])}:{int(key[1])}",
+                 "jaccard": float(n_skipped),
+                 "band": int(key[0]), "bkey": int(key[1])}
+            )
         if rows:
             yield pd.DataFrame(
                 rows, columns=["doc_a", "doc_b", "jaccard", "band", "bkey"]

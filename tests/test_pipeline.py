@@ -190,6 +190,15 @@ def test_format_seam_parquet_flag_and_lineage_snapshot_column(spark, model):
         assert lin.filter(F.col("snapshot_id").isNotNull()).count() == 0
         met = spark.read.parquet(f"{base}/metrics")
         assert "snapshot_id" in met.columns
+        # "no silent caps": finalize appends skew-guard audit rows from the
+        # linking LSH block-cap observation (zero dropped on this corpus,
+        # but the rows must exist so coverage is auditable)
+        skew = {
+            r.metric: r.value
+            for r in met.filter(F.col("metric").startswith("skew.")).collect()
+        }
+        assert "skew.linking_lsh_block_cap.n_dropped_rows" in skew
+        assert skew["skew.linking_lsh_block_cap.n_dropped_rows"] == 0.0
         with pytest.raises(ValueError):
             TableIO(spark, base, "csv")
         # iceberg identifiers flatten staging paths to legal table names
