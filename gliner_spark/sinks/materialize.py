@@ -235,9 +235,21 @@ def run_extraction(
     )
     # bucket is recomputed from doc_id (cheaper than carrying it through
     # the UDF and keeps GRAPH_DDL independent of lineage config).
-    # persist: three table writes (mentions/triples_raw/span_fp) branch off
-    # this DataFrame — without it each write re-runs the extraction UDF.
-    graph = with_bucket(graph, cfg.lineage_buckets).persist()
+    # repartition by bucket BEFORE the persist: a partitionBy("bucket")
+    # writer emits one file per (task, bucket-value) pair, so without
+    # co-location the three table writes each fan out into
+    # (input partitions x lineage buckets) tiny files — 3 x 2048 at 32x64,
+    # and per-file fixed costs dominated the whole job (~70% of the 100k-doc
+    # stage wall, BENCH.md). One hash shuffle on the tiny bucket key
+    # collapses that to <= lineage_buckets files per table; the expensive
+    # extraction UDF still runs at full input parallelism on the map side
+    # of this exchange, and the persist caches the post-shuffle layout all
+    # three writes share.
+    graph = (
+        with_bucket(graph, cfg.lineage_buckets)
+        .repartition(cfg.lineage_buckets, "bucket")
+        .persist()
+    )
 
     mentions = mentions_table(graph.select("doc_id", "mentions"))
     triples = triples_raw_table(graph.select("doc_id", "triples"))

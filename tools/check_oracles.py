@@ -71,6 +71,7 @@ def main():
                   "kg_pagerank_dangling"):
             oracles.pop(k, None)
     failures = []
+    results = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -83,35 +84,52 @@ def main():
             release_caches(df)  # free operator branch-point persists
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {str(e)[:200]}"}
             print(f"FAIL  {name}: spark error {str(e)[:300]}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(pdf)}
             print(f"rows  {name}: {len(pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             od = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"oracle: {str(e)[:200]}"}
             print(f"FAIL  {name}: oracle error {str(e)[:300]}")
             continue
         cols_s = sorted(pdf.columns)
         cols_d = sorted(od.columns)
         if cols_s != cols_d:
             failures.append(name)
+            results[name] = {"status": "fail", "err": "columns"}
             print(f"FAIL  {name}: columns {cols_s} vs {cols_d}")
             continue
         if len(pdf) != len(od):
             failures.append(name)
+            results[name] = {"status": "fail", "err": "rowcount"}
             print(f"FAIL  {name}: rowcount {len(pdf)} vs {len(od)}")
             continue
         a = norm(pdf.to_dict("records"), cols_s)
         b = norm(od.to_dict("records"), cols_s)
         if a != b:
             failures.append(name)
+            results[name] = {"status": "fail", "err": "values"}
             bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
             continue
+        results[name] = {"status": "ok", "rows": len(pdf), "secs": round(time.time()-t0, 1)}
         print(f"OK    {name}: {len(pdf)} rows [{time.time()-t0:.1f}s]")
+    import json
+    import os
+
+    # driver-independent full-coverage artifact (VERDICT r3 ask #6): the
+    # per-round CORRECTNESS file may rotate queries; GS_ORACLES_JSON
+    # records EVERY registered gate's status from a local full run
+    jpath = os.environ.get("GS_ORACLES_JSON")
+    if jpath:
+        with open(jpath, "w") as f:
+            json.dump({"sf_dir": SF, "n_ok": sum(1 for r in results.values() if r["status"] == "ok"), "n_total": len(results), "queries": results}, f, indent=1, sort_keys=True)
     print("\n%d failures" % len(failures), failures)
     spark.stop()
     sys.exit(1 if failures else 0)
