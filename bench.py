@@ -62,14 +62,19 @@ PROMOTED = [
 
 BENCH_QUERIES = LEGACY8 + PROMOTED
 
-# round-3 operators, timed once per run (kg_* re-run the full pipeline —
-# too expensive for 3 headline rounds; promoted next round per the r2
-# pattern once they have a comparison baseline)
+# round-3/4 operators, timed once per run (the kg_* gates re-run the full
+# extraction pipeline for self-containment — too expensive for 3 headline
+# rounds; their operator cost alone is agg/join-only over materialized
+# triples, see BENCH.md)
 EXTRA_QUERIES = [
     "kg_degree",
     "kg_two_hop",
     "kg_pagerank",
     "ta_clean_corpus",
+    # round 4
+    "kg_pagerank_dangling",
+    "kg_mentions_encoder",
+    "ta_token_budget",
 ]
 
 

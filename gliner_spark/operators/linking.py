@@ -556,7 +556,11 @@ def canonicalize_incremental(
         .distinct()
     )
     from gliner_spark.cache import attach_caches
+    from gliner_spark.metrics import attach_audits
 
+    # forward both skew audits (delta↔delta block cap via dd_edges, the
+    # delta↔existing bucket cap) so the delta finalize can record them
+    entities_out = attach_audits(entities_out, dd_edges, _audit)
     return attach_caches(entities_out, delta), surface_out, remap
 
 

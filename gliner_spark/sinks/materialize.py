@@ -475,12 +475,21 @@ def finalize_graph_incremental(
     n_e = io.read("entities", required=True).count()
     n_t = io.read("triples", required=True).count()
     snap = io.snapshot_id("triples")
+    rows = [
+        (run_id, "finalize_delta", "entities", float(n_e), time.time(), snap),
+        (run_id, "finalize_delta", "triples", float(n_t), time.time(), snap),
+        (run_id, "finalize_delta", "wall_ms", float(wall_ms), time.time(), snap),
+    ]
+    from gliner_spark.metrics import skew_metrics
+
+    for obs_name, vals in skew_metrics(entities).items():
+        for metric, value in vals.items():
+            rows.append(
+                (run_id, "finalize_delta", f"skew.{obs_name}.{metric}",
+                 float(value), time.time(), snap)
+            )
     metrics = spark.createDataFrame(
-        [
-            (run_id, "finalize_delta", "entities", float(n_e), time.time(), snap),
-            (run_id, "finalize_delta", "triples", float(n_t), time.time(), snap),
-            (run_id, "finalize_delta", "wall_ms", float(wall_ms), time.time(), snap),
-        ],
+        rows,
         "run_id string, stage string, metric string, value double, "
         "ts double, snapshot_id string",
     )

@@ -125,6 +125,17 @@ def test_incremental_finalize_through_sink(spark, model):
             triples_raw_table(graph_b.select("doc_id", "triples")),
         )
         assert out["entities"] > 0
+        # delta finalize records its own skew-guard audit rows too
+        met = spark.read.parquet(f"{base_inc}/metrics")
+        skew = {
+            r.metric
+            for r in met.filter(
+                (F.col("stage") == "finalize_delta")
+                & F.col("metric").startswith("skew.")
+            ).collect()
+        }
+        assert "skew.incremental_lsh_block_cap.n_dropped_rows" in skew
+        assert "skew.linking_lsh_block_cap.n_dropped_rows" in skew
 
         run_pipeline(spark, all_docs, model, base_full)
         for table, cols in [
