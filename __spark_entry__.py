@@ -158,6 +158,18 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_components(spark, sf_dir):
+    """Connected components of the canonical entity graph — community/
+    link-structure extraction reusing the adaptive CC machinery from
+    entity linking (driver union-find under the bound, distributed
+    min-label propagation + pointer jumping above). component = min
+    reachable entity id, so the DuckDB oracle replays it with a recursive
+    fixpoint (no hashing anywhere)."""
+    from gliner_spark.operators.graph_analytics import entity_components
+
+    return entity_components(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_pagerank_dangling(spark, sf_dir):
     """Exact-integer PageRank WITH standard dangling-mass redistribution:
     each round the sink nodes' total rank is one extra 1-row aggregate and
@@ -520,6 +532,42 @@ def q_ta_fingerprint(spark, sf_dir):
     from gliner_spark.operators.text_analysis import doc_fingerprint
 
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ta_repetition(spark, sf_dir):
+    """Within-document repetition profile (Gopher/MassiveText duplicate
+    n-gram quality rule): dup 3-gram and dup token fractions per doc,
+    exact integer counts, zero shuffle before the output sort."""
+    from gliner_spark.operators.text_analysis import repetition_stats
+
+    df = repetition_stats(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "n_grams", "n_dup_grams",
+        F.round("dup_gram_ratio", 6).alias("dup_gram_ratio"),
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
+    )
+
+
+def q_ta_rarity(spark, sf_dir):
+    """Corpus-relative token rarity (two-pass document frequencies,
+    vocabulary-sized broadcast): per-doc distinct tokens, exact mean df,
+    rare-token count."""
+    from gliner_spark.operators.text_analysis import rarity_stats
+
+    df = rarity_stats(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "n_distinct_tokens", "sum_df",
+        F.round("mean_df", 6).alias("mean_df"), "n_rare",
+    )
+
+
+def q_ta_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing an exact 8-gram
+    with the held-out doc_id % 7 == 0 benchmark slice (broadcast gram
+    set, one corpus scan)."""
+    from gliner_spark.operators.text_analysis import decontaminate
+
+    return decontaminate(_t(spark, sf_dir, "documents"))
 
 
 def q_ta_bpe_stats(spark, sf_dir):
@@ -887,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_dangling": q_kg_pagerank_dangling,
+        "kg_components": q_kg_components,
         "kg_span_f1": q_kg_span_f1,
         "kg_mentions_zeroshot": q_kg_mentions_zeroshot,
         "kg_eval_ner": q_kg_eval_ner,
@@ -912,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_mix": q_ta_mix,
         "ta_token_budget": q_ta_token_budget,
         "ta_fingerprint": q_ta_fingerprint,
+        "ta_repetition": q_ta_repetition,
+        "ta_decontaminate": q_ta_decontaminate,
+        "ta_rarity": q_ta_rarity,
         "ta_diversity": q_ta_diversity,
         # dedup family
         "dd_exact": q_dd_exact,
@@ -1845,6 +1897,47 @@ kedges AS (
 )"""
 
 
+def _kg_components_oracle() -> str:
+    """Connected components as a recursive FIXPOINT (DuckDB WITH RECURSIVE
+    UNION deduplicates, so label propagation terminates at the true
+    closure): every node's component = min entity id among all labels that
+    reach it over the symmetrized edge set — exactly the Spark operator's
+    contract (component = min reachable id), independent of how many
+    pointer-jumping rounds the distributed loop needed."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+knodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM kedges UNION ALL SELECT dst FROM kedges
+  )
+),
+sym AS (
+  SELECT src, dst FROM kedges UNION ALL SELECT dst AS src, src AS dst FROM kedges
+),
+lbl(node, comp) AS (
+  SELECT node, node FROM knodes
+  UNION
+  -- domination pruning: a label arriving at dst that is >= dst is
+  -- dominated by dst's own label (dst reaches everything the label
+  -- reaches onward, and dst sorts smaller) — the component minimum's
+  -- path survives because the min is < every other member. Cuts the
+  -- fixpoint from O(|C|^2) label pairs to ~O(n log n).
+  SELECT e.dst, l.comp FROM lbl l JOIN sym e
+    ON e.src = l.node AND l.comp < e.dst
+),
+c AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+sz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS component_size
+  FROM c GROUP BY component
+)
+SELECT c.node AS entity, c.component, sz.component_size
+FROM c JOIN sz USING (component)
+ORDER BY component_size DESC, component ASC, entity ASC
+"""
+
+
 def _kg_degree_oracle() -> str:
     snap = _kg_snapshot()
     return f"""
@@ -2218,6 +2311,69 @@ SELECT u.doc_id, CAST((u.uni + coalesce(b.bi, 0)) % {P31} AS BIGINT) AS fingerpr
 FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
 ORDER BY u.doc_id
 """,
+        "ta_repetition": f"""
+WITH {_TOKS},
+g AS (
+  SELECT a.doc_id,
+    (((a.token_id*1009 + b.token_id) % {P31}) * 1013 + c.token_id) % {P31} AS gram
+  FROM ids a
+  JOIN ids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN ids c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+gs AS (
+  SELECT doc_id, count(*) AS n_g, count(DISTINCT gram) AS n_gd
+  FROM g GROUP BY doc_id
+),
+ts AS (
+  SELECT doc_id, count(*) AS n_t, count(DISTINCT token_id) AS n_td
+  FROM ids GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(coalesce(gs.n_g, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(gs.n_g - gs.n_gd, 0) AS BIGINT) AS n_dup_grams,
+  round(CASE WHEN coalesce(gs.n_g, 0) > 0
+    THEN CAST(gs.n_g - gs.n_gd AS DOUBLE) / gs.n_g ELSE 0.0 END, 6)
+    AS dup_gram_ratio,
+  round(CASE WHEN t.n_t > 0
+    THEN CAST(t.n_t - t.n_td AS DOUBLE) / t.n_t ELSE 0.0 END, 6)
+    AS dup_token_ratio
+FROM ts t LEFT JOIN gs ON gs.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+        "ta_decontaminate": f"""
+WITH {_TOKS},
+docids AS (
+  SELECT doc_id, list(token_id ORDER BY pos) AS tids FROM ids GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(len(tids) - 7),
+    i -> list_reduce(
+      list_transform(range(8), k -> tids[i + k + 1]),
+      (acc, x) -> (acc * 1009 + x) % {P31})
+  ))) AS gram
+  FROM docids
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams JOIN bench USING (gram)
+WHERE doc_id % 7 != 0
+GROUP BY doc_id ORDER BY doc_id
+""",
+        "ta_rarity": """
+WITH dtok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dfq AS (SELECT tok, count(*) AS df FROM dtok GROUP BY tok)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+  CAST(sum(d.df) AS BIGINT) AS sum_df,
+  round(CAST(sum(d.df) AS DOUBLE) / count(*), 6) AS mean_df,
+  CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+FROM dtok t JOIN dfq d USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
         "ta_bpe_stats": """
 WITH p AS (
   SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces
@@ -2500,6 +2656,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_two_hop": _kg_two_hop_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
+        "kg_components": _kg_components_oracle(),
         "kg_mentions_zeroshot": _kg_zeroshot_oracle(),
         "kg_media_nodes": _kg_media_nodes_oracle(),
         "kg_span_f1": _kg_span_f1_oracle(),

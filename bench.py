@@ -75,6 +75,10 @@ EXTRA_QUERIES = [
     "kg_pagerank_dangling",
     "kg_mentions_encoder",
     "ta_token_budget",
+    "kg_components",
+    "ta_repetition",
+    "ta_decontaminate",
+    "ta_rarity",
 ]
 
 

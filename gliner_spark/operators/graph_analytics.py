@@ -95,6 +95,46 @@ def two_hop_paths(
     return attach_audits(out, audit)
 
 
+def entity_components(triples: DataFrame, cfg=None) -> DataFrame:
+    """Connected components of the (undirected) entity graph — the
+    community/link-structure query KG consumers run right after degree
+    profiles. Reuses the adaptive CC machinery from entity linking
+    (operators/linking.connected_components: driver union-find under the
+    configured bound, distributed min-label propagation + pointer jumping
+    above it — O(log diameter) rounds at 100 TB). component = the
+    lexicographically smallest entity id reachable, so the output is a
+    pure function of the edge set (no hashing — the ANSI-SQL oracle
+    replays it with a recursive fixpoint).
+
+    Returns (entity, component, component_size) sorted by size desc."""
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.operators.linking import connected_components
+
+    if cfg is None:
+        cfg = PipelineConfig()
+    e = graph_edges(triples)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, e.select("src", "dst"), cfg
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("entity"), "component", "component_size"
+        )
+        .orderBy(
+            F.desc("component_size"), F.asc("component"), F.asc("entity")
+        )
+    )
+
+
 def pagerank(
     triples: DataFrame,
     iters: int = PR_ITERS,

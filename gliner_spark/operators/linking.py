@@ -196,7 +196,12 @@ def _cc_driver(nodes: DataFrame, edge_rows: list) -> DataFrame:
             else:
                 parent[a] = b
     rows = [(i, find(i)) for i in parent]
-    return nodes.sparkSession.createDataFrame(rows, "id long, component long")
+    # id type follows the input (long surface hashes in canonicalize,
+    # string entity ids in graph_analytics.entity_components)
+    id_type = dict(nodes.dtypes)["id"]
+    return nodes.sparkSession.createDataFrame(
+        rows, f"id {id_type}, component {id_type}"
+    )
 
 
 def connected_components(

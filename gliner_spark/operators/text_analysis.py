@@ -277,6 +277,133 @@ def clean_corpus(
     return attach_audits(attach_caches(out, kept, dd), dd)
 
 
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc repetition profile — the Gopher/MassiveText within-document
+    repetition rule family (fraction of duplicate n-grams; docs above a
+    threshold are low-quality boilerplate/spam): for word 3-grams over
+    fold-hash token ids,
+
+        dup_gram_ratio  = (n_grams - n_distinct_grams) / n_grams
+        dup_token_ratio = (n_tokens - n_distinct_tokens) / n_tokens
+
+    Narrow: gram hashes are built inside the row (zip_with over the token
+    id array at offsets 0/1/2 — same fold as doc_fingerprint's bigram),
+    so the whole profile is scan -> project with zero shuffle before the
+    output sort. Exact integer counts + one exact double division =
+    engine-bit-identical."""
+    assert n == 3, "gram fold below is specialized for n=3"
+    staged = docs.select("doc_id", token_id_array("text").alias("_ids"))
+    ids = F.col("_ids")
+    sz = F.size(ids)
+    grams = F.zip_with(
+        F.zip_with(
+            F.slice(ids, 1, F.greatest(sz - 2, F.lit(0))),
+            F.slice(ids, 2, F.greatest(sz - 2, F.lit(0))),
+            lambda a, b: (a * F.lit(1009) + b) % F.lit(P31),
+        ),
+        F.slice(ids, 3, F.greatest(sz - 2, F.lit(0))),
+        lambda ab, c: (ab * F.lit(1013) + c) % F.lit(P31),
+    )
+    n_g = F.size(grams)
+    n_gd = F.size(F.array_distinct(grams))
+    n_t = sz
+    n_td = F.size(F.array_distinct(ids))
+    return staged.select(
+        "doc_id",
+        n_g.cast("long").alias("n_grams"),
+        (n_g - n_gd).cast("long").alias("n_dup_grams"),
+        F.when(n_g > 0, (n_g - n_gd).cast("double") / n_g)
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_ratio"),
+        F.when(n_t > 0, (n_t - n_td).cast("double") / n_t)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_ratio"),
+    ).orderBy("doc_id")
+
+
+def decontaminate(
+    docs: DataFrame, eval_mod: int = 7, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene step
+    (drop training docs sharing a long exact n-gram with the eval
+    benchmark, GPT-3 appendix-C / PaLM style): the held-out "benchmark"
+    here is the deterministic doc_id % eval_mod == 0 slice; a training doc
+    is CONTAMINATED if any of its 8-gram hashes appears in the benchmark's
+    gram set. Returns the contaminated docs with their overlap counts
+    (non-empty on the sandbox corpus: its near-duplicate docs share long
+    verbatim runs, exactly the leak class this step exists to catch).
+
+    Scale shape: benchmark grams are a tiny distinct set (1/eval_mod of
+    the corpus) — BROADCAST to the training-side gram stream (built as
+    narrow in-row zip folds, exploded once); the only shuffle is the final
+    per-doc overlap aggregate. At a real 100 TB run the eval suite is a
+    handful of MB of grams — the broadcast is free and the corpus is
+    scanned exactly once."""
+    staged = docs.select("doc_id", token_id_array("text").alias("_ids"))
+    ids = F.col("_ids")
+    sz = F.size(ids)
+    g = F.slice(ids, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(ids, k + 1, F.greatest(sz - (n - 1), F.lit(0))),
+            lambda acc, x: (acc * F.lit(1009) + x) % F.lit(P31),
+        )
+    grams = staged.select(
+        "doc_id", F.explode(F.array_distinct(g)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def rarity_stats(docs: DataFrame, rare_df: int = 2,
+                 broadcast_df: bool = True) -> DataFrame:
+    """Corpus-relative token rarity — the two-pass frequency profile
+    quality filters build on (a doc of mostly rare tokens is OCR noise or
+    gibberish; a doc of only head tokens is boilerplate): pass 1 computes
+    document frequencies over distinct (doc, token) pairs (map-side
+    combined aggregate, vocabulary-sized result); pass 2 joins them back
+    and reports per-doc
+
+        n_distinct_tokens, mean_df = sum(df)/n (exact rational in double),
+        n_rare = distinct tokens with df <= rare_df.
+
+    The df table is vocabulary-sized (Zipf-saturated — tiny relative to
+    the corpus) and broadcast by default; for an open-vocabulary 100 TB
+    corpus pass broadcast_df=False and the join shuffles with AQE handling
+    the head-token skew."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df:
+        df_tbl = F.broadcast(df_tbl)
+    return (
+        toks.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.sum("df").cast("long").alias("sum_df"),
+            (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+            F.sum(F.when(F.col("df") <= rare_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint from fold-hash token ids:
 

@@ -164,3 +164,73 @@ def test_token_budget_two_phase_equals_single_window(spark):
     for width in (1, 7, 64, 1 << 40):
         got = sorted(token_budget_select(docs, 900, bucket_width=width).collect())
         assert got == ref, width
+
+
+def test_repetition_stats_brute_force(spark):
+    from gliner_spark.operators.text_analysis import repetition_stats
+
+    rows = {
+        r.doc_id: r
+        for r in repetition_stats(spark.read.parquet(DOCS)).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(DOCS).select("doc_id", "text").collect()
+    }
+    import random
+
+    for doc_id in random.Random(5).sample(sorted(texts), 25):
+        toks = texts[doc_id].split(" ")
+        grams = list(zip(toks, toks[1:], toks[2:]))
+        r = rows[doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_dup_grams == len(grams) - len(set(grams))
+        assert abs(
+            r.dup_token_ratio - (len(toks) - len(set(toks))) / len(toks)
+        ) < 1e-9
+        assert 0.0 <= r.dup_gram_ratio <= 1.0
+
+
+def test_decontaminate_brute_force(spark):
+    """Crafted corpus: doc 14 (benchmark: 14 % 7 == 0) shares an 8-token
+    run with training docs 1 and 2; doc 3 shares only a 7-token run (not
+    flagged); doc 4 is clean."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.text_analysis import decontaminate
+
+    run8 = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (14, f"{run8} tail one"),
+            (1, f"prefix {run8}"),
+            (2, f"{run8} other words here"),
+            (3, "a b c d e f g DIFFERENT"),
+            (4, "totally unrelated text with many plain words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared_grams for r in decontaminate(docs).collect()}
+    # docs 1 and 2 each share exactly the one 8-gram with the benchmark
+    assert got == {1: 1, 2: 1}
+
+
+def test_rarity_stats_brute_force(spark):
+    from collections import Counter
+
+    from gliner_spark.operators.text_analysis import rarity_stats
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    df = Counter()
+    for t in texts.values():
+        df.update(set(t.split(" ")))
+    got = {r.doc_id: r for r in rarity_stats(docs).collect()}
+    import random
+
+    for doc_id in random.Random(9).sample(sorted(texts), 25):
+        toks = set(texts[doc_id].split(" "))
+        r = got[doc_id]
+        assert r.n_distinct_tokens == len(toks)
+        assert r.sum_df == sum(df[t] for t in toks)
+        assert r.n_rare == sum(1 for t in toks if df[t] <= 2)

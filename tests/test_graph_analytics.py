@@ -136,6 +136,55 @@ def test_random_graph_matches_python_brute_force(spark):
     assert got_rank_d != got_rank
 
 
+def test_entity_components_match_union_find(spark):
+    """entity_components vs an independent python union-find on a random
+    graph (plus the disconnected-pair hand case)."""
+    import random
+
+    from gliner_spark.operators.graph_analytics import entity_components
+
+    rng = random.Random(23)
+    names = [f"e{i:03d}" for i in range(60)]
+    triples = list({
+        (rng.choice(names), "r", rng.choice(names)) for _ in range(45)
+    })
+    t = _triples(spark, triples)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for s, _, o in triples:
+        if s == o:
+            continue
+        nodes.update((s, o))
+        a, b = find(s), find(o)
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    want = {v: find(v) for v in nodes}
+    sizes = {}
+    for v, c in want.items():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    got = entity_components(t).collect()
+    assert {r.entity: r.component for r in got} == want
+    assert {r.entity: r.component_size for r in got} == {
+        v: sizes[c] for v, c in want.items()
+    }
+    # output ordering: by size desc, then component, then entity
+    keys = [(-r.component_size, r.component, r.entity) for r in got]
+    assert keys == sorted(keys)
+
+
 def test_pagerank_sink_outranks_source_and_is_deterministic(spark):
     t = _triples(spark, [("a", "r", "c"), ("b", "r", "c"), ("c", "r", "d")])
     r1 = {r.node: r.rank for r in pagerank(t).collect()}
