@@ -785,6 +785,121 @@ def q_rel_setops(spark, sf_dir):
     return both.crossJoin(hi_only).crossJoin(urgent_only)
 
 
+# microseconds since a fixed NAIVE epoch — tz-free on both engines (the
+# events ts column is TIMESTAMP_NTZ; unix_micros would depend on the
+# session timezone). DuckDB replays with date_diff('microseconds', ...).
+_TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+
+
+def q_rel_asof(spark, sf_dir):
+    """AS-OF join (SURVEY §2.11 custom-operator mandate): each 'click'
+    event matched to the MOST RECENT 'error' event of the same user at or
+    before its timestamp — the quotes-to-latest-trade shape Spark lacks as
+    a built-in.
+
+    Scale-correct implementation: NOT a per-row inequality join (that is
+    O(clicks x errors-per-user)) but the union + carry-forward pattern —
+    union both streams, ONE window partitioned by user_id (high
+    cardinality) ordered by (ts, error-first, event_id), and
+    last(ignorenulls) carries the latest error forward onto every click
+    row. One shuffle on user_id total; ties at equal ts resolve
+    error-before-click and max-event_id-wins, replayed exactly by the
+    oracle's row_number replay (no engine-ambiguous native ASOF)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "user_id",
+        F.expr(_TS_US).alias("ts_us"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts_us").asc(), F.col("is_err").desc(),
+            F.col("event_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "is_err",
+        F.last(
+            F.when(F.col("is_err"), F.col("event_id")), ignorenulls=True
+        ).over(w).alias("err_event_id"),
+        F.last(
+            F.when(F.col("is_err"), F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("err_ts_us"),
+    )
+    # clicks with no prior error carry -1 sentinels (never null: a null
+    # would round-trip as NaN through the Arrow/pandas compare layers)
+    return (
+        carried.filter(~F.col("is_err"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce(F.col("err_event_id"), F.lit(-1))
+            .cast("long").alias("err_event_id"),
+            F.coalesce(F.col("err_ts_us"), F.lit(-1))
+            .cast("long").alias("err_ts_us"),
+            F.coalesce(
+                F.col("ts_us") - F.col("err_ts_us"), F.lit(-1)
+            ).cast("long").alias("lag_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_rel_range_join(spark, sf_dir):
+    """Range join (SURVEY §2.11 custom-operator mandate): for each
+    'purchase' event, how many 'view' events the same user produced within
+    +-10 minutes — an interval join Spark would otherwise plan as a
+    broadcast-nested-loop.
+
+    Scale-correct implementation: time-BIN bucketing — views land in their
+    10-minute bin, each purchase probes bins {b-1, b, b+1} (its +-10min
+    window can only overlap those), the join is a pure EQUI-join on
+    (user_id, bin) with the exact |dt| predicate applied after. Candidate
+    pairs are bounded by per-(user, 30min) activity instead of per-user
+    totals; the oracle replays the raw inequality join (same answer, the
+    naive plan)."""
+    e = _t(spark, sf_dir, "events")
+    win_us = 10 * 60 * 1_000_000
+    base = e.select(
+        "event_id", "user_id", "event_type",
+        F.expr(_TS_US).alias("ts_us"),
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_us").alias("v_ts_us"),
+        F.expr(f"ts_us DIV {win_us}").alias("bin"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us",
+        F.explode(
+            F.array(
+                F.expr(f"ts_us DIV {win_us} - 1"),
+                F.expr(f"ts_us DIV {win_us}"),
+                F.expr(f"ts_us DIV {win_us} + 1"),
+            )
+        ).alias("bin"),
+    )
+    return (
+        purchases.join(views, ["user_id", "bin"])
+        .filter(
+            (F.col("v_ts_us") >= F.col("ts_us") - win_us)
+            & (F.col("v_ts_us") <= F.col("ts_us") + win_us)
+        )
+        .groupBy("event_id", "user_id", "ts_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_views_10min"))
+        .orderBy("event_id")
+    )
+
+
 def q_rel_events_sessions(spark, sf_dir):
     """Event-stream aggregation: per-user event counts and value sums with
     exact decimal arithmetic (the batch view of the streaming pipeline)."""
@@ -983,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_parts_with_lines": q_rel_parts_with_lines,
         "rel_revenue_region": q_rel_revenue_region,
         "rel_setops": q_rel_setops,
+        "rel_asof": q_rel_asof,
+        "rel_range_join": q_rel_range_join,
         "rel_events_sessions": q_rel_events_sessions,
         "rel_events_windowed": q_rel_events_windowed,
         "rel_global_topn": q_rel_global_topn,
@@ -2554,6 +2671,43 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
+""",
+        "rel_asof": """
+WITH ev AS (
+  SELECT event_id, user_id,
+    date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS ts_us,
+    event_type FROM events
+),
+clk AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+p AS (
+  SELECT c.event_id, e.event_id AS err_event_id, e.ts_us AS err_ts_us,
+    row_number() OVER (
+      PARTITION BY c.event_id ORDER BY e.ts_us DESC, e.event_id DESC
+    ) AS rk
+  FROM clk c JOIN err e
+    ON e.user_id = c.user_id AND e.ts_us <= c.ts_us
+)
+SELECT c.event_id, c.user_id, CAST(c.ts_us AS BIGINT) AS ts_us,
+  CAST(coalesce(p.err_event_id, -1) AS BIGINT) AS err_event_id,
+  CAST(coalesce(p.err_ts_us, -1) AS BIGINT) AS err_ts_us,
+  CAST(coalesce(c.ts_us - p.err_ts_us, -1) AS BIGINT) AS lag_us
+FROM clk c LEFT JOIN (SELECT * FROM p WHERE rk = 1) p USING (event_id)
+ORDER BY c.event_id
+""",
+        "rel_range_join": """
+WITH ev AS (
+  SELECT event_id, user_id,
+    date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS ts_us,
+    event_type FROM events
+)
+SELECT p.event_id, p.user_id, CAST(p.ts_us AS BIGINT) AS ts_us,
+  CAST(count(*) AS BIGINT) AS n_views_10min
+FROM ev p JOIN ev v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+  AND v.ts_us BETWEEN p.ts_us - 600000000 AND p.ts_us + 600000000
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts_us ORDER BY p.event_id
 """,
         "rel_setops": """
 WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),

@@ -79,6 +79,8 @@ EXTRA_QUERIES = [
     "ta_repetition",
     "ta_decontaminate",
     "ta_rarity",
+    "rel_asof",
+    "rel_range_join",
 ]
 
 

@@ -137,6 +137,28 @@ def test_token_budget_has_no_full_source_window_sort(spark):
     assert off_windows, p[:2000]
 
 
+def test_asof_and_range_join_plans_are_scale_safe(spark):
+    """The temporal join pair must keep its scale-correct plan shape:
+    rel_asof is the union+carry-forward form (ONE user_id window — never a
+    per-row inequality join), and rel_range_join's interval predicate is
+    applied after a time-bin EQUI-join (never a broadcast-nested-loop /
+    cartesian plan, which is what Spark gives a naive range join)."""
+    import __spark_entry__ as entry
+
+    p_asof = _plan(entry.queries()["rel_asof"](spark, "/root/testdata/sf0.01"))
+    assert "BroadcastNestedLoopJoin" not in p_asof, p_asof[:2000]
+    assert "CartesianProduct" not in p_asof, p_asof[:2000]
+    assert p_asof.count("Window") == 1, p_asof[:2000]
+
+    p_rj = _plan(
+        entry.queries()["rel_range_join"](spark, "/root/testdata/sf0.01")
+    )
+    assert "BroadcastNestedLoopJoin" not in p_rj, p_rj[:2000]
+    assert "CartesianProduct" not in p_rj, p_rj[:2000]
+    # the bin key appears in a join, i.e. the range is bucketed-equi
+    assert "bin" in p_rj, p_rj[:2000]
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     docs = spark.read.parquet(DOCS)
     p = _plan(docs.filter(F.col("doc_id") < 100).select("doc_id"))
