@@ -1024,19 +1024,31 @@ def q_rel_rollup(spark, sf_dir):
 def q_rel_cardinality(spark, sf_dir):
     """Entity-cardinality metrics: exact distinct counts (the oracle-able
     form; production uses approx_count_distinct at 10^12 scale — HLL
-    sketches are engine-specific, so the gated query stays exact)."""
+    sketches are engine-specific, so the gated query stays exact). ONE
+    lazy plan (count_distinct aggregates cross-joined) — no jobs run
+    before the caller's action."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    return spark.createDataFrame(
-        [
-            (
-                li.select("l_partkey").distinct().count(),
-                li.select("l_suppkey").distinct().count(),
-                o.select("o_custkey").distinct().count(),
-            )
-        ],
-        "n_parts long, n_suppliers long, n_customers long",
+    parts = li.agg(
+        F.count_distinct("l_partkey").cast("long").alias("n_parts")
     )
+    supps = li.agg(
+        F.count_distinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    custs = o.agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers")
+    )
+    return parts.crossJoin(supps).crossJoin(custs)
+
+
+def q_ta_cms_topk(spark, sf_dir):
+    """Count-min sketch (the 'novel sketch' custom-operator family):
+    deterministic integer 4x256 grid over the corpus tokens, mergeable by
+    cell-wise sum; top-10 tokens compared exact-vs-estimate (estimate >=
+    exact by construction). The oracle rebuilds the identical grid."""
+    from gliner_spark.operators.sketches import cms_estimate_topk
+
+    return cms_estimate_topk(_t(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1079,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_repetition": q_ta_repetition,
         "ta_decontaminate": q_ta_decontaminate,
         "ta_rarity": q_ta_rarity,
+        "ta_cms_topk": q_ta_cms_topk,
         "ta_diversity": q_ta_diversity,
         # dedup family
         "dd_exact": q_dd_exact,
@@ -2476,6 +2489,34 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
 FROM grams JOIN bench USING (gram)
 WHERE doc_id % 7 != 0
 GROUP BY doc_id ORDER BY doc_id
+""",
+        "ta_cms_topk": f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hs AS (SELECT tok, {_sql_fold('tok')} AS h FROM toks),
+cells AS (
+  SELECT j, (((2*j+3) * h + (j+1)) % {P31}) % 256 AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM hs CROSS JOIN (SELECT unnest(range(4)) AS j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok
+),
+probes AS (
+  SELECT tok, n_exact, {_sql_fold('tok')} AS h
+  FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 10
+),
+lookups AS (
+  SELECT p.tok, p.n_exact, j,
+    (((2*j+3) * p.h + (j+1)) % {P31}) % 256 AS bucket
+  FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS j)
+)
+SELECT l.tok, l.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_cms
+FROM lookups l JOIN cells c USING (j, bucket)
+GROUP BY l.tok, l.n_exact
+ORDER BY l.n_exact DESC, l.tok ASC
 """,
         "ta_rarity": """
 WITH dtok AS (

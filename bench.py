@@ -81,6 +81,7 @@ EXTRA_QUERIES = [
     "ta_rarity",
     "rel_asof",
     "rel_range_join",
+    "ta_cms_topk",
 ]
 
 
