@@ -103,10 +103,12 @@ def q_kg_entities(spark, sf_dir):
     from gliner_spark.operators.extraction import extract_graph, mentions_table
     from gliner_spark.operators.linking import canonicalize
 
+    from gliner_spark.cache import attach_caches
+
     model = _model()
     mentions = mentions_table(extract_graph(_synth(spark, sf_dir), model)).persist()
     entities, _ = canonicalize(mentions, model.config)
-    return entities.orderBy("entity_id")
+    return attach_caches(entities.orderBy("entity_id"), entities, mentions)
 
 
 def q_kg_triples(spark, sf_dir):
@@ -117,11 +119,17 @@ def q_kg_triples(spark, sf_dir):
     )
     from gliner_spark.operators.linking import canonicalize, rewrite_triples
 
+    from gliner_spark.cache import attach_caches
+
     model = _model()
     graph = extract_graph(_synth(spark, sf_dir), model).persist()
     _, smap = canonicalize(mentions_table(graph), model.config)
     df = rewrite_triples(triples_raw_table(graph), smap)
-    return df.withColumn("score", F.round("score", 6))
+    # forward the canonicalize branch-point persists (riding smap) plus
+    # this query's own graph persist so release_caches frees all of them
+    return attach_caches(
+        df.withColumn("score", F.round("score", 6)), smap, graph
+    )
 
 
 def q_kg_degree(spark, sf_dir):

@@ -115,19 +115,28 @@ def main():
     # measure steady-state throughput, not process spin-up
     qs["rel_q1"](spark, SF_DIR).count()
 
+    from gliner_spark.cache import release_caches
+
     samples = {name: [] for name in BENCH_QUERIES}
     counts = {}
     for _ in range(ROUNDS):
         for name in BENCH_QUERIES:
             t0 = time.time()
-            counts[name] = qs[name](spark, SF_DIR).count()
+            df = qs[name](spark, SF_DIR)
+            counts[name] = df.count()
             samples[name].append(round(time.time() - t0, 3))
+            # free branch-point persists: an identical later round would
+            # otherwise time a cached scan, not the plan (and leaked
+            # caches can be substituted into OTHER queries' subplans)
+            release_caches(df)
 
     extra = {}
     for name in EXTRA_QUERIES:
         t0 = time.time()
-        qs[name](spark, SF_DIR).count()
+        df = qs[name](spark, SF_DIR)
+        df.count()
         extra[name] = round(time.time() - t0, 3)
+        release_caches(df)
 
     spin_after = spin_probe(cpus)
 

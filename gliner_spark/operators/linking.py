@@ -369,12 +369,22 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     ).select("entity_id", "canonical", "label", "n_mentions")
     # propagate the LSH-block-cap audit so the pipeline sink can
     # append skew metrics after its write action
+    from gliner_spark.cache import attach_caches
     from gliner_spark.metrics import attach_audits
 
     entities = attach_audits(entities, edges_s)
-    return entities, surface_map.select(
-        "label", "norm", "entity_id", "canonical", "n_mentions"
+    # the two branch-point persists ride BOTH outputs so a caller's
+    # release_caches frees them whichever frame it consumed (the handles
+    # are shared — a second release is a no-op)
+    entities = attach_caches(entities, surfaces, clustered)
+    smap_out = attach_caches(
+        surface_map.select(
+            "label", "norm", "entity_id", "canonical", "n_mentions"
+        ),
+        surfaces,
+        clustered,
     )
+    return entities, smap_out
 
 
 def canonicalize_incremental(

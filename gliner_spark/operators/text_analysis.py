@@ -149,7 +149,13 @@ def token_budget_select(
        preserving for non-negative ids; corpora with string ids pass an
        order-preserving `bucket` Column instead, e.g. a fixed-length
        prefix) and aggregate per-(source, bucket) token totals — a
-       map-side-combined aggregate whose result is tiny (1 row per bucket);
+       map-side-combined aggregate whose result is tiny (1 row per bucket).
+       The static default width assumes DENSE-ish ids: hash-derived ids
+       spread over 2^63 would land ~one doc per bucket and blow the
+       offsets broadcast up to corpus row count. For sparse numeric id
+       spaces pass bucket_width="auto" — ONE min/max aggregate (eager, at
+       plan build) sizes the width so ~65k buckets cover the observed id
+       range — or supply an explicit coarse `bucket` Column;
     2. per-source running OFFSETS over that tiny table (the only
        source-partitioned window, applied to 1-row-per-bucket input);
     3. broadcast the offsets back and compute a LOCAL cumsum inside each
@@ -165,6 +171,13 @@ def token_budget_select(
     from pyspark.sql import Window
 
     n = F.size(F.split("text", " "))
+    if bucket is None and bucket_width == "auto":
+        lo, hi = docs.agg(
+            F.min(F.col("doc_id").cast("long")),
+            F.max(F.col("doc_id").cast("long")),
+        ).first()
+        span = max(1, int(hi) - int(lo) + 1) if lo is not None else 1
+        bucket_width = max(1, span // 65536)
     b = (
         bucket
         if bucket is not None

@@ -413,6 +413,9 @@ def finalize_graph(
         "ts double, snapshot_id string",
     )
     io.append(metrics, "metrics")
+    from gliner_spark.cache import release_caches
+
+    release_caches(entities)  # canonicalize's branch-point persists
     return {"entities": n_e, "triples": n_t, "wall_ms": wall_ms}
 
 
@@ -468,6 +471,13 @@ def finalize_graph_incremental(
     # need this)
     staged_t = triples.localCheckpoint()
     staged_sm = surface_map.localCheckpoint()
+    # collect the skew audits BEFORE any overwrite: their plans scan the
+    # OLD surface_map files — reading them after the overwrite would
+    # either describe the wrong table version or fail on vanished files
+    # (code-review r4 finding, empirically reproduced both ways)
+    from gliner_spark.metrics import skew_metrics
+
+    skew = skew_metrics(entities)
     io.overwrite(entities, "entities")
     io.overwrite(staged_t, "triples")
     io.overwrite(staged_sm, "surface_map")
@@ -480,9 +490,7 @@ def finalize_graph_incremental(
         (run_id, "finalize_delta", "triples", float(n_t), time.time(), snap),
         (run_id, "finalize_delta", "wall_ms", float(wall_ms), time.time(), snap),
     ]
-    from gliner_spark.metrics import skew_metrics
-
-    for obs_name, vals in skew_metrics(entities).items():
+    for obs_name, vals in skew.items():
         for metric, value in vals.items():
             rows.append(
                 (run_id, "finalize_delta", f"skew.{obs_name}.{metric}",

@@ -293,15 +293,20 @@ def stream_neardup_pairs(
 
     cap = MAX_BUCKET if max_bucket is None else max_bucket
     out_ddl = "doc_a string, doc_b string, jaccard double, band int, bkey long"
-    state_ddl = (
-        "docs array<string>, idsets array<array<bigint>>, n_skipped long"
-    )
+    # the n_skipped state field exists ONLY when skip metrics are opted
+    # into: widening the state schema unconditionally would fail
+    # StateSchemaCompatibility on restart of an existing query's
+    # checkpoint. Turning emit_skip_metrics on for an ESTABLISHED stream
+    # therefore requires a fresh checkpoint (new feature -> new query).
+    state_ddl = "docs array<string>, idsets array<array<bigint>>"
+    if emit_skip_metrics:
+        state_ddl += ", n_skipped long"
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
             st = state.get
             docs, idsets = list(st[0]), [set(s) for s in st[1]]
-            n_skipped = int(st[2] or 0)
+            n_skipped = int(st[2] or 0) if emit_skip_metrics else 0
         else:
             docs, idsets, n_skipped = [], [], 0
         seen = set(docs)
@@ -332,7 +337,10 @@ def stream_neardup_pairs(
                 idsets.append(s)
                 seen.add(doc_id)
         n_skipped += new_skips
-        state.update((docs, [sorted(s) for s in idsets], n_skipped))
+        if emit_skip_metrics:
+            state.update((docs, [sorted(s) for s in idsets], n_skipped))
+        else:
+            state.update((docs, [sorted(s) for s in idsets]))
         if emit_skip_metrics and new_skips:
             rows.append(
                 {"doc_a": "__frozen_bucket__",

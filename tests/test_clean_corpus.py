@@ -234,3 +234,28 @@ def test_rarity_stats_brute_force(spark):
         assert r.n_distinct_tokens == len(toks)
         assert r.sum_df == sum(df[t] for t in toks)
         assert r.n_rare == sum(1 for t in toks if df[t] <= 2)
+
+
+def test_token_budget_auto_width_handles_sparse_ids(spark):
+    """bucket_width='auto' sizes buckets from the observed id range, so a
+    sparse/offset numeric id space (hash-like ids) still produces a
+    bounded offsets table and the identical selection."""
+    docs = spark.read.parquet(DOCS)
+    want = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in __import__(
+            "gliner_spark.operators.text_analysis", fromlist=["x"]
+        ).token_budget_select(docs, 900).collect()
+    )
+    sparse = docs.withColumn(
+        "doc_id", F.col("doc_id") * 9_000_000_000 + 123_456_789
+    )
+    from gliner_spark.operators.text_analysis import token_budget_select
+
+    got = sorted(
+        ((r.doc_id - 123_456_789) // 9_000_000_000, r.cum_tokens)
+        for r in token_budget_select(
+            sparse, 900, bucket_width="auto"
+        ).collect()
+    )
+    assert got == want

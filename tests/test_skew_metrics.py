@@ -1,7 +1,10 @@
 """Skew-guard observability ("no silent caps", VERDICT r3 #2): every LSH
-bucket / hub-fanout cap reports what it dropped via a CollectMetrics
-observation riding the consuming action — zero extra jobs — and the
-streaming prefix-freeze counts skips in state."""
+bucket / hub-fanout cap carries a 1-row AUDIT aggregate on the operator
+output; skew_metrics(df) collects each with one small aggregate job over
+the cap site's (usually persisted) input. The streaming prefix-freeze
+counts skips in state and surfaces them as opt-in sentinel rows.
+(CollectMetrics/Observation was rejected — see metrics.py docstring: the
+LSH self-joins dedup the observed node to an empty metrics row.)"""
 
 import shutil
 import tempfile
