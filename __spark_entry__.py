@@ -652,6 +652,16 @@ def q_sim_ivf_kmeans(spark, sf_dir):
     )
 
 
+def q_sim_pq(spark, sf_dir):
+    """Product-quantization ADC search (the IVF-PQ scoring half — the
+    10^9-vector memory story: corpus stored as m=16 nibble codes, queries
+    score by summed distance-table lookups, all exact bigint arithmetic;
+    operators/similarity.pq_topk)."""
+    from gliner_spark.operators.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_sim_neardup(spark, sf_dir):
     from gliner_spark.operators.similarity import embedding_neardup
 
@@ -1109,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
+        "sim_pq": q_sim_pq,
         "sim_neardup": q_sim_neardup,
         # evaluation
         "ev_keyword_prf": q_ev_keyword_prf,
@@ -1725,6 +1736,108 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+
+def _sim_pq_oracle() -> str:
+    """Product quantization replayed relationally: per-subspace unrolled
+    integer k-means over the shared hash sample (init = k smallest-vec_id
+    slices), corpus nibble codes by per-subspace argmin, per-query exact
+    distance tables to every sub-centroid, ADC score = sum of m lookups —
+    all bigint, bit-equal to similarity.pq_topk."""
+    from gliner_spark.operators.similarity import (
+        _P31,
+        _SAMPLE_MULT,
+        KM_SAMPLE_TARGET,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+
+    D, NQ, TOPK = 64, 10, 5
+    SUB = D // PQ_M
+    T = KM_SAMPLE_TARGET
+
+    def d2(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range({SUB}), i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))), "
+            "(x, y) -> x + y)"
+        )
+
+    sums = ", ".join(f"sum(sq[{d + 1}]) AS s_{d}" for d in range(SUB))
+    means = ", ".join(
+        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
+        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
+        for d in range(SUB)
+    )
+    ctes = [
+        f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
+        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE "
+        f"((n.vec_id % {_P31}) * {_SAMPLE_MULT}) % {_P31} % sp.s = 0)",
+    ]
+    code_parts, dt_parts = [], []
+    for mi in range(PQ_M):
+        lo = mi * SUB
+        ctes.append(
+            f"samp{mi} AS (SELECT vec_id, "
+            f"list_slice(q, {lo + 1}, {lo + SUB}) AS sq FROM samp)"
+        )
+        ctes.append(
+            f"cb{mi}_0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, sq AS c "
+            f"FROM (SELECT sq, row_number() OVER (ORDER BY vec_id) AS rn "
+            f"FROM samp{mi}) WHERE rn <= {PQ_K})"
+        )
+        for it in range(PQ_ITERS):
+            ctes.append(f"""
+a{mi}_{it} AS (
+  SELECT vec_id, sq, cell FROM (
+    SELECT n.vec_id, n.sq, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2('n.sq', 'c.c')}, c.cell) AS rk
+    FROM samp{mi} n CROSS JOIN cb{mi}_{it} c
+  ) WHERE rk = 1
+),
+s{mi}_{it} AS (SELECT cell, count(*) AS cnt, {sums} FROM a{mi}_{it} GROUP BY cell),
+u{mi}_{it} AS (SELECT cell, [{means}] AS c FROM s{mi}_{it}),
+cb{mi}_{it + 1} AS (
+  SELECT cb.cell, coalesce(u.c, cb.c) AS c
+  FROM cb{mi}_{it} cb LEFT JOIN u{mi}_{it} u USING (cell)
+)""")
+        ctes.append(f"""
+code{mi} AS (
+  SELECT vec_id, {mi} AS mi, cell FROM (
+    SELECT n.vec_id, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c
+  ) WHERE rk = 1
+),
+dt{mi} AS (
+  SELECT n.vec_id AS query_id, {mi} AS mi, c.cell,
+    {d2(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')} AS d
+  FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c WHERE n.vec_id < {NQ}
+)""")
+        code_parts.append(f"SELECT * FROM code{mi}")
+        dt_parts.append(f"SELECT * FROM dt{mi}")
+    return f"""
+WITH {_QUANT_EMB},
+{', '.join(ctes)},
+codes AS ({' UNION ALL '.join(code_parts)}),
+dts AS ({' UNION ALL '.join(dt_parts)}),
+scored AS (
+  SELECT dt.query_id, co.vec_id, CAST(sum(dt.d) AS BIGINT) AS d2
+  FROM codes co JOIN dts dt ON dt.mi = co.mi AND dt.cell = co.cell
+  WHERE dt.query_id != co.vec_id
+  GROUP BY dt.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, d2,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, d2
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
@@ -2651,6 +2764,7 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
+        "sim_pq": _sim_pq_oracle(),
         "sim_neardup": _sim_neardup_oracle(),
         # ---- evaluation ----
         "ev_keyword_prf": f"""

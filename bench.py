@@ -82,6 +82,7 @@ EXTRA_QUERIES = [
     "rel_asof",
     "rel_range_join",
     "ta_cms_topk",
+    "sim_pq",
 ]
 
 

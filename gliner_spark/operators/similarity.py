@@ -322,6 +322,163 @@ def kmeans_ivf_topk(
     )
 
 
+# --------------------------------------------------- product quantization --
+PQ_M = 16         # subspaces (4 dims each at D=64)
+PQ_K = 16         # centroids per subspace (4-bit codes -> 8 B/vector)
+PQ_ITERS = 2
+
+
+def train_pq_codebooks(
+    qz: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample_target: int = KM_SAMPLE_TARGET,
+) -> list:
+    """Deterministic PQ codebooks: the vector is split into `m` contiguous
+    subspaces and each gets its own integer Lloyd k-means over the SAME
+    hash-scrambled sample as the coarse quantizer (training_sample) —
+    init = the k smallest-vec_id sample slices, round-half-away-from-zero
+    integer means, argmin ties to the lowest cell index. Returns
+    [m][k] integer centroid lists.
+
+    This is the 10^9-vector memory story: a 64-dim int vector (512 B as
+    longs) compresses to m nibble codes (8 B at m=16); the codebooks are m*k*subdim
+    ints (a few KB) shipped as expression literals. Training cost is fixed
+    (sample-sized) regardless of corpus size — identical shape to
+    train_kmeans_cells, replayed exactly by the SQL oracle."""
+    import numpy as np
+
+    n = qz.count()
+    s = max(1, (n + sample_target - 1) // sample_target)
+    rows = training_sample(qz, s).collect()
+    rows.sort(key=lambda r: r.vec_id)
+    if len(rows) < k:
+        raise ValueError(
+            f"train_pq_codebooks: sample yielded {len(rows)} vectors for "
+            f"k={k}; lower k or raise sample_target"
+        )
+    X = np.array([r.q for r in rows], dtype=np.int64)  # (n_s, D)
+    D = X.shape[1]
+    assert D % m == 0, (D, m)
+    sub = D // m
+    books = []
+    for mi in range(m):
+        S = X[:, mi * sub:(mi + 1) * sub]
+        cents = [[int(v) for v in S[i]] for i in range(k)]
+        for _ in range(iters):
+            C = np.array(cents, dtype=np.int64)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # ties -> first (lowest cell index)
+            new = list(cents)
+            for ci in range(k):
+                mask = a == ci
+                cnt = int(mask.sum())
+                if cnt:
+                    sums = S[mask].sum(axis=0)
+                    new[ci] = [_imean_round(int(sv), cnt) for sv in sums]
+            cents = new
+        books.append(cents)
+    return books
+
+
+def _pq_code_expr(books: list, mi: int, q_name: str = "q") -> str:
+    """SQL expr: the nearest sub-centroid index for subspace mi — built as
+    ONE string (the _assign_struct py4j-literal lesson). Tie-break: the
+    sort on (d2, cell) makes the lowest cell index win, matching numpy
+    argmin and the oracle."""
+    k = len(books[mi])
+    sub = len(books[mi][0])
+    lo = mi * sub
+    structs = []
+    for cell in range(k):
+        arr = ", ".join(f"{int(v)}L" for v in books[mi][cell])
+        d2 = (
+            f"aggregate(zip_with(slice({q_name}, {lo + 1}, {sub}), "
+            f"array({arr}), (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x)"
+        )
+        structs.append(f"named_struct('d2', {d2}, 'cell', {cell})")
+    return (
+        f"array_sort(array({', '.join(structs)}))[0]"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    books: list | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (the IVF-PQ scoring half): the corpus
+    is stored ONLY as m nibble codes; each query precomputes its exact
+    integer distance to every sub-centroid (an m x PQ_K table, built into
+    the plan as literals via its own assignment exprs) and a candidate's
+    approximate distance is the SUM of m table lookups —
+    dist(q, x) ~= sum_m ||q_m - c_{m, code_m(x)}||^2, ALL bigint, so the
+    ranking is bit-deterministic and the SQL oracle replays it exactly.
+
+    Plan shape: codes are a narrow projection over the corpus scan; the
+    query side is a broadcast; scoring is zip_with over the (m)-length
+    code array with the per-query distance-table array — no joins wider
+    than broadcast, one top-k window. At 10^9 vectors the scan reads
+    4-byte codes instead of 512-byte vectors."""
+    qz = _quantized(emb)
+    if books is None:
+        books = train_pq_codebooks(qz)
+    m = len(books)
+
+    code_cols = [
+        F.expr(_pq_code_expr(books, mi))["cell"].alias(f"c_{mi}")
+        for mi in range(m)
+    ]
+    corpus = qz.select(
+        "vec_id", F.array(*[c for c in code_cols]).alias("codes")
+    )
+
+    # per-query distance tables: d2 from the query's subvector to EVERY
+    # sub-centroid, as an m x k nested array column (pure exprs)
+    def dtab_expr(mi: int) -> str:
+        sub = len(books[mi][0])
+        lo = mi * sub
+        cells = []
+        for cell in range(len(books[mi])):
+            arr = ", ".join(f"{int(v)}L" for v in books[mi][cell])
+            cells.append(
+                f"aggregate(zip_with(slice(q, {lo + 1}, {sub}), "
+                f"array({arr}), (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + x)"
+            )
+        return f"array({', '.join(cells)})"
+
+    queries = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.array(*[F.expr(dtab_expr(mi)) for mi in range(m)]).alias("dtab"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(
+                    "dtab", "codes", lambda t, c: F.element_at(t, c + 1)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "d2")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ------------------------------------------- hyperplane (SRP) LSH blocking --
 HP_PLANES = 24       # random-hyperplane sign bits per vector
 HP_BANDS = 6         # banded exactly like dedup.py's minhash bands

@@ -121,3 +121,78 @@ def test_neardup_results_are_exact_verified(spark):
                / F.sqrt((F.col("na") * F.col("nb")).cast("double")), 6))
            .filter(F.col("sim") != F.col("expect")))
     assert chk.count() == 0
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    from gliner_spark.operators.similarity import train_pq_codebooks
+
+    emb = _emb(spark)
+    b1 = train_pq_codebooks(_quantized(emb))
+    b2 = train_pq_codebooks(_quantized(emb.repartition(13)))
+    assert b1 == b2
+    assert len(b1) == 16 and all(len(bk) == 16 for bk in b1)
+    assert all(len(c) == 4 for bk in b1 for c in bk)
+    assert all(isinstance(x, int) for bk in b1 for c in bk for x in c)
+
+
+def test_pq_adc_recall_beats_chance_and_matches_exact_reconstruction(spark):
+    """ADC ranking recall vs the exact cosine baseline must beat random;
+    and every reported d2 equals the brute-force python ADC distance
+    (codes + distance tables recomputed independently in numpy)."""
+    import numpy as np
+
+    from gliner_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _emb(spark)
+    got = pq_topk(emb, n_queries=10, k=5).collect()
+    rows = sorted(
+        _quantized(emb).select("vec_id", "q").collect(), key=lambda r: r.vec_id
+    )
+    X = {r.vec_id: np.array(r.q, dtype=np.int64) for r in rows}
+    # ADC approximates EUCLIDEAN distance — the honest recall baseline is
+    # exact L2 top-k (cosine_topk ranks a different metric)
+    pq = {}
+    for r in got:
+        pq.setdefault(r.query_id, set()).add(r.vec_id)
+    recall_n = recall_d = 0
+    for qid in pq:
+        q = X[qid]
+        exact = sorted(
+            (int(((q - x) ** 2).sum()), v) for v, x in X.items() if v != qid
+        )[:5]
+        want = {v for _, v in exact}
+        recall_n += len(want & pq[qid])
+        recall_d += len(want)
+    recall = recall_n / recall_d
+    assert recall >= 0.3, recall  # 16 nibble codes, small random corpus
+    books = train_pq_codebooks(_quantized(emb))
+    m = len(books)
+    sub = 64 // m
+    codes = {
+        v: [
+            int(
+                np.argmin(
+                    ((x[mi * sub:(mi + 1) * sub] - np.array(books[mi])) ** 2).sum(
+                        axis=1
+                    )
+                )
+            )
+            for mi in range(m)
+        ]
+        for v, x in X.items()
+    }
+    for r in got:
+        q = X[r.query_id]
+        want = sum(
+            int(
+                (
+                    (q[mi * sub:(mi + 1) * sub] - np.array(books[mi][codes[r.vec_id][mi]]))
+                    ** 2
+                ).sum()
+            )
+            for mi in range(m)
+        )
+        assert r.d2 == want, (r, want)
