@@ -508,6 +508,69 @@ def finalize_graph_incremental(
     return {"entities": n_e, "triples": n_t, "wall_ms": wall_ms}
 
 
+def finalize_stream_delta(
+    spark: SparkSession,
+    base: str,
+    cfg: PipelineConfig,
+    run_id: str = "",
+    fmt: str = "parquet",
+) -> dict:
+    """Fold the NOT-YET-FOLDED streamed docs into the graph — the
+    auto-discovery front end of finalize_graph_incremental, so callers do
+    not have to track the delta themselves. Discovery contract:
+
+      delta = stream staging rows
+              MINUS docs a batch run extracted (span_fp — batch
+                    supersedes stream, the mixed-mode rule)
+              MINUS docs a previous delta finalize already folded
+                    (the `stream_finalized` watermark table this
+                    function appends after a successful fold)
+
+    Repeated calls are incremental and idempotent: a call with nothing
+    new returns {'folded_docs': 0} without touching the graph tables.
+    `stream_finalized` is one doc_id column (same scale class as
+    span_fp); under Iceberg it appends as snapshot commits like lineage.
+    """
+    io = TableIO(spark, base, fmt)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    sm = io.read("stream/mentions")
+    if sm is None:
+        return {"folded_docs": 0, "skipped": "no stream staging"}
+    st = io.read("stream/triples_raw")
+    fp = io.read("span_fp")
+    if fp is not None:
+        batch_docs = fp.select("doc_id")
+        sm = sm.join(batch_docs, "doc_id", "left_anti")
+        if st is not None:
+            st = st.join(batch_docs, "doc_id", "left_anti")
+    done = io.read("stream_finalized")
+    if done is not None:
+        folded = done.select("doc_id")
+        sm = sm.join(folded, "doc_id", "left_anti")
+        if st is not None:
+            st = st.join(folded, "doc_id", "left_anti")
+    # one tiny distinct projection decides both the no-op fast path and
+    # the watermark rows appended after the fold succeeds
+    new_docs = sm.select("doc_id").distinct().persist()
+    n_new = new_docs.count()
+    if n_new == 0:
+        new_docs.unpersist()
+        return {"folded_docs": 0}
+    out = finalize_graph_incremental(
+        spark, base, cfg, sm, st, run_id=run_id, fmt=fmt
+    )
+    io.append(
+        new_docs.select(
+            "doc_id",
+            F.lit(run_id).alias("run_id"),
+            F.lit(time.time()).alias("ts"),
+        ),
+        "stream_finalized",
+    )
+    new_docs.unpersist()
+    return {**out, "folded_docs": n_new}
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,

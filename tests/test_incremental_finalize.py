@@ -212,3 +212,76 @@ def test_incremental_finalize_from_stream_staging(spark, model):
     finally:
         for d in (src, base, base_ref, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_finalize_stream_delta_auto_discovery(spark, model):
+    """finalize_stream_delta discovers the unfolded staged docs itself:
+    two successive stream batches folded by two successive calls == a
+    one-shot full pipeline; a third call with nothing new is a no-op."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from gliner_spark.sinks.materialize import (
+        finalize_stream_delta,
+        run_pipeline,
+    )
+    from gliner_spark.streaming.pipeline import run_stream_pipeline
+
+    src = tempfile.mkdtemp(prefix="gs_fsd_src_")
+    base = tempfile.mkdtemp(prefix="gs_fsd_base_")
+    base_ref = tempfile.mkdtemp(prefix="gs_fsd_ref_")
+    ckpt = tempfile.mkdtemp(prefix="gs_fsd_ckpt_")
+    try:
+        docs = synth_docs(spark, 150, partitions=4).persist()
+        docs_a = docs.filter(F2.col("doc_id") < "doc-0000000090")
+        docs_b = docs.filter(
+            (F2.col("doc_id") >= "doc-0000000090")
+            & (F2.col("doc_id") < "doc-0000000120")
+        )
+        docs_c = docs.filter(F2.col("doc_id") >= "doc-0000000120")
+
+        run_pipeline(spark, docs_a, model, base)
+
+        # stream batch 1 -> fold
+        docs_b.write.mode("overwrite").parquet(src)
+        q = run_stream_pipeline(spark, src, base, model, ckpt)
+        q.awaitTermination(180)
+        out1 = finalize_stream_delta(spark, base, model.config)
+        # docs that produced zero mentions never enter the staging tables
+        # (nothing to fold) — compare against the staged doc set
+        staged1 = (
+            spark.read.parquet(f"{base}/stream/mentions")
+            .select("doc_id").distinct().count()
+        )
+        assert out1["folded_docs"] == staged1 > 0
+
+        # stream batch 2 -> fold (only the NEW docs are discovered)
+        docs_c.write.mode("append").parquet(src)
+        q = run_stream_pipeline(spark, src, base, model, ckpt)
+        q.awaitTermination(180)
+        out2 = finalize_stream_delta(spark, base, model.config)
+        staged2 = (
+            spark.read.parquet(f"{base}/stream/mentions")
+            .select("doc_id").distinct().count()
+        )
+        assert out2["folded_docs"] == staged2 - staged1 > 0
+
+        # nothing new -> no-op
+        out3 = finalize_stream_delta(spark, base, model.config)
+        assert out3["folded_docs"] == 0
+
+        run_pipeline(spark, docs, model, base_ref)
+        for table, cols in [
+            ("entities", ["entity_id", "canonical", "label", "n_mentions"]),
+            ("triples",
+             ["doc_id", "subj", "pred", "obj", "subj_type", "obj_type",
+              "score"]),
+        ]:
+            a = _rows(spark.read.parquet(f"{base}/{table}"), cols)
+            b = _rows(spark.read.parquet(f"{base_ref}/{table}"), cols)
+            assert a == b, table
+        docs.unpersist()
+    finally:
+        for d in (src, base, base_ref, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
