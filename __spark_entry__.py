@@ -662,6 +662,15 @@ def q_sim_pq(spark, sf_dir):
     return pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_sim_ivfpq(spark, sf_dir):
+    """IVF-PQ composed index (the FAISS-default production ANN shape):
+    coarse-cell pruning to nprobe cells + PQ asymmetric-distance scoring
+    over 8-byte codes, all exact bigint (operators/similarity.ivfpq_topk)."""
+    from gliner_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_sim_neardup(spark, sf_dir):
     from gliner_spark.operators.similarity import embedding_neardup
 
@@ -1120,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
         "sim_pq": q_sim_pq,
+        "sim_ivfpq": q_sim_ivfpq,
         "sim_neardup": q_sim_neardup,
         # evaluation
         "ev_keyword_prf": q_ev_keyword_prf,
@@ -1831,6 +1841,168 @@ scored AS (
   FROM codes co JOIN dts dt ON dt.mi = co.mi AND dt.cell = co.cell
   WHERE dt.query_id != co.vec_id
   GROUP BY dt.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, d2,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, d2
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+
+def _sim_ivfpq_oracle() -> str:
+    """IVF-PQ replayed relationally: the coarse k-means cell CTEs (same
+    unrolled integer Lloyd as sim_ivf_kmeans) prune candidates to each
+    query's nprobe cells; the PQ CTEs (same as sim_pq) provide corpus
+    codes and per-query distance tables; ADC ranking over the pruned
+    pairs — bit-equal to similarity.ivfpq_topk."""
+    from gliner_spark.operators.similarity import (
+        _P31,
+        _SAMPLE_MULT,
+        K_CELLS,
+        KM_ITERS,
+        KM_SAMPLE_TARGET,
+        NPROBE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+
+    D, NQ, TOPK = 64, 10, 5
+    SUB = D // PQ_M
+    T = KM_SAMPLE_TARGET
+
+    def d2full(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range({D}), i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))), "
+            "(x, y) -> x + y)"
+        )
+
+    def d2sub(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range({SUB}), i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))), "
+            "(x, y) -> x + y)"
+        )
+
+    ksums = ", ".join(f"sum(q[{d + 1}]) AS s_{d}" for d in range(D))
+    kmeans_ = ", ".join(
+        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
+        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
+        for d in range(D)
+    )
+    psums = ", ".join(f"sum(sq[{d + 1}]) AS s_{d}" for d in range(SUB))
+    pmeans = ", ".join(
+        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
+        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
+        for d in range(SUB)
+    )
+    ctes = [
+        f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
+        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE "
+        f"((n.vec_id % {_P31}) * {_SAMPLE_MULT}) % {_P31} % sp.s = 0)",
+        # coarse quantizer (cell id = sample vec_id, first-k init)
+        "kc0 AS (SELECT vec_id AS cell, q AS c FROM ("
+        "SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn "
+        f"FROM samp) WHERE rn <= {K_CELLS})",
+    ]
+    for it in range(KM_ITERS):
+        ctes.append(f"""
+ka{it} AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT n.vec_id, n.q, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2full('n.q', 'c.c')}, c.cell) AS rk
+    FROM samp n CROSS JOIN kc{it} c
+  ) WHERE rk = 1
+),
+ks{it} AS (SELECT cell, count(*) AS cnt, {ksums} FROM ka{it} GROUP BY cell),
+ku{it} AS (SELECT cell, [{kmeans_}] AS c FROM ks{it}),
+kc{it + 1} AS (
+  SELECT kc.cell, coalesce(u.c, kc.c) AS c
+  FROM kc{it} kc LEFT JOIN ku{it} u USING (cell)
+)""")
+    ctes.append(f"""
+ccells AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2full('n.q', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN kc{KM_ITERS} c
+  ) WHERE rk = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT n.vec_id, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2full('n.q', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN kc{KM_ITERS} c WHERE n.vec_id < {NQ}
+  ) WHERE rk <= {NPROBE}
+)""")
+    code_parts, dt_parts = [], []
+    for mi in range(PQ_M):
+        lo = mi * SUB
+        ctes.append(
+            f"samp{mi} AS (SELECT vec_id, "
+            f"list_slice(q, {lo + 1}, {lo + SUB}) AS sq FROM samp)"
+        )
+        ctes.append(
+            f"cb{mi}_0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, sq AS c "
+            f"FROM (SELECT sq, row_number() OVER (ORDER BY vec_id) AS rn "
+            f"FROM samp{mi}) WHERE rn <= {PQ_K})"
+        )
+        for it in range(PQ_ITERS):
+            ctes.append(f"""
+a{mi}_{it} AS (
+  SELECT vec_id, sq, cell FROM (
+    SELECT n.vec_id, n.sq, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2sub('n.sq', 'c.c')}, c.cell) AS rk
+    FROM samp{mi} n CROSS JOIN cb{mi}_{it} c
+  ) WHERE rk = 1
+),
+s{mi}_{it} AS (SELECT cell, count(*) AS cnt, {psums} FROM a{mi}_{it} GROUP BY cell),
+u{mi}_{it} AS (SELECT cell, [{pmeans}] AS c FROM s{mi}_{it}),
+cb{mi}_{it + 1} AS (
+  SELECT cb.cell, coalesce(u.c, cb.c) AS c
+  FROM cb{mi}_{it} cb LEFT JOIN u{mi}_{it} u USING (cell)
+)""")
+        ctes.append(f"""
+code{mi} AS (
+  SELECT vec_id, {mi} AS mi, cell FROM (
+    SELECT n.vec_id, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2sub(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c
+  ) WHERE rk = 1
+),
+dt{mi} AS (
+  SELECT n.vec_id AS query_id, {mi} AS mi, c.cell,
+    {d2sub(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')} AS d
+  FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c WHERE n.vec_id < {NQ}
+)""")
+        code_parts.append(f"SELECT * FROM code{mi}")
+        dt_parts.append(f"SELECT * FROM dt{mi}")
+    return f"""
+WITH {_QUANT_EMB},
+{', '.join(ctes)},
+codes AS ({' UNION ALL '.join(code_parts)}),
+dts AS ({' UNION ALL '.join(dt_parts)}),
+pairs AS (
+  SELECT DISTINCT qp.query_id, co.vec_id
+  FROM qprobe qp JOIN ccells co USING (cell)
+  WHERE qp.query_id != co.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.vec_id, CAST(sum(dt.d) AS BIGINT) AS d2
+  FROM pairs p
+  JOIN codes cd ON cd.vec_id = p.vec_id
+  JOIN dts dt ON dt.query_id = p.query_id
+    AND dt.mi = cd.mi AND dt.cell = cd.cell
+  GROUP BY p.query_id, p.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id, d2,
@@ -2765,6 +2937,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         "sim_pq": _sim_pq_oracle(),
+        "sim_ivfpq": _sim_ivfpq_oracle(),
         "sim_neardup": _sim_neardup_oracle(),
         # ---- evaluation ----
         "ev_keyword_prf": f"""

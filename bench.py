@@ -83,6 +83,7 @@ EXTRA_QUERIES = [
     "rel_range_join",
     "ta_cms_topk",
     "sim_pq",
+    "sim_ivfpq",
 ]
 
 

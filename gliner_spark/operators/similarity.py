@@ -479,6 +479,95 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = K_CELLS,
+    nprobe: int = NPROBE,
+    cells: list | None = None,
+    books: list | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed production ANN index (FAISS's default shape
+    for 10^9+ vectors): the learned coarse quantizer prunes the candidate
+    set to the query's `nprobe` nearest cells (~n_cells/nprobe x fewer
+    candidates), and within those cells candidates are scored by PQ
+    asymmetric distance over their 8-byte nibble codes instead of exact
+    dots over 512-byte vectors. Both halves reuse the oracle-gated
+    machinery verbatim (train_kmeans_cells / train_pq_codebooks over the
+    same fixed-cost hash sample; build-once indexes via
+    save_cells/load_cells-style persistence), every distance is exact
+    bigint, and the ranking is bit-deterministic — replayed end-to-end by
+    the sim_ivfpq DuckDB oracle.
+
+    Plan shape: corpus -> narrow (cell, codes) projection; queries
+    broadcast with their probe cells exploded and per-subspace distance
+    tables as literals-built expressions; ONE equi-join on cell; top-k
+    window. No shuffle wider than the broadcast."""
+    qz = _quantized(emb)
+    cents = cells if cells is not None else train_kmeans_cells(qz, k=n_cells)
+    if books is None:
+        books = train_pq_codebooks(qz)
+    m = len(books)
+
+    corpus = qz.select(
+        "vec_id",
+        _assign_struct(F.col("q"), cents)[0]["cell"].alias("cell"),
+        F.array(
+            *[
+                F.expr(_pq_code_expr(books, mi))["cell"].alias(f"c_{mi}")
+                for mi in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+    def dtab_expr(mi: int) -> str:
+        sub = len(books[mi][0])
+        lo = mi * sub
+        cells_d = []
+        for cell in range(len(books[mi])):
+            arr = ", ".join(f"{int(v)}L" for v in books[mi][cell])
+            cells_d.append(
+                f"aggregate(zip_with(slice(q, {lo + 1}, {sub}), "
+                f"array({arr}), (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + x)"
+            )
+        return f"array({', '.join(cells_d)})"
+
+    queries = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                _assign_struct(F.col("q"), cents, nprobe=nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+        F.array(*[F.expr(dtab_expr(mi)) for mi in range(m)]).alias("dtab"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(
+                    "dtab", "codes", lambda t, c: F.element_at(t, c + 1)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "d2")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ------------------------------------------- hyperplane (SRP) LSH blocking --
 HP_PLANES = 24       # random-hyperplane sign bits per vector
 HP_BANDS = 6         # banded exactly like dedup.py's minhash bands

@@ -196,3 +196,49 @@ def test_pq_adc_recall_beats_chance_and_matches_exact_reconstruction(spark):
             for mi in range(m)
         )
         assert r.d2 == want, (r, want)
+
+
+def test_ivfpq_composes_pruning_and_adc_consistently(spark):
+    """IVF-PQ invariants: deterministic across partitionings; every
+    returned candidate lies in one of the query's nprobe coarse cells;
+    and its d2 equals the standalone PQ operator's d2 for the same pair
+    (the composition changes WHICH pairs are scored, never the score)."""
+    import numpy as np
+
+    from gliner_spark.operators.similarity import (
+        NPROBE,
+        ivfpq_topk,
+        pq_topk,
+        train_kmeans_cells,
+    )
+
+    emb = _emb(spark)
+    got = ivfpq_topk(emb, n_queries=10, k=5).collect()
+    again = ivfpq_topk(emb.repartition(13), n_queries=10, k=5).collect()
+    assert got == again and len(got) > 0
+
+    # candidate set honors the coarse pruning
+    cents = train_kmeans_cells(_quantized(emb))
+    C = np.array([c for _, c in cents], dtype=np.int64)
+    cell_ids = [cid for cid, _ in cents]
+    rows = _quantized(emb).select("vec_id", "q").collect()
+    X = {r.vec_id: np.array(r.q, dtype=np.int64) for r in rows}
+
+    def assign(x, n):
+        d2 = ((x[None, :] - C) ** 2).sum(axis=1)
+        order = sorted(range(len(cell_ids)), key=lambda i: (d2[i], cell_ids[i]))
+        return [cell_ids[i] for i in order[:n]]
+
+    for r in got:
+        probed = set(assign(X[r.query_id], NPROBE))
+        assert assign(X[r.vec_id], 1)[0] in probed, r
+
+    # ADC scores agree with the standalone PQ operator on shared pairs
+    pq_d2 = {
+        (r.query_id, r.vec_id): r.d2
+        for r in pq_topk(emb, n_queries=10, k=50).collect()
+    }
+    shared = [r for r in got if (r.query_id, r.vec_id) in pq_d2]
+    assert shared  # top IVF-PQ hits overlap the PQ top-50
+    for r in shared:
+        assert r.d2 == pq_d2[(r.query_id, r.vec_id)], r
