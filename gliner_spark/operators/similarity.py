@@ -479,6 +479,31 @@ def pq_topk(
     )
 
 
+def save_pq(books: list, path: str) -> None:
+    """Persist PQ codebooks (m x k x subdim ints — a few KB of JSON).
+    Same build-once / probe-many lifecycle as save_cells: train on one
+    corpus pass, every later query job loads the codebooks and goes
+    straight to encoding/probing with zero training jobs."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {"books": [[[int(x) for x in c] for c in bk] for bk in books]}, f
+        )
+
+
+def load_pq(path: str) -> list:
+    import json
+
+    with open(path) as f:
+        return [
+            [[int(x) for x in c] for c in bk]
+            for bk in json.load(f)["books"]
+        ]
+
+
 def ivfpq_topk(
     emb: DataFrame,
     n_queries: int = 10,

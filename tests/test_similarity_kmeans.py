@@ -242,3 +242,31 @@ def test_ivfpq_composes_pruning_and_adc_consistently(spark):
     assert shared  # top IVF-PQ hits overlap the PQ top-50
     for r in shared:
         assert r.d2 == pq_d2[(r.query_id, r.vec_id)], r
+
+
+def test_pq_index_persistence_round_trip(spark, tmp_path):
+    """Build-once / probe-many for the composed index: coarse cells AND
+    PQ codebooks persist to tiny JSON files, and a prebuilt run returns
+    identical rows with zero training jobs."""
+    from gliner_spark.operators.similarity import (
+        ivfpq_topk,
+        load_cells,
+        load_pq,
+        save_cells,
+        save_pq,
+        train_pq_codebooks,
+    )
+
+    emb = _emb(spark)
+    cents = train_kmeans_cells(_quantized(emb))
+    books = train_pq_codebooks(_quantized(emb))
+    cp = str(tmp_path / "cells.json")
+    bp = str(tmp_path / "pq.json")
+    save_cells(cents, cp)
+    save_pq(books, bp)
+    assert load_pq(bp) == books
+    a = ivfpq_topk(emb, n_queries=5, k=5).collect()
+    b = ivfpq_topk(
+        emb, n_queries=5, k=5, cells=load_cells(cp), books=load_pq(bp)
+    ).collect()
+    assert a == b
