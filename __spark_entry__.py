@@ -1662,6 +1662,138 @@ ORDER BY doc_id, subj, pred, obj
 """
 
 
+def _ann_d2(dims: int):
+    """SQL d2 generator over the first `dims` list elements — shared by
+    every ANN oracle so the distance expression cannot desynchronize."""
+    def d2(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range({dims}), i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))), "
+            "(x, y) -> x + y)"
+        )
+    return d2
+
+
+def _ann_sample_ctes() -> list:
+    """sp + samp: the shared hash-scrambled training sample
+    (similarity.training_sample / _collect_training_sample)."""
+    from gliner_spark.operators.similarity import (
+        _P31,
+        _SAMPLE_MULT,
+        KM_SAMPLE_TARGET,
+    )
+
+    T = KM_SAMPLE_TARGET
+    return [
+        f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
+        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE "
+        f"((n.vec_id % {_P31}) * {_SAMPLE_MULT}) % {_P31} % sp.s = 0)",
+    ]
+
+
+def _ann_kmeans_ctes(k: int, iters: int, dims: int, cb: str, a: str,
+                     s_: str, u: str) -> list:
+    """Unrolled integer-Lloyd CTE chain over `samp` (full-width vectors):
+    init = k smallest-vec_id members (cell id = sample vec_id), fixed
+    `iters` rounds of assign (rk=1, ties to lowest cell) + round-half-
+    away-from-zero integer means. Final codebook CTE = {cb}{iters}.
+    Shared by _sim_ivf_kmeans_oracle and _sim_ivfpq_oracle so both gates
+    provably replay the same training (similarity.train_kmeans_cells)."""
+    d2 = _ann_d2(dims)
+    sums = ", ".join(f"sum(q[{d + 1}]) AS s_{d}" for d in range(dims))
+    means = ", ".join(
+        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
+        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
+        for d in range(dims)
+    )
+    ctes = [
+        f"{cb}0 AS (SELECT vec_id AS cell, q AS c FROM ("
+        "SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn "
+        f"FROM samp) WHERE rn <= {k})",
+    ]
+    for it in range(iters):
+        ctes.append(f"""
+{a}{it} AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT n.vec_id, n.q, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2('n.q', 'c.c')}, c.cell) AS rk
+    FROM samp n CROSS JOIN {cb}{it} c
+  ) WHERE rk = 1
+),
+{s_}{it} AS (SELECT cell, count(*) AS cnt, {sums} FROM {a}{it} GROUP BY cell),
+{u}{it} AS (SELECT cell, [{means}] AS c FROM {s_}{it}),
+{cb}{it + 1} AS (
+  SELECT cb.cell, coalesce(u.c, cb.c) AS c
+  FROM {cb}{it} cb LEFT JOIN {u}{it} u USING (cell)
+)""")
+    return ctes
+
+
+def _ann_pq_ctes() -> tuple:
+    """Per-subspace PQ CTE block over `samp`/`qn`: codebook training
+    (samp{mi}/cb{mi}_*), corpus codes (code{mi}) and per-query distance
+    tables (dt{mi}). Returns (ctes, code_union_parts, dt_union_parts).
+    Shared by _sim_pq_oracle and _sim_ivfpq_oracle
+    (similarity.train_pq_codebooks / _pq_code_expr / _pq_dtab_expr)."""
+    from gliner_spark.operators.similarity import PQ_ITERS, PQ_K, PQ_M
+
+    D, NQ = 64, 10
+    SUB = D // PQ_M
+    d2s = _ann_d2(SUB)
+    psums = ", ".join(f"sum(sq[{d + 1}]) AS s_{d}" for d in range(SUB))
+    pmeans = ", ".join(
+        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
+        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
+        for d in range(SUB)
+    )
+    ctes, code_parts, dt_parts = [], [], []
+    for mi in range(PQ_M):
+        lo = mi * SUB
+        ctes.append(
+            f"samp{mi} AS (SELECT vec_id, "
+            f"list_slice(q, {lo + 1}, {lo + SUB}) AS sq FROM samp)"
+        )
+        ctes.append(
+            f"cb{mi}_0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, sq AS c "
+            f"FROM (SELECT sq, row_number() OVER (ORDER BY vec_id) AS rn "
+            f"FROM samp{mi}) WHERE rn <= {PQ_K})"
+        )
+        for it in range(PQ_ITERS):
+            ctes.append(f"""
+a{mi}_{it} AS (
+  SELECT vec_id, sq, cell FROM (
+    SELECT n.vec_id, n.sq, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2s('n.sq', 'c.c')}, c.cell) AS rk
+    FROM samp{mi} n CROSS JOIN cb{mi}_{it} c
+  ) WHERE rk = 1
+),
+s{mi}_{it} AS (SELECT cell, count(*) AS cnt, {psums} FROM a{mi}_{it} GROUP BY cell),
+u{mi}_{it} AS (SELECT cell, [{pmeans}] AS c FROM s{mi}_{it}),
+cb{mi}_{it + 1} AS (
+  SELECT cb.cell, coalesce(u.c, cb.c) AS c
+  FROM cb{mi}_{it} cb LEFT JOIN u{mi}_{it} u USING (cell)
+)""")
+        ctes.append(f"""
+code{mi} AS (
+  SELECT vec_id, {mi} AS mi, cell FROM (
+    SELECT n.vec_id, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {d2s(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')}, c.cell) AS rk
+    FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c
+  ) WHERE rk = 1
+),
+dt{mi} AS (
+  SELECT n.vec_id AS query_id, {mi} AS mi, c.cell,
+    {d2s(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')} AS d
+  FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c WHERE n.vec_id < {NQ}
+)""")
+        code_parts.append(f"SELECT * FROM code{mi}")
+        dt_parts.append(f"SELECT * FROM dt{mi}")
+    return ctes, code_parts, dt_parts
+
+
 def _sim_ivf_kmeans_oracle() -> str:
     """Unrolled deterministic k-means (sample -> init -> [assign ->
     update] x2 -> final assign -> nprobe probe -> per-cell scoring). The
@@ -1670,51 +1802,11 @@ def _sim_ivf_kmeans_oracle() -> str:
     smallest-vec_id sample members — similarity.train_kmeans_cells /
     training_sample); all centroid math is exact bigint arithmetic, only
     the final cosine touches IEEE."""
-    from gliner_spark.operators.similarity import (
-        _P31,
-        _SAMPLE_MULT,
-        KM_SAMPLE_TARGET,
-    )
-
     D, K, ITERS, NPROBE, NQ, TOPK = 64, 8, 2, 2, 10, 5
-    T = KM_SAMPLE_TARGET
-
-    def d2(q: str, c: str) -> str:
-        return (
-            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range({D}), i -> ({q}[i+1]-{c}[i+1])*({q}[i+1]-{c}[i+1]))), "
-            "(a, x) -> a + x)"
-        )
-
-    sums = ", ".join(f"sum(q[{d+1}]) AS s_{d}" for d in range(D))
-    means = ", ".join(
-        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
-        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
-        for d in range(D)
+    d2 = _ann_d2(D)
+    ctes = _ann_sample_ctes() + _ann_kmeans_ctes(
+        K, ITERS, D, cb="c", a="a", s_="s", u="u"
     )
-    ctes = [
-        f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
-        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE "
-        f"((n.vec_id % {_P31}) * {_SAMPLE_MULT}) % {_P31} % sp.s = 0)",
-        "c0 AS (SELECT vec_id AS cell, q AS c FROM ("
-        "SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn "
-        f"FROM samp) WHERE rn <= {K})",
-    ]
-    for it in range(ITERS):
-        ctes.append(f"""
-a{it} AS (
-  SELECT vec_id, q, cell FROM (
-    SELECT n.vec_id, n.q, c.cell,
-      row_number() OVER (PARTITION BY n.vec_id ORDER BY {d2('n.q', 'c.c')}, c.cell) AS rk
-    FROM samp n CROSS JOIN c{it} c
-  ) WHERE rk = 1
-),
-s{it} AS (SELECT cell, count(*) AS cnt, {sums} FROM a{it} GROUP BY cell),
-u{it} AS (SELECT cell, [{means}] AS c FROM s{it}),
-c{it+1} AS (
-  SELECT c{it}.cell, coalesce(u{it}.c, c{it}.c) AS c
-  FROM c{it} LEFT JOIN u{it} USING (cell)
-)""")
     return f"""
 WITH {_QUANT_EMB},
 {', '.join(ctes)},
@@ -1756,81 +1848,10 @@ def _sim_pq_oracle() -> str:
     slices), corpus nibble codes by per-subspace argmin, per-query exact
     distance tables to every sub-centroid, ADC score = sum of m lookups —
     all bigint, bit-equal to similarity.pq_topk."""
-    from gliner_spark.operators.similarity import (
-        _P31,
-        _SAMPLE_MULT,
-        KM_SAMPLE_TARGET,
-        PQ_ITERS,
-        PQ_K,
-        PQ_M,
-    )
-
-    D, NQ, TOPK = 64, 10, 5
-    SUB = D // PQ_M
-    T = KM_SAMPLE_TARGET
-
-    def d2(a: str, b: str) -> str:
-        return (
-            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range({SUB}), i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))), "
-            "(x, y) -> x + y)"
-        )
-
-    sums = ", ".join(f"sum(sq[{d + 1}]) AS s_{d}" for d in range(SUB))
-    means = ", ".join(
-        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
-        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
-        for d in range(SUB)
-    )
-    ctes = [
-        f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
-        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE "
-        f"((n.vec_id % {_P31}) * {_SAMPLE_MULT}) % {_P31} % sp.s = 0)",
-    ]
-    code_parts, dt_parts = [], []
-    for mi in range(PQ_M):
-        lo = mi * SUB
-        ctes.append(
-            f"samp{mi} AS (SELECT vec_id, "
-            f"list_slice(q, {lo + 1}, {lo + SUB}) AS sq FROM samp)"
-        )
-        ctes.append(
-            f"cb{mi}_0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, sq AS c "
-            f"FROM (SELECT sq, row_number() OVER (ORDER BY vec_id) AS rn "
-            f"FROM samp{mi}) WHERE rn <= {PQ_K})"
-        )
-        for it in range(PQ_ITERS):
-            ctes.append(f"""
-a{mi}_{it} AS (
-  SELECT vec_id, sq, cell FROM (
-    SELECT n.vec_id, n.sq, c.cell,
-      row_number() OVER (PARTITION BY n.vec_id
-        ORDER BY {d2('n.sq', 'c.c')}, c.cell) AS rk
-    FROM samp{mi} n CROSS JOIN cb{mi}_{it} c
-  ) WHERE rk = 1
-),
-s{mi}_{it} AS (SELECT cell, count(*) AS cnt, {sums} FROM a{mi}_{it} GROUP BY cell),
-u{mi}_{it} AS (SELECT cell, [{means}] AS c FROM s{mi}_{it}),
-cb{mi}_{it + 1} AS (
-  SELECT cb.cell, coalesce(u.c, cb.c) AS c
-  FROM cb{mi}_{it} cb LEFT JOIN u{mi}_{it} u USING (cell)
-)""")
-        ctes.append(f"""
-code{mi} AS (
-  SELECT vec_id, {mi} AS mi, cell FROM (
-    SELECT n.vec_id, c.cell,
-      row_number() OVER (PARTITION BY n.vec_id
-        ORDER BY {d2(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')}, c.cell) AS rk
-    FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c
-  ) WHERE rk = 1
-),
-dt{mi} AS (
-  SELECT n.vec_id AS query_id, {mi} AS mi, c.cell,
-    {d2(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')} AS d
-  FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c WHERE n.vec_id < {NQ}
-)""")
-        code_parts.append(f"SELECT * FROM code{mi}")
-        dt_parts.append(f"SELECT * FROM dt{mi}")
+    TOPK = 5
+    ctes = _ann_sample_ctes()
+    pq_ctes, code_parts, dt_parts = _ann_pq_ctes()
+    ctes += pq_ctes
     return f"""
 WITH {_QUANT_EMB},
 {', '.join(ctes)},
@@ -1859,72 +1880,16 @@ def _sim_ivfpq_oracle() -> str:
     codes and per-query distance tables; ADC ranking over the pruned
     pairs — bit-equal to similarity.ivfpq_topk."""
     from gliner_spark.operators.similarity import (
-        _P31,
-        _SAMPLE_MULT,
         K_CELLS,
         KM_ITERS,
-        KM_SAMPLE_TARGET,
         NPROBE,
-        PQ_ITERS,
-        PQ_K,
-        PQ_M,
     )
 
     D, NQ, TOPK = 64, 10, 5
-    SUB = D // PQ_M
-    T = KM_SAMPLE_TARGET
-
-    def d2full(a: str, b: str) -> str:
-        return (
-            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range({D}), i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))), "
-            "(x, y) -> x + y)"
-        )
-
-    def d2sub(a: str, b: str) -> str:
-        return (
-            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range({SUB}), i -> ({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]))), "
-            "(x, y) -> x + y)"
-        )
-
-    ksums = ", ".join(f"sum(q[{d + 1}]) AS s_{d}" for d in range(D))
-    kmeans_ = ", ".join(
-        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
-        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
-        for d in range(D)
+    d2full = _ann_d2(D)
+    ctes = _ann_sample_ctes() + _ann_kmeans_ctes(
+        K_CELLS, KM_ITERS, D, cb="kc", a="ka", s_="ks", u="ku"
     )
-    psums = ", ".join(f"sum(sq[{d + 1}]) AS s_{d}" for d in range(SUB))
-    pmeans = ", ".join(
-        f"CASE WHEN s_{d} >= 0 THEN (2*s_{d} + cnt)//(2*cnt) "
-        f"ELSE -((2*(-s_{d}) + cnt)//(2*cnt)) END"
-        for d in range(SUB)
-    )
-    ctes = [
-        f"sp AS (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS s FROM qn)",
-        "samp AS (SELECT n.vec_id, n.q FROM qn n, sp WHERE "
-        f"((n.vec_id % {_P31}) * {_SAMPLE_MULT}) % {_P31} % sp.s = 0)",
-        # coarse quantizer (cell id = sample vec_id, first-k init)
-        "kc0 AS (SELECT vec_id AS cell, q AS c FROM ("
-        "SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn "
-        f"FROM samp) WHERE rn <= {K_CELLS})",
-    ]
-    for it in range(KM_ITERS):
-        ctes.append(f"""
-ka{it} AS (
-  SELECT vec_id, q, cell FROM (
-    SELECT n.vec_id, n.q, c.cell,
-      row_number() OVER (PARTITION BY n.vec_id
-        ORDER BY {d2full('n.q', 'c.c')}, c.cell) AS rk
-    FROM samp n CROSS JOIN kc{it} c
-  ) WHERE rk = 1
-),
-ks{it} AS (SELECT cell, count(*) AS cnt, {ksums} FROM ka{it} GROUP BY cell),
-ku{it} AS (SELECT cell, [{kmeans_}] AS c FROM ks{it}),
-kc{it + 1} AS (
-  SELECT kc.cell, coalesce(u.c, kc.c) AS c
-  FROM kc{it} kc LEFT JOIN ku{it} u USING (cell)
-)""")
     ctes.append(f"""
 ccells AS (
   SELECT vec_id, cell FROM (
@@ -1942,50 +1907,8 @@ qprobe AS (
     FROM qn n CROSS JOIN kc{KM_ITERS} c WHERE n.vec_id < {NQ}
   ) WHERE rk <= {NPROBE}
 )""")
-    code_parts, dt_parts = [], []
-    for mi in range(PQ_M):
-        lo = mi * SUB
-        ctes.append(
-            f"samp{mi} AS (SELECT vec_id, "
-            f"list_slice(q, {lo + 1}, {lo + SUB}) AS sq FROM samp)"
-        )
-        ctes.append(
-            f"cb{mi}_0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, sq AS c "
-            f"FROM (SELECT sq, row_number() OVER (ORDER BY vec_id) AS rn "
-            f"FROM samp{mi}) WHERE rn <= {PQ_K})"
-        )
-        for it in range(PQ_ITERS):
-            ctes.append(f"""
-a{mi}_{it} AS (
-  SELECT vec_id, sq, cell FROM (
-    SELECT n.vec_id, n.sq, c.cell,
-      row_number() OVER (PARTITION BY n.vec_id
-        ORDER BY {d2sub('n.sq', 'c.c')}, c.cell) AS rk
-    FROM samp{mi} n CROSS JOIN cb{mi}_{it} c
-  ) WHERE rk = 1
-),
-s{mi}_{it} AS (SELECT cell, count(*) AS cnt, {psums} FROM a{mi}_{it} GROUP BY cell),
-u{mi}_{it} AS (SELECT cell, [{pmeans}] AS c FROM s{mi}_{it}),
-cb{mi}_{it + 1} AS (
-  SELECT cb.cell, coalesce(u.c, cb.c) AS c
-  FROM cb{mi}_{it} cb LEFT JOIN u{mi}_{it} u USING (cell)
-)""")
-        ctes.append(f"""
-code{mi} AS (
-  SELECT vec_id, {mi} AS mi, cell FROM (
-    SELECT n.vec_id, c.cell,
-      row_number() OVER (PARTITION BY n.vec_id
-        ORDER BY {d2sub(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')}, c.cell) AS rk
-    FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c
-  ) WHERE rk = 1
-),
-dt{mi} AS (
-  SELECT n.vec_id AS query_id, {mi} AS mi, c.cell,
-    {d2sub(f'list_slice(n.q, {lo + 1}, {lo + SUB})', 'c.c')} AS d
-  FROM qn n CROSS JOIN cb{mi}_{PQ_ITERS} c WHERE n.vec_id < {NQ}
-)""")
-        code_parts.append(f"SELECT * FROM code{mi}")
-        dt_parts.append(f"SELECT * FROM dt{mi}")
+    pq_ctes, code_parts, dt_parts = _ann_pq_ctes()
+    ctes += pq_ctes
     return f"""
 WITH {_QUANT_EMB},
 {', '.join(ctes)},

@@ -172,6 +172,18 @@ def training_sample(qz: DataFrame, s: int) -> DataFrame:
     return samp
 
 
+def _collect_training_sample(qz: DataFrame, sample_target: int) -> list:
+    """Count + bounded collect of the shared hash-scrambled training
+    sample, sorted by vec_id — the ONE pair of Spark jobs every quantizer
+    trainer (coarse cells, PQ codebooks) derives from. Callers building a
+    composed index collect once and pass the rows to both trainers."""
+    n = qz.count()
+    s = max(1, (n + sample_target - 1) // sample_target)
+    rows = training_sample(qz, s).collect()
+    rows.sort(key=lambda r: r.vec_id)  # collect order is partition-dependent
+    return rows
+
+
 def _imean_round(s: int, n: int) -> int:
     """Round-half-away-from-zero integer mean in pure bigint arithmetic —
     exact and engine-identical to the oracle's DuckDB form
@@ -184,6 +196,7 @@ def train_kmeans_cells(
     k: int = K_CELLS,
     iters: int = KM_ITERS,
     sample_target: int = KM_SAMPLE_TARGET,
+    _rows: list | None = None,
 ) -> list:
     """Deterministic Lloyd k-means over a deterministic SAMPLE of the
     quantized vectors: sample = hash(vec_id) % s == 0 with
@@ -206,15 +219,13 @@ def train_kmeans_cells(
     integer updates relationally, so the gate stays bit-exact."""
     import numpy as np
 
-    n = qz.count()
-    s = max(1, (n + sample_target - 1) // sample_target)
-    rows = training_sample(qz, s).collect()  # bounded: ~sample_target rows
-    rows.sort(key=lambda r: r.vec_id)  # collect order is partition-dependent
+    rows = _rows if _rows is not None else _collect_training_sample(
+        qz, sample_target
+    )
     if len(rows) < k:
         raise ValueError(
             f"train_kmeans_cells: sample yielded {len(rows)} vectors for "
-            f"k={k} cells (corpus n={n}, stride s={s}); lower k or raise "
-            "sample_target"
+            f"k={k} cells; lower k or raise sample_target"
         )
     vids = np.array([r.vec_id for r in rows], dtype=np.int64)
     X = np.array([r.q for r in rows], dtype=np.int64)  # (m, D)
@@ -334,6 +345,7 @@ def train_pq_codebooks(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     sample_target: int = KM_SAMPLE_TARGET,
+    _rows: list | None = None,
 ) -> list:
     """Deterministic PQ codebooks: the vector is split into `m` contiguous
     subspaces and each gets its own integer Lloyd k-means over the SAME
@@ -349,10 +361,9 @@ def train_pq_codebooks(
     train_kmeans_cells, replayed exactly by the SQL oracle."""
     import numpy as np
 
-    n = qz.count()
-    s = max(1, (n + sample_target - 1) // sample_target)
-    rows = training_sample(qz, s).collect()
-    rows.sort(key=lambda r: r.vec_id)
+    rows = _rows if _rows is not None else _collect_training_sample(
+        qz, sample_target
+    )
     if len(rows) < k:
         raise ValueError(
             f"train_pq_codebooks: sample yielded {len(rows)} vectors for "
@@ -360,7 +371,11 @@ def train_pq_codebooks(
         )
     X = np.array([r.q for r in rows], dtype=np.int64)  # (n_s, D)
     D = X.shape[1]
-    assert D % m == 0, (D, m)
+    if D % m != 0:
+        raise ValueError(
+            f"train_pq_codebooks: dim {D} is not divisible into m={m} "
+            "subspaces — the trailing dims would silently never be encoded"
+        )
     sub = D // m
     books = []
     for mi in range(m):
@@ -382,23 +397,41 @@ def train_pq_codebooks(
     return books
 
 
+def _sub_d2_expr(books: list, mi: int, cell: int, q_name: str = "q") -> str:
+    """SQL string: exact integer squared distance from q's subspace-mi
+    slice to sub-centroid `cell` — THE single source of the PQ distance
+    expression (encoder, both distance-table builders, and — structurally
+    — the oracles must stay bit-identical to it)."""
+    sub = len(books[mi][0])
+    lo = mi * sub
+    arr = ", ".join(f"{int(v)}L" for v in books[mi][cell])
+    return (
+        f"aggregate(zip_with(slice({q_name}, {lo + 1}, {sub}), "
+        f"array({arr}), (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pq_dtab_expr(books: list, mi: int, q_name: str = "q") -> str:
+    """SQL string: the query's full distance table for subspace mi (one
+    d2 per sub-centroid, as an array)."""
+    cells = [
+        _sub_d2_expr(books, mi, cell, q_name)
+        for cell in range(len(books[mi]))
+    ]
+    return f"array({', '.join(cells)})"
+
+
 def _pq_code_expr(books: list, mi: int, q_name: str = "q") -> str:
     """SQL expr: the nearest sub-centroid index for subspace mi — built as
     ONE string (the _assign_struct py4j-literal lesson). Tie-break: the
     sort on (d2, cell) makes the lowest cell index win, matching numpy
     argmin and the oracle."""
-    k = len(books[mi])
-    sub = len(books[mi][0])
-    lo = mi * sub
-    structs = []
-    for cell in range(k):
-        arr = ", ".join(f"{int(v)}L" for v in books[mi][cell])
-        d2 = (
-            f"aggregate(zip_with(slice({q_name}, {lo + 1}, {sub}), "
-            f"array({arr}), (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), "
-            "(acc, x) -> acc + x)"
-        )
-        structs.append(f"named_struct('d2', {d2}, 'cell', {cell})")
+    structs = [
+        f"named_struct('d2', {_sub_d2_expr(books, mi, cell, q_name)}, "
+        f"'cell', {cell})"
+        for cell in range(len(books[mi]))
+    ]
     return (
         f"array_sort(array({', '.join(structs)}))[0]"
     )
@@ -437,23 +470,12 @@ def pq_topk(
     )
 
     # per-query distance tables: d2 from the query's subvector to EVERY
-    # sub-centroid, as an m x k nested array column (pure exprs)
-    def dtab_expr(mi: int) -> str:
-        sub = len(books[mi][0])
-        lo = mi * sub
-        cells = []
-        for cell in range(len(books[mi])):
-            arr = ", ".join(f"{int(v)}L" for v in books[mi][cell])
-            cells.append(
-                f"aggregate(zip_with(slice(q, {lo + 1}, {sub}), "
-                f"array({arr}), (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), "
-                "(acc, x) -> acc + x)"
-            )
-        return f"array({', '.join(cells)})"
-
+    # sub-centroid, as an m x k nested array column (_pq_dtab_expr)
     queries = qz.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.array(*[F.expr(dtab_expr(mi)) for mi in range(m)]).alias("dtab"),
+        F.array(
+            *[F.expr(_pq_dtab_expr(books, mi)) for mi in range(m)]
+        ).alias("dtab"),
     )
     scored = (
         F.broadcast(queries)
@@ -530,9 +552,14 @@ def ivfpq_topk(
     tables as literals-built expressions; ONE equi-join on cell; top-k
     window. No shuffle wider than the broadcast."""
     qz = _quantized(emb)
-    cents = cells if cells is not None else train_kmeans_cells(qz, k=n_cells)
-    if books is None:
-        books = train_pq_codebooks(qz)
+    if cells is None or books is None:
+        # ONE count + ONE bounded sample collect feed BOTH trainers
+        rows = _collect_training_sample(qz, KM_SAMPLE_TARGET)
+        if cells is None:
+            cells = train_kmeans_cells(qz, k=n_cells, _rows=rows)
+        if books is None:
+            books = train_pq_codebooks(qz, _rows=rows)
+    cents = cells
     m = len(books)
 
     corpus = qz.select(
@@ -546,19 +573,6 @@ def ivfpq_topk(
         ).alias("codes"),
     )
 
-    def dtab_expr(mi: int) -> str:
-        sub = len(books[mi][0])
-        lo = mi * sub
-        cells_d = []
-        for cell in range(len(books[mi])):
-            arr = ", ".join(f"{int(v)}L" for v in books[mi][cell])
-            cells_d.append(
-                f"aggregate(zip_with(slice(q, {lo + 1}, {sub}), "
-                f"array({arr}), (a, b) -> (a-b)*(a-b)), CAST(0 AS BIGINT), "
-                "(acc, x) -> acc + x)"
-            )
-        return f"array({', '.join(cells_d)})"
-
     queries = qz.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
@@ -567,7 +581,9 @@ def ivfpq_topk(
                 lambda s: s["cell"],
             )
         ).alias("cell"),
-        F.array(*[F.expr(dtab_expr(mi)) for mi in range(m)]).alias("dtab"),
+        F.array(
+            *[F.expr(_pq_dtab_expr(books, mi)) for mi in range(m)]
+        ).alias("dtab"),
     )
     scored = (
         F.broadcast(queries)

@@ -519,15 +519,28 @@ def finalize_stream_delta(
     auto-discovery front end of finalize_graph_incremental, so callers do
     not have to track the delta themselves. Discovery contract:
 
-      delta = stream staging rows
+      delta = stream staging rows OF COMMITTED micro-batches
               MINUS docs a batch run extracted (span_fp — batch
                     supersedes stream, the mixed-mode rule)
               MINUS docs a previous delta finalize already folded
                     (the `stream_finalized` watermark table this
                     function appends after a successful fold)
 
-    Repeated calls are incremental and idempotent: a call with nothing
-    new returns {'folded_docs': 0} without touching the graph tables.
+    Committed = the micro-batch's lineage row exists: run_stream_pipeline
+    appends it AFTER both staging writes, so a batch whose mentions
+    landed but whose triples_raw write is still in flight is never folded
+    with its triples silently missing (the rows carry `_batch_id`; legacy
+    staging layouts without the column fall back to folding everything).
+
+    Repeated SUCCESSFUL calls are incremental and idempotent: a call with
+    nothing new returns {'folded_docs': 0} without touching the graph
+    tables. The fold and the watermark append are two separate parquet
+    writes, NOT one transaction: a crash between them re-folds the same
+    docs on the next call (double-counting their mentions). Under Iceberg
+    the pair maps to one transaction (MERGE the graph tables + append the
+    watermark in a single commit / WAP) and the window disappears; under
+    plain parquet, recover by restoring the previous entities/triples/
+    surface_map (the previous finalize's outputs) before re-running.
     `stream_finalized` is one doc_id column (same scale class as
     span_fp); under Iceberg it appends as snapshot commits like lineage.
     """
@@ -537,6 +550,20 @@ def finalize_stream_delta(
     if sm is None:
         return {"folded_docs": 0, "skipped": "no stream staging"}
     st = io.read("stream/triples_raw")
+    if "_batch_id" in sm.columns:
+        lin = read_lineage(spark, base, fmt)
+        committed = (
+            [
+                int(r.run_id.split("-", 1)[1])
+                for r in lin.filter(F.col("status") == "streamed")
+                .select("run_id").distinct().collect()
+            ]
+            if lin is not None
+            else []
+        )
+        sm = sm.filter(F.col("_batch_id").isin(committed))
+        if st is not None and "_batch_id" in st.columns:
+            st = st.filter(F.col("_batch_id").isin(committed))
     fp = io.read("span_fp")
     if fp is not None:
         batch_docs = fp.select("doc_id")

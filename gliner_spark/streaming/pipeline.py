@@ -72,8 +72,17 @@ def run_stream_pipeline(
 
     def process_batch(batch_df, batch_id: int):
         graph = with_bucket(extract_graph(batch_df, model), cfg.lineage_buckets).persist()
-        m = with_bucket(mentions_table(graph), cfg.lineage_buckets)
-        t = with_bucket(triples_raw_table(graph), cfg.lineage_buckets)
+        # _batch_id stamps every staged row; the lineage row appended
+        # BELOW (after BOTH table writes) is the batch's commit marker —
+        # finalize_stream_delta only folds rows of committed batches, so
+        # a half-written batch (mentions landed, triples not yet) is
+        # never folded with its triples missing
+        m = with_bucket(mentions_table(graph), cfg.lineage_buckets).withColumn(
+            "_batch_id", F.lit(int(batch_id))
+        )
+        t = with_bucket(triples_raw_table(graph), cfg.lineage_buckets).withColumn(
+            "_batch_id", F.lit(int(batch_id))
+        )
         m.write.mode("append").partitionBy("bucket").parquet(
             os.path.join(staging, "mentions")
         )

@@ -271,6 +271,18 @@ def test_finalize_stream_delta_auto_discovery(spark, model):
         out3 = finalize_stream_delta(spark, base, model.config)
         assert out3["folded_docs"] == 0
 
+        # a half-committed micro-batch (staged mentions rows whose
+        # lineage commit marker never landed) must NOT be folded
+        orphan = spark.read.parquet(f"{base}/stream/mentions").limit(1)
+        orphan = orphan.withColumn("_batch_id", F2.lit(999)).withColumn(
+            "doc_id", F2.lit("doc-orphan-0001")
+        )
+        orphan.write.mode("append").partitionBy("bucket").parquet(
+            f"{base}/stream/mentions"
+        )
+        out4 = finalize_stream_delta(spark, base, model.config)
+        assert out4["folded_docs"] == 0
+
         run_pipeline(spark, docs, model, base_ref)
         for table, cols in [
             ("entities", ["entity_id", "canonical", "label", "n_mentions"]),

@@ -52,16 +52,10 @@ def test_cms_deterministic_across_partitionings(spark):
 
 def test_cms_streaming_build_equals_batch(spark, tmp_path):
     """The sketch's cell-wise-sum mergeability makes the streaming build a
-    plain streaming aggregation: readStream -> token fold-hash -> grouped
-    count in complete mode must equal the batch grid exactly once all
-    files are consumed."""
-    import shutil
-    import tempfile
-
-    from gliner_spark.functions.text import fold_hash
-    from gliner_spark.operators.sketches import _bucket
-
-    src = tempfile.mkdtemp(prefix="gs_cms_src_")
+    plain streaming aggregation: cms_build applied UNCHANGED to a
+    streaming DataFrame (it is pure transformations) in complete mode must
+    equal the batch grid exactly once all files are consumed."""
+    src = str(tmp_path / "cms_src")
     try:
         docs = spark.read.parquet(DOCS).select("doc_id", "text")
         docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
@@ -72,27 +66,9 @@ def test_cms_streaming_build_equals_batch(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        toks = stream.select(
-            F.explode(F.split("text", " ")).alias("tok")
-        ).select(fold_hash(F.col("tok")).alias("h"))
-        cells = toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            _bucket(F.col("h"), j, 256).alias("bucket"),
-                        )
-                        for j in range(4)
-                    ]
-                )
-            ).alias("c")
-        ).select("c.j", "c.bucket")
-        agg = cells.groupBy("j", "bucket").agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        )
         q = (
-            agg.writeStream.format("memory")
+            cms_build(stream)
+            .writeStream.format("memory")
             .queryName("cms_stream")
             .outputMode("complete")
             .trigger(availableNow=True)
@@ -103,7 +79,6 @@ def test_cms_streaming_build_equals_batch(spark, tmp_path):
         want = _cells(cms_build(docs))
         assert got == want and len(want) > 0
     finally:
-        shutil.rmtree(src, ignore_errors=True)
         try:
             spark.catalog.dropTempView("cms_stream")
         except Exception:
