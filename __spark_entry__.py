@@ -556,6 +556,15 @@ def q_ta_repetition(spark, sf_dir):
     )
 
 
+def q_ta_quantiles(spark, sf_dir):
+    """Exact per-source token-length quantiles (p50/p90/p99) via a bounded-
+    domain histogram — deterministic corpus profiling at any scale
+    (operators/text_analysis.length_quantiles)."""
+    from gliner_spark.operators.text_analysis import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def q_ta_rarity(spark, sf_dir):
     """Corpus-relative token rarity (two-pass document frequencies,
     vocabulary-sized broadcast): per-doc distinct tokens, exact mean df,
@@ -1118,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_repetition": q_ta_repetition,
         "ta_decontaminate": q_ta_decontaminate,
         "ta_rarity": q_ta_rarity,
+        "ta_quantiles": q_ta_quantiles,
         "ta_cms_topk": q_ta_cms_topk,
         "ta_diversity": q_ta_diversity,
         # dedup family
@@ -2733,6 +2743,25 @@ SELECT l.tok, l.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_cms
 FROM lookups l JOIN cells c USING (j, bucket)
 GROUP BY l.tok, l.n_exact
 ORDER BY l.n_exact DESC, l.tok ASC
+""",
+        "ta_quantiles": """
+WITH h AS (
+  SELECT source, len(string_split(text, ' ')) AS n, count(*) AS cnt
+  FROM documents GROUP BY source, n
+),
+c AS (
+  SELECT source, n,
+    sum(cnt) OVER (PARTITION BY source ORDER BY n
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY source) AS total
+  FROM h
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q)
+SELECT c.source, CAST(qs.q AS INT) AS q, CAST(min(c.n) AS BIGINT) AS value
+FROM c CROSS JOIN qs
+WHERE c.cum >= (qs.q * c.total + 99) // 100
+GROUP BY c.source, qs.q
+ORDER BY c.source, q
 """,
         "ta_rarity": """
 WITH dtok AS (

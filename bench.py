@@ -84,6 +84,7 @@ EXTRA_QUERIES = [
     "ta_cms_topk",
     "sim_pq",
     "sim_ivfpq",
+    "ta_quantiles",
 ]
 
 

@@ -417,6 +417,56 @@ def rarity_stats(docs: DataFrame, rare_df: int = 2,
     )
 
 
+def length_quantiles(docs: DataFrame, qs=(50, 90, 99)) -> DataFrame:
+    """EXACT per-source token-length quantiles at any corpus size — the
+    corpus-profiling primitive (Arrow batch calibration, skew detection,
+    truncation budgeting) done deterministically: because the DOMAIN is
+    bounded (a token count is a small integer), the full distribution fits
+    in a tiny histogram — groupBy(source, n) with map-side combine — and
+    quantile q is the smallest n whose running count reaches
+    ceil(q/100 * N). No sampling, no t-digest approximation, no engine-
+    specific sketch: the same integers on every engine, any partitioning,
+    any scale (the histogram is |distinct lengths| rows per source; the
+    windows run over THAT, never the corpus).
+
+    qs are integer percentiles (exact rational rank arithmetic —
+    ceil(q*N/100) = (q*N + 99) DIV 100). Output (source, q, value)."""
+    from pyspark.sql import Window
+
+    hist = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).alias("n")
+        )
+        .groupBy("source", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "n",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    parts = []
+    for q in qs:
+        rank = F.expr(f"({int(q)} * total + 99) DIV 100")
+        parts.append(
+            cum.filter(F.col("cum") >= rank)
+            .groupBy("source")
+            .agg(F.min("n").cast("long").alias("value"))
+            .select("source", F.lit(int(q)).alias("q"), "value")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("source", "q")
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint from fold-hash token ids:
 

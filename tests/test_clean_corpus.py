@@ -259,3 +259,24 @@ def test_token_budget_auto_width_handles_sparse_ids(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_length_quantiles_brute_force(spark):
+    """Exact bounded-domain quantiles vs a python replay: quantile q is
+    the smallest length whose cumulative count reaches ceil(q*N/100)."""
+    import math
+
+    from gliner_spark.operators.text_analysis import length_quantiles
+
+    docs = spark.read.parquet(DOCS)
+    by_src = {}
+    for r in docs.select("source", "text").collect():
+        by_src.setdefault(r.source, []).append(len(r.text.split(" ")))
+    got = {(r.source, r.q): r.value for r in length_quantiles(docs).collect()}
+    for src, lens in by_src.items():
+        lens.sort()
+        for q in (50, 90, 99):
+            want = lens[math.ceil(q * len(lens) / 100) - 1]
+            assert got[(src, q)] == want, (src, q)
+    # every (source, q) pair present
+    assert len(got) == len(by_src) * 3
