@@ -37,6 +37,24 @@ def attach_caches(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def forward_caches(out: DataFrame, *inputs: DataFrame) -> DataFrame:
+    """Copy the cache handles riding on `inputs` onto `out` WITHOUT adding
+    the inputs themselves as handles (they may be ordinary lazy frames).
+
+    Handles ride as a Python attribute on one specific DataFrame object,
+    so any transformation (.filter/.select returns a new object) silently
+    drops them (ADVICE r4). Composing operators (pagerank,
+    entity_components, two_hop_paths, ...) call this on their output so a
+    cached upstream (e.g. canonicalize's persisted surfaces under
+    q_kg_triples) stays releasable through the composition."""
+    handles = list(getattr(out, _ATTR, []))
+    for src in inputs:
+        handles.extend(getattr(src, _ATTR, []))
+    if handles:
+        setattr(out, _ATTR, handles)
+    return out
+
+
 def release_caches(df: DataFrame) -> int:
     """Unpersist every cache handle attached to `df`; returns the number
     released. Safe to call on any DataFrame (no-op without handles) and

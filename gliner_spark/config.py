@@ -58,8 +58,14 @@ class PipelineConfig:
     doc_partitions: int = 0      # 0 = leave input partitioning; else repartition(N, doc_id)
     arrow_max_records: int = 2048
     # >0: calibrate maxRecordsPerBatch from measured doc bytes so one Arrow
-    # batch ~ this many MB (reference serve/memory.py analog; core/batching)
-    arrow_target_mb: int = 0
+    # batch ~ this many MB (reference serve/memory.py analog; core/batching).
+    # Default ON at 32 MB since the mapInArrow flagship port (r5): with the
+    # column-sized docs in the sandbox this resolves to the 65536-row cap
+    # (measured throughput-neutral-to-positive, BENCH.md r5); with ~1 MB web
+    # docs Spark's blind 10000-row default would be a 10 GB Arrow batch —
+    # the calibration is the memory bound that keeps the 100 TB run alive.
+    # 0 disables (pre-r5 behavior: plain arrow_max_records).
+    arrow_target_mb: int = 32
 
     # --- lineage / resume ---
     lineage_buckets: int = 64    # pmod(hash(doc_id), B) resume granularity

@@ -122,13 +122,150 @@ def _process_batches(bc_model, labels=None):
     return fn
 
 
+def _graph_arrow_fn(bc_model, labels=None):
+    """Columnar (mapInArrow) inner loop for the flagship mentions+triples
+    pass (VERDICT r4 ask #1). Per-doc model calls are unchanged — greedy
+    decode is inherently per-doc — but every OUTPUT value is appended to a
+    flat python list and the nested mentions[]/triples[] columns are built
+    ONCE per batch as pyarrow ListArray(StructArray) via offsets: no
+    per-row dicts, no pandas block manager (the same shape
+    extract_mentions_arrow measured 1.3-1.5x on, tools/bench_arrow_ab.py).
+    Values are bit-identical to the row path (test_arrow_graph_parity)."""
+    import pyarrow as pa
+
+    mention_t = pa.struct(
+        [
+            ("ent_idx", pa.int32()), ("start", pa.int32()),
+            ("end", pa.int32()), ("text", pa.string()),
+            ("label", pa.string()), ("score", pa.float64()),
+            ("norm", pa.string()),
+        ]
+    )
+    triple_t = pa.struct(
+        [
+            ("subj", pa.string()), ("pred", pa.string()),
+            ("obj", pa.string()), ("subj_type", pa.string()),
+            ("obj_type", pa.string()), ("score", pa.float64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()), ("span_fp", pa.string()),
+            ("mentions", pa.list_(mention_t)),
+            ("triples", pa.list_(triple_t)),
+        ]
+    )
+
+    def fn(batches):
+        model = bc_model.value
+        for rb in batches:
+            doc_ids = rb.column(rb.schema.get_field_index("doc_id"))
+            spans_col = rb.column(rb.schema.get_field_index("spans"))
+            o_doc, o_fp = [], []
+            m_off = [0]
+            m_idx, m_s, m_e = [], [], []
+            m_text, m_label, m_score, m_norm = [], [], [], []
+            t_off = [0]
+            t_subj, t_pred, t_obj = [], [], []
+            t_st, t_ot, t_sc = [], [], []
+            for doc_id, spans in zip(
+                doc_ids.to_pylist(), spans_col.to_pylist()
+            ):
+                text = " ".join(
+                    sp["text"] for sp in spans if sp["kind"] == "text"
+                )
+                mentions, tokens, _, _ = model.predict_doc(
+                    text, labels=labels
+                )
+                rels = model.predict_relations_doc(tokens, mentions)
+                norms, labs = [], []
+                for k, m in enumerate(mentions):
+                    n = normalize_surface(m["text"])
+                    m_idx.append(k)
+                    m_s.append(m["start"])
+                    m_e.append(m["end"])
+                    m_text.append(m["text"])
+                    m_label.append(m["label"])
+                    m_score.append(m["score"])
+                    m_norm.append(n)
+                    norms.append(n)
+                    labs.append(m["label"])
+                m_off.append(len(m_idx))
+                for r in rels:
+                    t_subj.append(norms[r["head_idx"]])
+                    t_pred.append(r["relation"])
+                    t_obj.append(norms[r["tail_idx"]])
+                    t_st.append(labs[r["head_idx"]])
+                    t_ot.append(labs[r["tail_idx"]])
+                    t_sc.append(r["score"])
+                if norms:  # media spans participate as triple objects
+                    for sp in spans:
+                        if sp["kind"] == "media":
+                            t_subj.append(norms[0])
+                            t_pred.append("depicts")
+                            t_obj.append(sp["media_ref"])
+                            t_st.append(labs[0])
+                            t_ot.append("media")
+                            t_sc.append(1.0)
+                t_off.append(len(t_subj))
+                o_doc.append(doc_id)
+                o_fp.append(span_fingerprint(spans))
+            mentions_arr = pa.ListArray.from_arrays(
+                pa.array(m_off, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(m_idx, pa.int32()),
+                        pa.array(m_s, pa.int32()),
+                        pa.array(m_e, pa.int32()),
+                        pa.array(m_text, pa.string()),
+                        pa.array(m_label, pa.string()),
+                        pa.array(m_score, pa.float64()),
+                        pa.array(m_norm, pa.string()),
+                    ],
+                    fields=list(mention_t),
+                ),
+            )
+            triples_arr = pa.ListArray.from_arrays(
+                pa.array(t_off, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(t_subj, pa.string()),
+                        pa.array(t_pred, pa.string()),
+                        pa.array(t_obj, pa.string()),
+                        pa.array(t_st, pa.string()),
+                        pa.array(t_ot, pa.string()),
+                        pa.array(t_sc, pa.float64()),
+                    ],
+                    fields=list(triple_t),
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, pa.string()),
+                    pa.array(o_fp, pa.string()),
+                    mentions_arr,
+                    triples_arr,
+                ],
+                schema=out_schema,
+            )
+
+    return fn
+
+
 def extract_graph(
     docs: DataFrame,
     model: GlinerSparkModel,
     length_sorted: bool = False,
     labels=None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """docs(doc_id, spans) -> nested per-doc graph rows (GRAPH_DDL).
+
+    use_arrow (default, r5): the flagship runs the mapInArrow columnar
+    inner loop (_graph_arrow_fn) — identical rows to the mapInPandas row
+    path (kept as use_arrow=False for the A/B bench tool and the parity
+    test), measured faster because mention/triple cells skip per-row dicts
+    and the pandas block manager.
 
     length_sorted: range-partition by document size before scoring — the
     Spark analog of the reference's sequence packing (infer_packing.py:
@@ -152,6 +289,10 @@ def extract_graph(
         ).repartitionByRange(cfg.shuffle_partitions, "_len").drop("_len")
     elif cfg.doc_partitions:
         src = src.repartition(cfg.doc_partitions, "doc_id")
+    if use_arrow:
+        return src.mapInArrow(
+            _graph_arrow_fn(bc, labels=labels), schema=GRAPH_DDL
+        )
     return src.mapInPandas(_process_batches(bc, labels=labels), schema=GRAPH_DDL)
 
 

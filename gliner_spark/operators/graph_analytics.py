@@ -49,7 +49,9 @@ def entity_degrees(triples: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("in_deg"),
         F.countDistinct("pred").alias("n_pred_in"),
     )
-    return (
+    from gliner_spark.cache import forward_caches
+
+    return forward_caches(
         out.join(inn, "entity", "full_outer")
         .na.fill(0, ["out_deg", "n_pred_out", "in_deg", "n_pred_in"])
         .select(
@@ -60,7 +62,8 @@ def entity_degrees(triples: DataFrame) -> DataFrame:
             F.col("n_pred_in").cast("long").alias("n_pred_in"),
             (F.col("out_deg") + F.col("in_deg")).cast("long").alias("degree"),
         )
-        .orderBy("entity")
+        .orderBy("entity"),
+        triples,
     )
 
 
@@ -92,7 +95,9 @@ def two_hop_paths(
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
         .orderBy("src", "dst")
     )
-    return attach_audits(out, audit)
+    from gliner_spark.cache import forward_caches
+
+    return forward_caches(attach_audits(out, audit), triples)
 
 
 def entity_components(triples: DataFrame, cfg=None) -> DataFrame:
@@ -124,14 +129,17 @@ def entity_components(triples: DataFrame, cfg=None) -> DataFrame:
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("component_size")
     )
-    return (
+    from gliner_spark.cache import forward_caches
+
+    return forward_caches(
         comp.join(sizes, "component")
         .select(
             F.col("id").alias("entity"), "component", "component_size"
         )
         .orderBy(
             F.desc("component_size"), F.asc("component"), F.asc("entity")
-        )
+        ),
+        triples,
     )
 
 
@@ -194,6 +202,16 @@ def pagerank(
         n_nodes = nodes.count()  # materializes the persist; N is fixed
     ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("rank"))
     for _ in range(iters):
+        if dangling:
+            # ADVICE r4: the dangling round references `ranks` twice
+            # (contrib join + sink-mass anti-join), so a lazy frame doubles
+            # the logical plan every iteration (~2^iters analysis cost).
+            # Materialize once per round — same trade as the CC loop; on a
+            # real cluster reliable_checkpoint=True survives executor loss.
+            ranks = (
+                ranks.checkpoint() if reliable_checkpoint
+                else ranks.localCheckpoint()
+            )
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(od.withColumnRenamed("node", "src"), "src")
@@ -244,4 +262,6 @@ def pagerank(
         from gliner_spark.cache import attach_caches
 
         out = attach_caches(out, nodes)
-    return out
+    from gliner_spark.cache import forward_caches
+
+    return forward_caches(out, triples)

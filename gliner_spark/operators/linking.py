@@ -446,11 +446,39 @@ def canonicalize_incremental(
     # --- candidate links
     dd_edges = similarity_edges(delta, cfg)  # delta↔delta, verified
     bd = banded_surfaces(delta.select("label", "norm"), cfg)
-    bo = banded_surfaces(old.select("label", "norm"), cfg)
+    bo_raw = banded_surfaces(old.select("label", "norm"), cfg)
     w = Window.partitionBy("label", "band", "sig")
     bo, _audit = capped_filter(
-        bo.withColumn("block_n", F.count(F.lit(1)).over(w)),
+        bo_raw.withColumn("block_n", F.count(F.lit(1)).over(w)),
         "block_n", cfg.link_max_block_size, "incremental_lsh_block_cap",
+    )
+    # divergence audit (VERDICT r4 ask #6): a FULL recompute's bucket cap
+    # sees delta+existing together and may drop previously-verified
+    # existing↔existing pairs when this delta pushes a bucket over the
+    # cap; the incremental path preserves them. That divergence condition
+    # is now observable — buckets with old_size <= cap < old+delta — so an
+    # operator can trigger a full recompute when n_crossed_buckets > 0.
+    _cap = int(cfg.link_max_block_size)
+    _old_sz = bo_raw.groupBy("label", "band", "sig").agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    _del_sz = bd.groupBy("label", "band", "sig").agg(
+        F.count(F.lit(1)).alias("n_del")
+    )
+    _cross_audit = (
+        _old_sz.join(_del_sz, ["label", "band", "sig"])
+        .filter(
+            (F.col("n_old") <= _cap)
+            & (F.col("n_old") + F.col("n_del") > _cap)
+        )
+        .agg(
+            F.lit("incremental_cap_crossing").alias("guard"),
+            F.count(F.lit(1)).cast("long").alias("n_crossed_buckets"),
+            F.coalesce(
+                F.max(F.col("n_old") + F.col("n_del")), F.lit(0)
+            ).cast("long").alias("max_combined_size"),
+            F.lit(_cap).cast("long").alias("cap"),
+        )
     )
     cand = (
         F.broadcast(
@@ -573,9 +601,10 @@ def canonicalize_incremental(
     from gliner_spark.cache import attach_caches
     from gliner_spark.metrics import attach_audits
 
-    # forward both skew audits (delta↔delta block cap via dd_edges, the
-    # delta↔existing bucket cap) so the delta finalize can record them
-    entities_out = attach_audits(entities_out, dd_edges, _audit)
+    # forward all three skew audits (delta↔delta block cap via dd_edges,
+    # the delta↔existing bucket cap, and the cap-CROSSING divergence
+    # condition) so the delta finalize can record them
+    entities_out = attach_audits(entities_out, dd_edges, _audit, _cross_audit)
     return attach_caches(entities_out, delta), surface_out, remap
 
 

@@ -444,7 +444,17 @@ def finalize_graph_incremental(
     delta triples are rewritten against the fresh map and appended. Output
     tables are byte-equal to a full finalize over old+new mentions
     (tests/test_incremental_finalize.py), modulo the documented
-    cap-crossing edge in canonicalize_incremental."""
+    cap-crossing edge in canonicalize_incremental.
+
+    Migration (ADVICE r4): graphs finalized before the rich 5-column
+    surface_map existed (pre-r4: none, or the legacy 3-column map) cannot
+    seed a delta rebuild. When the stored map is missing or legacy AND the
+    base holds the batch/stream mentions layout (always true for
+    finalize_stream_delta, whose delta IS that staging layout), this falls
+    back ONCE to a full finalize_graph — which rewrites the rich map, so
+    every later call takes the delta path. Without a discoverable mentions
+    layout it raises with the re-finalize instruction instead of the
+    old opaque column error."""
     from gliner_spark.operators.linking import (
         apply_entity_remap,
         canonicalize_incremental,
@@ -453,7 +463,19 @@ def finalize_graph_incremental(
     io = TableIO(spark, base, fmt)
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
-    old_map = io.read("surface_map", required=True)
+    old_map = io.read("surface_map")
+    _rich_cols = {"label", "norm", "entity_id", "canonical", "n_mentions"}
+    if old_map is None or not _rich_cols.issubset(set(old_map.columns)):
+        have = [] if old_map is None else sorted(old_map.columns)
+        if io.read("mentions") is not None or io.read("stream/mentions") is not None:
+            out = finalize_graph(spark, base, cfg, run_id=run_id, fmt=fmt)
+            return {**out, "migrated_full_finalize": True}
+        raise ValueError(
+            f"surface_map under {base!r} is missing or legacy (columns "
+            f"{have}; delta finalize needs {sorted(_rich_cols)}) and no "
+            "mentions layout exists to migrate from - run finalize_graph "
+            "once over the full mentions table to rebuild the rich map"
+        )
     old_triples = io.read("triples", required=True)
     entities, surface_map, remap = canonicalize_incremental(
         new_mentions, old_map, cfg
@@ -552,15 +574,18 @@ def finalize_stream_delta(
     st = io.read("stream/triples_raw")
     if "_batch_id" in sm.columns:
         lin = read_lineage(spark, base, fmt)
-        committed = (
-            [
-                int(r.run_id.split("-", 1)[1])
-                for r in lin.filter(F.col("status") == "streamed")
+        # tolerant parse (ADVICE r4): only `stream-<n>` run_ids carry a
+        # committed batch id; legacy or foreign-format lineage rows (e.g.
+        # a batch finalize sharing the table) are skipped, not fatal
+        committed = []
+        if lin is not None:
+            for r in (
+                lin.filter(F.col("status") == "streamed")
                 .select("run_id").distinct().collect()
-            ]
-            if lin is not None
-            else []
-        )
+            ):
+                head, sep, tail = str(r.run_id).partition("-")
+                if head == "stream" and sep and tail.isdigit():
+                    committed.append(int(tail))
         sm = sm.filter(F.col("_batch_id").isin(committed))
         if st is not None and "_batch_id" in st.columns:
             st = st.filter(F.col("_batch_id").isin(committed))

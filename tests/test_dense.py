@@ -125,6 +125,27 @@ def test_arrow_mentions_path_matches_pandas_path(spark):
     assert a == b and len(a) > 0
 
 
+def test_arrow_graph_path_matches_pandas_path(spark):
+    """r5 flagship port (VERDICT r4 ask #1): the mapInArrow mentions+
+    triples pass must be row-for-row identical to the mapInPandas path —
+    including nested mention/triple structs, span fingerprints, and the
+    media 'depicts' triples."""
+    from gliner_spark.operators.extraction import extract_graph
+    from gliner_spark.presets import default_model
+    from gliner_spark.sources.synth import synth_docs
+
+    model = default_model()
+    docs = synth_docs(spark, 200, partitions=8)
+    a = {r.doc_id: r for r in extract_graph(docs, model, use_arrow=True).collect()}
+    b = {r.doc_id: r for r in extract_graph(docs, model, use_arrow=False).collect()}
+    assert len(a) == 200 and set(a) == set(b)
+    assert all(a[k] == b[k] for k in a)
+    # zero-shot label subset flows through the arrow path too
+    la = {r.doc_id: r for r in extract_graph(docs, model, use_arrow=True, labels=["person"]).collect()}
+    lb = {r.doc_id: r for r in extract_graph(docs, model, use_arrow=False, labels=["person"]).collect()}
+    assert la == lb
+
+
 def test_dense_partitioning_invariance(spark):
     from gliner_spark.operators.extraction import extract_spans_dense
     from gliner_spark.sources.synth import synth_docs

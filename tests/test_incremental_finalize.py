@@ -297,3 +297,114 @@ def test_finalize_stream_delta_auto_discovery(spark, model):
     finally:
         for d in (src, base, base_ref, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cap_crossing_divergence_audit(spark, model, split_graph):
+    """VERDICT r4 ask #6: the documented incremental-vs-full divergence
+    (a delta pushing an LSH bucket over the cap) must be OBSERVABLE — an
+    `incremental_cap_crossing` audit with the crossed-bucket count, so an
+    operator can trigger a full recompute when it fires."""
+    from dataclasses import replace
+
+    from gliner_spark.metrics import skew_metrics
+    from gliner_spark.operators.linking import (
+        banded_surfaces,
+        surface_table,
+    )
+
+    m_old, m_new, *_ = split_graph
+    cfg = model.config
+    _, map_old = canonicalize(m_old, cfg)
+    map_old = map_old.localCheckpoint()
+
+    # pick a real (label, band, sig) bucket both sides hit, then set the
+    # cap exactly at its old size -> the delta is guaranteed to cross it
+    new_surf = surface_table(m_new)
+    delta = new_surf.join(
+        map_old.select("label", "norm"), ["label", "norm"], "left_anti"
+    )
+    bo = (
+        banded_surfaces(map_old.select("label", "norm"), cfg)
+        .groupBy("label", "band", "sig").count()
+        .withColumnRenamed("count", "n_old")
+    )
+    bd = (
+        banded_surfaces(delta.select("label", "norm"), cfg)
+        .groupBy("label", "band", "sig").count()
+        .withColumnRenamed("count", "n_del")
+    )
+    hit = bo.join(bd, ["label", "band", "sig"]).orderBy(F.desc("n_del")).first()
+    assert hit is not None  # synth old/new corpora share band buckets
+    cap = int(hit["n_old"])
+
+    ents, _, _ = canonicalize_incremental(
+        m_new, map_old, replace(cfg, link_max_block_size=cap)
+    )
+    sk = skew_metrics(ents)["incremental_cap_crossing"]
+    assert sk["cap"] == cap
+    assert sk["n_crossed_buckets"] >= 1
+    assert sk["max_combined_size"] > cap
+
+    # a cap nothing reaches -> the audit reports a clean delta
+    ents2, _, _ = canonicalize_incremental(
+        m_new, map_old, replace(cfg, link_max_block_size=1_000_000)
+    )
+    sk2 = skew_metrics(ents2)["incremental_cap_crossing"]
+    assert sk2["n_crossed_buckets"] == 0
+
+
+def test_legacy_surface_map_migration(spark, model):
+    """ADVICE r4: a graph finalized before the rich 5-column surface_map
+    (or with none at all) must not strand the first incremental finalize —
+    it falls back ONCE to a full finalize (which rewrites the rich map),
+    and raises a clear instruction only when no mentions layout exists."""
+    from gliner_spark.sinks.materialize import (
+        finalize_graph_incremental,
+        run_pipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="gs_legacy_")
+    try:
+        docs = synth_docs(spark, 80, partitions=4)
+        run_pipeline(spark, docs, model, base)
+
+        # simulate a pre-r4 deployment: legacy 3-column surface_map
+        legacy = spark.read.parquet(f"{base}/surface_map").select(
+            "label", "norm", "entity_id"
+        ).localCheckpoint()
+        legacy.write.mode("overwrite").parquet(f"{base}/surface_map")
+
+        graph_b = extract_graph(synth_docs(spark, 20, partitions=2), model)
+        out = finalize_graph_incremental(
+            spark, base, model.config,
+            mentions_table(graph_b.select("doc_id", "mentions")),
+        )
+        assert out.get("migrated_full_finalize") is True
+        # the fallback rewrote the RICH map: the next delta takes the
+        # incremental path
+        cols = set(spark.read.parquet(f"{base}/surface_map").columns)
+        assert {"label", "norm", "entity_id", "canonical",
+                "n_mentions"} <= cols
+
+        out2 = finalize_graph_incremental(
+            spark, base, model.config,
+            mentions_table(graph_b.select("doc_id", "mentions")),
+        )
+        assert "migrated_full_finalize" not in out2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_legacy_surface_map_without_mentions_raises(spark, model):
+    from gliner_spark.sinks.materialize import finalize_graph_incremental
+
+    base = tempfile.mkdtemp(prefix="gs_legacy_empty_")
+    try:
+        graph_b = extract_graph(synth_docs(spark, 10, partitions=2), model)
+        with pytest.raises(ValueError, match="finalize_graph"):
+            finalize_graph_incremental(
+                spark, base, model.config,
+                mentions_table(graph_b.select("doc_id", "mentions")),
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -63,7 +63,7 @@ def main():
                   "kg_eval_ner", "kg_media_features",
                   # round-2/3 oracles on the same fixed-size fixture snapshot
                   "kg_mentions_dense", "kg_mentions_encoder",
-                  "kg_relations_prompted",
+                  "kg_relations_prompted", "kg_constrained_labels",
                   "kg_triples_scored", "kg_triples_spans", "kg_eval_suite",
                   "kg_classify", "kg_qa", "kg_summarize",
                   "ev_docred", "ev_squad",
