@@ -701,6 +701,20 @@ def q_sim_ivfpq(spark, sf_dir):
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_sim_pq_refine(spark, sf_dir):
+    """PQ shortlist (50 candidates via 8-byte ADC scan) + exact
+    integer-cosine re-rank to top-5 — the FAISS IndexRefineFlat production
+    shape; recovers the recall the 4-bit codes lose while touching full
+    vectors for only n_queries x shortlist rows
+    (operators/similarity.pq_refine_topk)."""
+    from gliner_spark.operators.similarity import pq_refine_topk
+
+    df = pq_refine_topk(_t(spark, sf_dir, "embeddings"))
+    return df.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
 def q_sim_neardup(spark, sf_dir):
     from gliner_spark.operators.similarity import embedding_neardup
 
@@ -1143,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cardinality": q_rel_cardinality,
         # new r5 operators (kept inside the driver's 50-query window)
         "kg_constrained_labels": q_kg_constrained_labels,
+        "sim_pq_refine": q_sim_pq_refine,
         # KG construction (correctness gate: tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -1997,6 +2012,54 @@ ranked AS (
 )
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, d2
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+
+def _sim_pq_refine_oracle() -> str:
+    """PQ shortlist + exact re-rank (similarity.pq_refine_topk): the
+    sim_pq ADC ranking truncated at the shortlist size, then the exact
+    integer-cosine re-rank over only those rows."""
+    D, TOPK, SHORT = 64, 5, 50
+    ctes = _ann_sample_ctes()
+    pq_ctes, code_parts, dt_parts = _ann_pq_ctes()
+    ctes += pq_ctes
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range({D}), i -> a.q[i+1]*b.q[i+1])), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH {_QUANT_EMB},
+{', '.join(ctes)},
+codes AS ({' UNION ALL '.join(code_parts)}),
+dts AS ({' UNION ALL '.join(dt_parts)}),
+scored AS (
+  SELECT dt.query_id, co.vec_id, CAST(sum(dt.d) AS BIGINT) AS d2
+  FROM codes co JOIN dts dt ON dt.mi = co.mi AND dt.cell = co.cell
+  WHERE dt.query_id != co.vec_id
+  GROUP BY dt.query_id, co.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {SHORT}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+    CAST({dot} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) AS sim
+  FROM short s
+  JOIN qn a ON a.vec_id = s.query_id
+  JOIN qn b ON b.vec_id = s.vec_id
+),
+reranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM reranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
 
@@ -3006,6 +3069,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         "sim_pq": _sim_pq_oracle(),
+        "sim_pq_refine": _sim_pq_refine_oracle(),
         "sim_ivfpq": _sim_ivfpq_oracle(),
         "sim_neardup": _sim_neardup_oracle(),
         # ---- evaluation ----

@@ -141,6 +141,72 @@ def main():
         extra[name] = round(time.time() - t0, 3)
         release_caches(df)
 
+    # ANN recall artifact (VERDICT r4 ask #4): recall@5 vs the brute-force
+    # cosine gate for the PQ family at multiple operating points (m =
+    # subspace count -> code bytes/vector; nprobe = coarse cells probed).
+    ann_recall = {}
+    try:
+        from gliner_spark.operators.similarity import (
+            _collect_training_sample,
+            _quantized,
+            KM_SAMPLE_TARGET,
+            cosine_topk,
+            ivfpq_topk,
+            pq_topk,
+            train_kmeans_cells,
+            train_pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        gt = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk(emb, n_queries=10, k=5).collect()
+        }
+        qz = _quantized(emb)
+        rows_s = _collect_training_sample(qz, KM_SAMPLE_TARGET)
+
+        def _recall(df):
+            hits = {(r.query_id, r.vec_id) for r in df.collect()}
+            return round(len(hits & gt) / max(len(gt), 1), 3)
+
+        # PQ code-size sweep: the gated default (m=16, k=16 -> 4-bit
+        # codes, 8 B/vector) vs byte-code operating points (k=256)
+        ann_recall["pq_m16_k16_8B"] = _recall(
+            pq_topk(emb, books=train_pq_codebooks(qz, _rows=rows_s))
+        )
+        big = _collect_training_sample(qz, 2048)
+        ann_recall["pq_m8_k256_8B"] = _recall(
+            pq_topk(
+                emb,
+                books=train_pq_codebooks(qz, m=8, k=256, iters=4, _rows=big),
+            )
+        )
+        ann_recall["pq_m16_k256_16B"] = _recall(
+            pq_topk(
+                emb,
+                books=train_pq_codebooks(qz, m=16, k=256, iters=4, _rows=big),
+            )
+        )
+        # PQ shortlist + exact re-rank (the production refine path)
+        from gliner_spark.operators.similarity import pq_refine_topk
+
+        books_d = train_pq_codebooks(qz, _rows=rows_s)
+        ann_recall["pq_refine_short50"] = _recall(
+            pq_refine_topk(emb, shortlist=50, books=books_d)
+        )
+        ann_recall["pq_refine_short200"] = _recall(
+            pq_refine_topk(emb, shortlist=200, books=books_d)
+        )
+        # IVF-PQ nprobe sweep at the gated default codebooks
+        cells = train_kmeans_cells(qz, _rows=rows_s)
+        books = train_pq_codebooks(qz, _rows=rows_s)
+        for nprobe in (1, 2, 4):
+            ann_recall[f"ivfpq_nprobe{nprobe}"] = _recall(
+                ivfpq_topk(emb, nprobe=nprobe, cells=cells, books=books)
+            )
+    except Exception as e:  # recall is an artifact, not a gate
+        ann_recall = {"error": str(e)[:200]}
+
     spin_after = spin_probe(cpus)
 
     timings = {n: min(s) for n, s in samples.items()}
@@ -163,6 +229,7 @@ def main():
         "legacy8_value": round(sum(timings[n] for n in LEGACY8), 3),
         "extra_queries": extra,
         "median": medians,
+        "ann_recall_at5": ann_recall,
         "spread": samples,
         "rounds": ROUNDS,
         "spin_probe_iters_per_sec": {

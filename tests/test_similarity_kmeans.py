@@ -270,3 +270,43 @@ def test_pq_index_persistence_round_trip(spark, tmp_path):
         emb, n_queries=5, k=5, cells=load_cells(cp), books=load_pq(bp)
     ).collect()
     assert a == b
+
+
+def test_pq_refine_with_full_shortlist_equals_brute_force(spark):
+    """pq_refine_topk invariant: when the ADC shortlist covers the whole
+    corpus, the exact re-rank IS the brute-force cosine ranking — the
+    approximation only ever narrows the candidate set."""
+    from gliner_spark.operators.similarity import pq_refine_topk
+
+    emb = _emb(spark)
+    n = emb.count()
+    bf = [
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in cosine_topk(emb, n_queries=5, k=3).collect()
+    ]
+    rf = [
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in pq_refine_topk(
+            emb, n_queries=5, k=3, shortlist=n
+        ).collect()
+    ]
+    assert rf == bf and len(rf) == 15
+
+
+def test_pq_refine_recall_at_least_raw_pq(spark):
+    from gliner_spark.operators.similarity import pq_refine_topk, pq_topk
+
+    emb = _emb(spark)
+    bf = {}
+    for r in cosine_topk(emb, n_queries=10, k=5).collect():
+        bf.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(bf[q] & got.get(q, set())) / len(bf[q]) for q in bf
+        ) / len(bf)
+
+    assert rec(pq_refine_topk(emb, shortlist=50)) >= rec(pq_topk(emb))
