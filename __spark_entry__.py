@@ -651,6 +651,31 @@ def q_dd_ngram(spark, sf_dir):
     return ngram_jaccard_dedup(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_ta_bigram_support(spark, sf_dir):
+    """Corpus-bigram-statistics quality score (r5): avg corpus support +
+    rare-bigram ratio per doc — the n-gram-LM-surrogate quality filter,
+    exact-integer so the oracle replays it (operators/text_analysis
+    .bigram_support)."""
+    from gliner_spark.operators.text_analysis import bigram_support
+
+    df = bigram_support(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "n_bigrams", "support_sum", "n_rare",
+        F.round("avg_support", 6).alias("avg_support"),
+        F.round("rare_ratio", 6).alias("rare_ratio"),
+    )
+
+
+def q_dd_clusters(spark, sf_dir):
+    """Near-dup clusters (r5): verified minhash pairs closed into
+    connected components, keep-first representative per cluster — the
+    'keep one doc per duplicate group' step production dedup actually
+    consumes (operators/dedup.duplicate_clusters)."""
+    from gliner_spark.operators.dedup import duplicate_clusters
+
+    return duplicate_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 # ---------------------------------------------------------- similarity ----
 def q_sim_topk(spark, sf_dir):
     from gliner_spark.operators.similarity import cosine_topk
@@ -1158,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r5 operators (kept inside the driver's 50-query window)
         "kg_constrained_labels": q_kg_constrained_labels,
         "sim_pq_refine": q_sim_pq_refine,
+        "dd_clusters": q_dd_clusters,
+        "ta_bigram_support": q_ta_bigram_support,
         # KG construction (correctness gate: tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3033,6 +3060,73 @@ JOIN gcnt ca ON ca.doc_id = i.doc_a
 JOIN gcnt cb ON cb.doc_id = i.doc_b
 WHERE CAST(i.n_inter AS DOUBLE)/(ca.n_g + cb.n_g - i.n_inter) >= 0.2
 ORDER BY doc_a, doc_b
+""",
+        "ta_bigram_support": """
+WITH btoks AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text,' ')))) AS pos,
+         unnest(string_split(text,' ')) AS tok
+  FROM documents
+),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM btoks a JOIN btoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bgc AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(c) AS BIGINT) AS support_sum,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+  round(CAST(sum(c) AS DOUBLE)/count(*), 6) AS avg_support,
+  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 6)
+    AS rare_ratio
+FROM bg JOIN bgc USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+""",
+        "dd_clusters": f"""
+WITH RECURSIVE {_TOKS},
+{_MINHASH_SIGS.format(mh_cols=_mh_sql_cols(), bands_union=_bands_sql(), dtok_src='ids')},
+cnt AS (SELECT doc_id, count(*) AS n_tok FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN dtok ta ON ta.doc_id = p.doc_a
+  JOIN dtok tb ON tb.doc_id = p.doc_b AND tb.token_id = ta.token_id
+  GROUP BY p.doc_a, p.doc_b
+),
+vp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_a
+  JOIN cnt cb ON cb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE)/(ca.n_tok + cb.n_tok - i.n_inter) >= 0.5
+),
+dnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT doc_a AS node FROM vp UNION ALL SELECT doc_b FROM vp
+  )
+),
+dsym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vp
+),
+lbl(node, comp) AS (
+  SELECT node, node FROM dnodes
+  UNION
+  SELECT e.dst, l.comp FROM lbl l JOIN dsym e
+    ON e.src = l.node AND l.comp < e.dst
+),
+c AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+sz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM c GROUP BY component
+)
+SELECT CAST(c.node AS BIGINT) AS doc_id,
+  CAST(c.component AS BIGINT) AS cluster,
+  sz.cluster_size,
+  c.node = c.component AS keep
+FROM c JOIN sz USING (component)
+ORDER BY cluster, doc_id
 """,
         # ---- similarity ----
         "sim_topk": f"""

@@ -236,3 +236,55 @@ def ngram_jaccard_dedup(
     from gliner_spark.metrics import attach_audits
 
     return attach_audits(out, pairs)
+
+
+def duplicate_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate CLUSTERS: the verified minhash pair set closed into
+    connected components, with a deterministic representative per cluster
+    — what a dedup pass actually consumes ("keep one doc per duplicate
+    group"), one step past the pair list minhash_dedup emits. Pairwise
+    near-dup is not transitive, so production pipelines (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better", §4 — the
+    NearDup cluster step; same shape as SlimPajama's dedup grouping) take
+    the transitive closure and keep one member per component.
+
+    cluster = MIN doc_id reachable through verified pairs (keep-first
+    semantics, matching exact_dedup/clean_corpus); keep = this doc IS the
+    representative. Docs with no verified near-dup never appear (their
+    "cluster" is themselves — joining the full corpus back in would only
+    pad the output).
+
+    Scale shape: pairs come from the capped+audited LSH band join (the
+    only corpus-width work); the component step reuses the adaptive CC
+    machinery from entity linking (driver union-find below the bound,
+    min-label propagation + pointer jumping above — O(log diameter)
+    rounds). The pair set is Zipf-collapsed and tiny next to the corpus."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.metrics import attach_audits
+    from gliner_spark.operators.linking import connected_components
+
+    pairs = minhash_dedup(docs, threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges, PipelineConfig())
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    out = (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
+        .orderBy("cluster", "doc_id")
+    )
+    return attach_audits(forward_caches(out, pairs), pairs)

@@ -156,11 +156,24 @@ def _graph_arrow_fn(bc_model, labels=None):
         ]
     )
 
+    import hashlib
+
     def fn(batches):
         model = bc_model.value
         for rb in batches:
             doc_ids = rb.column(rb.schema.get_field_index("doc_id"))
             spans_col = rb.column(rb.schema.get_field_index("spans"))
+            # columnar INPUT access too: the nested span structs are read
+            # as three flat child arrays + per-doc lengths — no per-span
+            # python dicts are ever built (to_pylist on a list<struct>
+            # column was a measurable slice of batch time)
+            lengths = [
+                v.as_py() for v in pa.compute.list_value_length(spans_col)
+            ]
+            flat = spans_col.flatten()
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+            refs = flat.field("media_ref").to_pylist()
             o_doc, o_fp = [], []
             m_off = [0]
             m_idx, m_s, m_e = [], [], []
@@ -168,11 +181,12 @@ def _graph_arrow_fn(bc_model, labels=None):
             t_off = [0]
             t_subj, t_pred, t_obj = [], [], []
             t_st, t_ot, t_sc = [], [], []
-            for doc_id, spans in zip(
-                doc_ids.to_pylist(), spans_col.to_pylist()
-            ):
+            pos = 0
+            for doc_id, n_spans in zip(doc_ids.to_pylist(), lengths):
+                lo, hi = pos, pos + (n_spans or 0)
+                pos = hi
                 text = " ".join(
-                    sp["text"] for sp in spans if sp["kind"] == "text"
+                    texts[j] for j in range(lo, hi) if kinds[j] == "text"
                 )
                 mentions, tokens, _, _ = model.predict_doc(
                     text, labels=labels
@@ -199,17 +213,24 @@ def _graph_arrow_fn(bc_model, labels=None):
                     t_ot.append(labs[r["tail_idx"]])
                     t_sc.append(r["score"])
                 if norms:  # media spans participate as triple objects
-                    for sp in spans:
-                        if sp["kind"] == "media":
+                    for j in range(lo, hi):
+                        if kinds[j] == "media":
                             t_subj.append(norms[0])
                             t_pred.append("depicts")
-                            t_obj.append(sp["media_ref"])
+                            t_obj.append(refs[j])
                             t_st.append(labs[0])
                             t_ot.append("media")
                             t_sc.append(1.0)
                 t_off.append(len(t_subj))
                 o_doc.append(doc_id)
-                o_fp.append(span_fingerprint(spans))
+                # identical bytes to span_fingerprint() over dict rows
+                h = hashlib.blake2b(digest_size=16)
+                for j in range(lo, hi):
+                    h.update(
+                        f"{kinds[j]}\x00{texts[j]}\x00{refs[j] or ''}\x01"
+                        .encode("utf-8")
+                    )
+                o_fp.append(h.hexdigest())
             mentions_arr = pa.ListArray.from_arrays(
                 pa.array(m_off, pa.int32()),
                 pa.StructArray.from_arrays(

@@ -500,3 +500,57 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return staged.select(
         "doc_id", ((uni + bi) % F.lit(P31)).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+def bigram_support(docs: DataFrame) -> DataFrame:
+    """Per-doc fluency/quality from CORPUS bigram statistics (r5): how
+    well-supported is each document's word-pair sequence by the rest of
+    the corpus? The n-gram-LM surrogate quality filters use (CCNet /
+    Gopher lineage: a doc whose adjacent-word pairs barely occur elsewhere
+    is boilerplate, OCR noise, or gibberish) without the IEEE log-prob
+    whose cross-engine summation order would break the oracle:
+
+      avg_support = (sum of corpus counts of the doc's bigrams) / n_bigrams
+      rare_ratio  = (bigrams with corpus count == 1) / n_bigrams
+
+    Both are a SINGLE division of two exact bigint sums — deterministic
+    under any partitioning, replayed bit-for-bit by the ta_bigram_support
+    oracle. Docs with fewer than 2 tokens have no bigrams and are
+    excluded (documented; a consumer left-joins them back as unscored).
+
+    Scale shape (100 TB): bigrams are built IN-ROW (two shifted slices
+    zipped — no pos+1 self-join), then ONE explode feeds both the corpus
+    count aggregate (map-side partial) and the per-doc join; the join is
+    keyed by the bigram string (AQE handles the Zipf head). At web scale
+    the count table is prunable to counts >= k before the join without
+    changing rare_ratio semantics (rare = absent-or-1)."""
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(bgc, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("support_sum"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("support_sum").cast("long").alias("support_sum"),
+            "n_rare",
+            (F.col("support_sum").cast("double") / F.col("n_bigrams"))
+            .alias("avg_support"),
+            (F.col("n_rare").cast("double") / F.col("n_bigrams"))
+            .alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )

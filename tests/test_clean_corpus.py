@@ -280,3 +280,49 @@ def test_length_quantiles_brute_force(spark):
             assert got[(src, q)] == want, (src, q)
     # every (source, q) pair present
     assert len(got) == len(by_src) * 3
+
+
+def test_duplicate_clusters_invariants(spark):
+    """r5: clusters are the transitive closure of verified pairs, the
+    representative is the min doc_id, exactly one keep per cluster."""
+    from gliner_spark.cache import release_caches
+    from gliner_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.read.parquet(DOCS)
+    out = duplicate_clusters(docs, threshold=0.5)
+    rows = out.collect()
+    release_caches(out)
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, members in by_cluster.items():
+        ids = [m.doc_id for m in members]
+        assert cl == min(ids)  # representative = min reachable doc_id
+        assert len(members) >= 2  # singletons never emitted
+        assert sum(m.keep for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    # every verified pair lands in ONE cluster (closure covers the pairs)
+    pairs = minhash_dedup(docs, threshold=0.5)
+    prows = pairs.collect()
+    release_caches(pairs)
+    cmap = {r.doc_id: r.cluster for r in rows}
+    assert all(cmap[p.doc_a] == cmap[p.doc_b] for p in prows)
+
+
+def test_bigram_support_exact_counts(spark):
+    """r5: corpus-bigram support replayed by hand on a planted corpus."""
+    from gliner_spark.operators.text_analysis import bigram_support
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_support(docs).collect()}
+    # corpus bigram counts: "a b"=3, "b c"=2, "c d"=1, "b d"=1
+    assert set(got) == {1, 2, 4}  # doc 3 has no bigrams
+    assert (got[1].n_bigrams, got[1].support_sum, got[1].n_rare) == (2, 5, 0)
+    assert (got[2].n_bigrams, got[2].support_sum, got[2].n_rare) == (2, 4, 1)
+    assert (got[4].n_bigrams, got[4].support_sum, got[4].n_rare) == (3, 6, 1)
+    assert got[2].rare_ratio == 0.5
+    assert got[1].avg_support == 2.5
