@@ -740,6 +740,17 @@ def q_sim_pq_refine(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq_refine(spark, sf_dir):
+    """IVF-PQ + exact re-rank — the complete FAISS production default
+    (operators/similarity.ivfpq_refine_topk)."""
+    from gliner_spark.operators.similarity import ivfpq_refine_topk
+
+    df = ivfpq_refine_topk(_t(spark, sf_dir, "embeddings"))
+    return df.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
 def q_sim_neardup(spark, sf_dir):
     from gliner_spark.operators.similarity import embedding_neardup
 
@@ -1185,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_refine": q_sim_pq_refine,
         "dd_clusters": q_dd_clusters,
         "ta_bigram_support": q_ta_bigram_support,
+        "sim_ivfpq_refine": q_sim_ivfpq_refine,
         # KG construction (correctness gate: tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2090,19 +2102,18 @@ FROM reranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
 
-def _sim_ivfpq_oracle() -> str:
-    """IVF-PQ replayed relationally: the coarse k-means cell CTEs (same
-    unrolled integer Lloyd as sim_ivf_kmeans) prune candidates to each
-    query's nprobe cells; the PQ CTEs (same as sim_pq) provide corpus
-    codes and per-query distance tables; ADC ranking over the pruned
-    pairs — bit-equal to similarity.ivfpq_topk."""
+def _ivfpq_with_block() -> str:
+    """WITH-clause through the ADC `scored` CTE — the full IVF-PQ replay
+    (coarse Lloyd cells -> nprobe pruning -> PQ codes/distance tables ->
+    ADC sums). Shared by _sim_ivfpq_oracle and _sim_ivfpq_refine_oracle
+    so both gates provably replay the same index."""
     from gliner_spark.operators.similarity import (
         K_CELLS,
         KM_ITERS,
         NPROBE,
     )
 
-    D, NQ, TOPK = 64, 10, 5
+    D, NQ = 64, 10
     d2full = _ann_d2(D)
     ctes = _ann_sample_ctes() + _ann_kmeans_ctes(
         K_CELLS, KM_ITERS, D, cb="kc", a="ka", s_="ks", u="ku"
@@ -2143,14 +2154,58 @@ scored AS (
   JOIN dts dt ON dt.query_id = p.query_id
     AND dt.mi = cd.mi AND dt.cell = cd.cell
   GROUP BY p.query_id, p.vec_id
-),
+)
+"""
+
+
+def _sim_ivfpq_oracle() -> str:
+    """IVF-PQ replayed relationally (shared WITH block): ADC ranking over
+    the nprobe-pruned pairs — bit-equal to similarity.ivfpq_topk."""
+    return f"""
+{_ivfpq_with_block()},
 ranked AS (
   SELECT query_id, vec_id, d2,
     row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rank
   FROM scored
 )
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, d2
-FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _sim_ivfpq_refine_oracle() -> str:
+    """IVF-PQ shortlist + exact re-rank (similarity.ivfpq_refine_topk):
+    the same shared IVF-PQ WITH block truncated at the shortlist size,
+    then exact integer-cosine over only those rows."""
+    D, TOPK, SHORT = 64, 5, 50
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range({D}), i -> a.q[i+1]*b.q[i+1])), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+{_ivfpq_with_block()},
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {SHORT}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+    CAST({dot} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) AS sim
+  FROM short s
+  JOIN qn a ON a.vec_id = s.query_id
+  JOIN qn b ON b.vec_id = s.vec_id
+),
+reranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM reranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
 
@@ -3164,6 +3219,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         "sim_pq": _sim_pq_oracle(),
         "sim_pq_refine": _sim_pq_refine_oracle(),
+        "sim_ivfpq_refine": _sim_ivfpq_refine_oracle(),
         "sim_ivfpq": _sim_ivfpq_oracle(),
         "sim_neardup": _sim_neardup_oracle(),
         # ---- evaluation ----

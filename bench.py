@@ -85,6 +85,11 @@ EXTRA_QUERIES = [
     "sim_pq",
     "sim_ivfpq",
     "ta_quantiles",
+    # round 5
+    "kg_constrained_labels",
+    "sim_pq_refine",
+    "dd_clusters",
+    "ta_bigram_support",
 ]
 
 
@@ -204,6 +209,13 @@ def main():
             ann_recall[f"ivfpq_nprobe{nprobe}"] = _recall(
                 ivfpq_topk(emb, nprobe=nprobe, cells=cells, books=books)
             )
+        from gliner_spark.operators.similarity import ivfpq_refine_topk
+
+        ann_recall["ivfpq_refine_np4_short50"] = _recall(
+            ivfpq_refine_topk(
+                emb, shortlist=50, nprobe=4, cells=cells, books=books
+            )
+        )
     except Exception as e:  # recall is an artifact, not a gate
         ann_recall = {"error": str(e)[:200]}
 

@@ -525,6 +525,16 @@ def pq_refine_topk(
     if books is None:
         books = train_pq_codebooks(qz)
     cand = pq_topk(emb, n_queries=n_queries, k=shortlist, books=books)
+    return _exact_rerank(cand, qz, n_queries, k)
+
+
+def _exact_rerank(
+    cand: DataFrame, qz: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """Exact integer-cosine re-rank of a (query_id, vec_id) shortlist:
+    one equi-join fetches full vectors for shortlist rows only, then the
+    standard sim-desc/vec_id-asc top-k window. Shared by pq_refine_topk
+    and ivfpq_refine_topk."""
     queries = qz.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"),
@@ -556,6 +566,34 @@ def pq_refine_topk(
         .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_refine_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 50,
+    n_cells: int = K_CELLS,
+    nprobe: int = NPROBE,
+    cells: list | None = None,
+    books: list | None = None,
+) -> DataFrame:
+    """IVF-PQ + refine — the complete FAISS production default
+    (IndexIVFPQ wrapped in IndexRefineFlat): coarse nprobe pruning, ADC
+    shortlist over 8-byte codes, exact re-rank of shortlist rows only.
+    Same exactness story as pq_refine_topk; oracle sim_ivfpq_refine."""
+    qz = _quantized(emb)
+    if cells is None or books is None:
+        rows = _collect_training_sample(qz, KM_SAMPLE_TARGET)
+        if cells is None:
+            cells = train_kmeans_cells(qz, k=n_cells, _rows=rows)
+        if books is None:
+            books = train_pq_codebooks(qz, _rows=rows)
+    cand = ivfpq_topk(
+        emb, n_queries=n_queries, k=shortlist, n_cells=n_cells,
+        nprobe=nprobe, cells=cells, books=books,
+    )
+    return _exact_rerank(cand, qz, n_queries, k)
 
 
 def save_pq(books: list, path: str) -> None:

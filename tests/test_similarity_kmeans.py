@@ -310,3 +310,24 @@ def test_pq_refine_recall_at_least_raw_pq(spark):
         ) / len(bf)
 
     assert rec(pq_refine_topk(emb, shortlist=50)) >= rec(pq_topk(emb))
+
+
+def test_ivfpq_refine_composes(spark):
+    """r5: ivfpq_refine_topk = exact re-rank of the ivfpq shortlist; with
+    nprobe == n_cells and a full shortlist it must equal brute force over
+    whatever candidates the coarse index admits (here: everything)."""
+    from gliner_spark.operators.similarity import ivfpq_refine_topk
+
+    emb = _emb(spark)
+    n = emb.count()
+    bf = [
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in cosine_topk(emb, n_queries=5, k=3).collect()
+    ]
+    rf = [
+        (r.query_id, r.vec_id, r.rank, r.sim)
+        for r in ivfpq_refine_topk(
+            emb, n_queries=5, k=3, shortlist=n, nprobe=8
+        ).collect()
+    ]
+    assert rf == bf and len(rf) == 15
