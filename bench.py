@@ -88,6 +88,7 @@ EXTRA_QUERIES = [
     # round 5
     "kg_constrained_labels",
     "sim_pq_refine",
+    "sim_ivfpq_refine",
     "dd_clusters",
     "ta_bigram_support",
 ]

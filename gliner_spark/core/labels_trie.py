@@ -29,18 +29,10 @@ from __future__ import annotations
 
 from typing import Iterable, List, Optional, Sequence
 
-P31 = 2147483647
+from gliner_spark.core.dense import P31, fold_hash_py as fold_hash
+
 EOS = 0  # reserved token id (fold_hash of a non-empty word is never 0 in practice)
 _KNUTH = 2654435761
-
-
-def fold_hash(s: str) -> int:
-    """Codepoint-fold hash, the engine-wide token-id function
-    (functions/text.fold_hash / core/dense.fold_hash_py parity)."""
-    h = 0
-    for ch in s:
-        h = (h * 1000003 + ord(ch)) % P31
-    return h
 
 
 class LabelsTrie:

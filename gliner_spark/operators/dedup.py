@@ -238,7 +238,9 @@ def ngram_jaccard_dedup(
     return attach_audits(out, pairs)
 
 
-def duplicate_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def duplicate_clusters(
+    docs: DataFrame, threshold: float = 0.5, cfg=None
+) -> DataFrame:
     """Near-duplicate CLUSTERS: the verified minhash pair set closed into
     connected components, with a deterministic representative per cluster
     — what a dedup pass actually consumes ("keep one doc per duplicate
@@ -258,12 +260,17 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     only corpus-width work); the component step reuses the adaptive CC
     machinery from entity linking (driver union-find below the bound,
     min-label propagation + pointer jumping above — O(log diameter)
-    rounds). The pair set is Zipf-collapsed and tiny next to the corpus."""
+    rounds). The pair set is Zipf-collapsed and tiny next to the corpus.
+    cfg threads the CC knobs (cc_driver_max_nodes, cc_max_iterations,
+    cc_reliable_checkpoint for executor-loss survival on a real cluster);
+    None = defaults."""
     from gliner_spark.cache import forward_caches
     from gliner_spark.config import PipelineConfig
     from gliner_spark.metrics import attach_audits
     from gliner_spark.operators.linking import connected_components
 
+    if cfg is None:
+        cfg = PipelineConfig()
     pairs = minhash_dedup(docs, threshold)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -273,7 +280,7 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    comp = connected_components(nodes, edges, PipelineConfig())
+    comp = connected_components(nodes, edges, cfg)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

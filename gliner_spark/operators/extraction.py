@@ -39,6 +39,14 @@ GRAPH_DDL = (
 )
 
 
+def _span_fp_bytes(kind, text, ref) -> bytes:
+    """THE single per-span byte encoding behind span_fp — shared by the
+    dict/Row path (span_fingerprint) and the flat-array Arrow path so the
+    resume/lineage invariant can never silently diverge between them
+    (r5 review finding)."""
+    return f"{kind}\x00{text}\x00{ref or ''}\x01".encode("utf-8")
+
+
 def span_fingerprint(spans) -> str:
     """Order-sensitive fingerprint of the (kind, text, media_ref) sequence —
     the per-row invariant the pipeline must preserve (input_hint)."""
@@ -47,7 +55,7 @@ def span_fingerprint(spans) -> str:
         kind = sp["kind"] if isinstance(sp, dict) else sp.kind
         text = sp["text"] if isinstance(sp, dict) else sp.text
         ref = sp["media_ref"] if isinstance(sp, dict) else sp.media_ref
-        h.update(f"{kind}\x00{text}\x00{ref or ''}\x01".encode("utf-8"))
+        h.update(_span_fp_bytes(kind, text, ref))
     return h.hexdigest()
 
 
@@ -158,6 +166,8 @@ def _graph_arrow_fn(bc_model, labels=None):
 
     import hashlib
 
+    import pyarrow.compute as pc  # explicit: pa.compute is NOT auto-loaded
+
     def fn(batches):
         model = bc_model.value
         for rb in batches:
@@ -168,7 +178,7 @@ def _graph_arrow_fn(bc_model, labels=None):
             # python dicts are ever built (to_pylist on a list<struct>
             # column was a measurable slice of batch time)
             lengths = [
-                v.as_py() for v in pa.compute.list_value_length(spans_col)
+                v.as_py() for v in pc.list_value_length(spans_col)
             ]
             flat = spans_col.flatten()
             kinds = flat.field("kind").to_pylist()
@@ -223,13 +233,11 @@ def _graph_arrow_fn(bc_model, labels=None):
                             t_sc.append(1.0)
                 t_off.append(len(t_subj))
                 o_doc.append(doc_id)
-                # identical bytes to span_fingerprint() over dict rows
+                # identical bytes to span_fingerprint() over dict rows —
+                # _span_fp_bytes is the single shared encoding
                 h = hashlib.blake2b(digest_size=16)
                 for j in range(lo, hi):
-                    h.update(
-                        f"{kinds[j]}\x00{texts[j]}\x00{refs[j] or ''}\x01"
-                        .encode("utf-8")
-                    )
+                    h.update(_span_fp_bytes(kinds[j], texts[j], refs[j]))
                 o_fp.append(h.hexdigest())
             mentions_arr = pa.ListArray.from_arrays(
                 pa.array(m_off, pa.int32()),

@@ -519,11 +519,18 @@ def bigram_support(docs: DataFrame) -> DataFrame:
     excluded (documented; a consumer left-joins them back as unscored).
 
     Scale shape (100 TB): bigrams are built IN-ROW (two shifted slices
-    zipped — no pos+1 self-join), then ONE explode feeds both the corpus
-    count aggregate (map-side partial) and the per-doc join; the join is
-    keyed by the bigram string (AQE handles the Zipf head). At web scale
-    the count table is prunable to counts >= k before the join without
-    changing rare_ratio semantics (rare = absent-or-1)."""
+    zipped — no pos+1 self-join), then the exploded bigram table is
+    PERSISTED at the branch point so the corpus-count aggregate and the
+    per-doc join share one text scan + explode (same pattern as
+    minhash_dedup's staged token ids; without the persist the two
+    subplans differ below their exchanges and ReuseExchange cannot
+    deduplicate them — r5 review finding). The join is keyed by the
+    bigram string (AQE handles the Zipf head). At web scale the count
+    table is prunable to counts >= k before the join without changing
+    rare_ratio semantics (rare = absent-or-1). The persist handle rides
+    the output — release with cache.release_caches after the action."""
+    from gliner_spark.cache import attach_caches
+
     arr = F.split("text", " ")
     n = F.size(arr)
     bigrams = F.zip_with(
@@ -531,9 +538,9 @@ def bigram_support(docs: DataFrame) -> DataFrame:
         F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg")).persist()
     bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
-    return (
+    return attach_caches(
         bg.join(bgc, "bg")
         .groupBy("doc_id")
         .agg(
@@ -552,5 +559,6 @@ def bigram_support(docs: DataFrame) -> DataFrame:
             (F.col("n_rare").cast("double") / F.col("n_bigrams"))
             .alias("rare_ratio"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        bg,
     )

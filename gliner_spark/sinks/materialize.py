@@ -105,6 +105,16 @@ class TableIO:
                 raise
             return None
 
+    def exists(self, table: str) -> bool:
+        """Existence check WITHOUT swallowing read errors: distinguishes
+        'table is absent' (False) from 'table is present but unreadable'
+        (True — let a required read surface the real exception). r5
+        code-review: required=False turning a permissions error or corrupt
+        footer into None converted infra faults into silent fallbacks."""
+        if self.fmt == "parquet":
+            return os.path.isdir(os.path.join(self.base, table))
+        return self.spark.catalog.tableExists(self._ident(table))
+
     def overwrite_partitions(self, df: DataFrame, table: str, part_col: str) -> None:
         if self.fmt == "parquet":
             df.write.mode("overwrite").partitionBy(part_col).parquet(
@@ -446,15 +456,20 @@ def finalize_graph_incremental(
     (tests/test_incremental_finalize.py), modulo the documented
     cap-crossing edge in canonicalize_incremental.
 
-    Migration (ADVICE r4): graphs finalized before the rich 5-column
-    surface_map existed (pre-r4: none, or the legacy 3-column map) cannot
-    seed a delta rebuild. When the stored map is missing or legacy AND the
-    base holds the batch/stream mentions layout (always true for
-    finalize_stream_delta, whose delta IS that staging layout), this falls
-    back ONCE to a full finalize_graph — which rewrites the rich map, so
-    every later call takes the delta path. Without a discoverable mentions
-    layout it raises with the re-finalize instruction instead of the
-    old opaque column error."""
+    Migration (ADVICE r4, hardened by the r5 review): graphs finalized
+    before the rich 5-column surface_map existed (pre-r4: none, or the
+    legacy 3-column map) cannot seed a delta rebuild. When the stored map
+    is missing or legacy and the base holds ONLY the batch mentions
+    layout, this falls back ONCE: a full finalize_graph rebuilds the rich
+    map from the stored tables, then the caller's delta folds through the
+    NORMAL incremental path against the fresh map (the delta is never
+    silently discarded). When stream STAGING exists the fallback would
+    bypass finalize_stream_delta's committed-batch filter (folding
+    half-staged micro-batches triples-less and double-counting them
+    later), so that case raises with the explicit migration instruction
+    instead. Absence is checked with io.exists — a permissions error or
+    corrupt footer on a PRESENT map surfaces as the real exception, never
+    as a silent destructive re-finalize."""
     from gliner_spark.operators.linking import (
         apply_entity_remap,
         canonicalize_incremental,
@@ -463,13 +478,31 @@ def finalize_graph_incremental(
     io = TableIO(spark, base, fmt)
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
-    old_map = io.read("surface_map")
+    old_map = io.read("surface_map", required=True) if io.exists("surface_map") else None
     _rich_cols = {"label", "norm", "entity_id", "canonical", "n_mentions"}
     if old_map is None or not _rich_cols.issubset(set(old_map.columns)):
         have = [] if old_map is None else sorted(old_map.columns)
-        if io.read("mentions") is not None or io.read("stream/mentions") is not None:
-            out = finalize_graph(spark, base, cfg, run_id=run_id, fmt=fmt)
-            return {**out, "migrated_full_finalize": True}
+        if io.exists("stream/mentions"):
+            raise ValueError(
+                f"surface_map under {base!r} is missing or legacy (columns "
+                f"{have}) and stream staging exists: an automatic full "
+                "finalize would fold uncommitted micro-batches. Migrate "
+                "explicitly: run finalize_graph once (accepting its "
+                "fold-all-staging semantics), then re-run the delta"
+            )
+        if io.exists("mentions"):
+            # one-time migration: rebuild the rich map from the stored
+            # batch layout, then fold the caller's delta normally
+            full = finalize_graph(spark, base, cfg, run_id=run_id, fmt=fmt)
+            out = finalize_graph_incremental(
+                spark, base, cfg, new_mentions, new_triples_raw,
+                run_id=run_id, fmt=fmt,
+            )
+            return {
+                **out,
+                "migrated_full_finalize": True,
+                "migration_entities": full["entities"],
+            }
         raise ValueError(
             f"surface_map under {base!r} is missing or legacy (columns "
             f"{have}; delta finalize needs {sorted(_rich_cols)}) and no "

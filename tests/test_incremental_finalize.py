@@ -374,7 +374,13 @@ def test_legacy_surface_map_migration(spark, model):
         ).localCheckpoint()
         legacy.write.mode("overwrite").parquet(f"{base}/surface_map")
 
-        graph_b = extract_graph(synth_docs(spark, 20, partitions=2), model)
+        before = (
+            spark.read.parquet(f"{base}/entities")
+            .agg(F.sum("n_mentions")).first()[0]
+        )
+        graph_b = extract_graph(
+            synth_docs(spark, 20, seed=7, partitions=2), model
+        )
         out = finalize_graph_incremental(
             spark, base, model.config,
             mentions_table(graph_b.select("doc_id", "mentions")),
@@ -385,12 +391,53 @@ def test_legacy_surface_map_migration(spark, model):
         cols = set(spark.read.parquet(f"{base}/surface_map").columns)
         assert {"label", "norm", "entity_id", "canonical",
                 "n_mentions"} <= cols
+        # the caller's delta was FOLDED by the migration call, not
+        # silently discarded (r5 review finding)
+        after = (
+            spark.read.parquet(f"{base}/entities")
+            .agg(F.sum("n_mentions")).first()[0]
+        )
+        assert after > before
 
         out2 = finalize_graph_incremental(
             spark, base, model.config,
             mentions_table(graph_b.select("doc_id", "mentions")),
         )
         assert "migrated_full_finalize" not in out2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_legacy_surface_map_with_stream_staging_raises(spark, model):
+    """The auto-fallback must NOT fire when stream staging exists — a full
+    finalize would fold uncommitted micro-batches (bypassing
+    finalize_stream_delta's committed-batch gate); the operator demands an
+    explicit migration instead (r5 review finding)."""
+    from gliner_spark.sinks.materialize import (
+        finalize_graph_incremental,
+        run_pipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="gs_legacy_stream_")
+    try:
+        docs = synth_docs(spark, 40, partitions=2)
+        run_pipeline(spark, docs, model, base)
+        legacy = spark.read.parquet(f"{base}/surface_map").select(
+            "label", "norm", "entity_id"
+        ).localCheckpoint()
+        legacy.write.mode("overwrite").parquet(f"{base}/surface_map")
+        # plant a stream staging table (uncommitted micro-batch analog)
+        spark.read.parquet(f"{base}/mentions").limit(3).write.parquet(
+            f"{base}/stream/mentions"
+        )
+        graph_b = extract_graph(
+            synth_docs(spark, 10, seed=9, partitions=2), model
+        )
+        with pytest.raises(ValueError, match="stream staging"):
+            finalize_graph_incremental(
+                spark, base, model.config,
+                mentions_table(graph_b.select("doc_id", "mentions")),
+            )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
