@@ -757,6 +757,15 @@ def q_sim_neardup(spark, sf_dir):
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_sim_semantic_clusters(spark, sf_dir):
+    """SemDeDup-shape semantic duplicate clusters (r5): verified SRP
+    near-dup pairs closed into components, min-vec_id representative
+    (operators/similarity.semantic_clusters)."""
+    from gliner_spark.operators.similarity import semantic_clusters
+
+    return semantic_clusters(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 # ----------------------------------------------------------- evaluation ----
 _EV_A = ["scan", "join", "merge", "sort"]
 _EV_B = ["scan", "sort", "filter", "group"]
@@ -1197,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": q_dd_clusters,
         "ta_bigram_support": q_ta_bigram_support,
         "sim_ivfpq_refine": q_sim_ivfpq_refine,
+        "sim_semantic_clusters": q_sim_semantic_clusters,
         # KG construction (correctness gate: tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2209,11 +2219,12 @@ FROM reranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
 
-def _sim_neardup_oracle() -> str:
-    """Hyperplane (SRP) LSH blocking + exact-cosine verify, regenerating the
-    SAME deterministic integer hyperplanes as Spark
-    (similarity.hyperplane_component): sign bits -> packed band keys ->
-    bucket-capped band equi-join -> distinct pairs -> integer cosine."""
+def _srp_with_block(threshold: float, recursive: bool = False) -> str:
+    """WITH-clause through the verified SRP near-dup pair CTE `vpairs`
+    (sign bits against the SAME deterministic integer hyperplanes as
+    Spark -> packed band keys -> bucket-capped band equi-join -> distinct
+    pairs -> exact integer cosine >= threshold). Shared by
+    _sim_neardup_oracle and _sim_semantic_clusters_oracle."""
     from gliner_spark.operators.similarity import (
         HP_BANDS,
         HP_MAX_BUCKET,
@@ -2240,7 +2251,7 @@ def _sim_neardup_oracle() -> str:
         for b in range(HP_BANDS)
     )
     return f"""
-WITH {_QUANT_EMB},
+WITH {'RECURSIVE ' if recursive else ''}{_QUANT_EMB},
 sigs AS (SELECT vec_id, {keys} FROM qn),
 buckets AS (
   {buckets_union}
@@ -2256,14 +2267,60 @@ pairs AS (
   SELECT DISTINCT ca.vec_id AS vec_a, cb.vec_id AS vec_b
   FROM capped ca JOIN capped cb
     ON ca.band = cb.band AND ca.bkey = cb.bkey AND ca.vec_id < cb.vec_id
+),
+vpairs AS MATERIALIZED (
+  SELECT p.vec_a, p.vec_b,
+    CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) AS sim_raw
+  FROM pairs p
+  JOIN qn a ON a.vec_id = p.vec_a
+  JOIN qn b ON b.vec_id = p.vec_b
+  WHERE CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) >= {threshold}
+)"""
+
+
+def _sim_neardup_oracle() -> str:
+    """SRP LSH blocking + exact-cosine verify (shared WITH block) — the
+    verified pair list, bit-equal to similarity.embedding_neardup."""
+    return f"""
+{_srp_with_block(0.3)}
+SELECT vec_a, vec_b, round(sim_raw, 6) AS sim
+FROM vpairs ORDER BY vec_a, vec_b
+"""
+
+
+def _sim_semantic_clusters_oracle() -> str:
+    """SemDeDup-shape semantic clusters: the verified SRP pair set closed
+    into connected components (same recursive fixpoint with domination
+    pruning as kg_components/dd_clusters), keep = min-vec_id
+    representative — replaying similarity.semantic_clusters."""
+    return f"""
+{_srp_with_block(0.3, recursive=True)},
+snodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT vec_a AS node FROM vpairs UNION ALL SELECT vec_b FROM vpairs
+  )
+),
+ssym AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM vpairs
+  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM vpairs
+),
+lbl(node, comp) AS (
+  SELECT node, node FROM snodes
+  UNION
+  SELECT e.dst, l.comp FROM lbl l JOIN ssym e
+    ON e.src = l.node AND l.comp < e.dst
+),
+c AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+sz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM c GROUP BY component
 )
-SELECT p.vec_a, p.vec_b,
-  round(CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)), 6) AS sim
-FROM pairs p
-JOIN qn a ON a.vec_id = p.vec_a
-JOIN qn b ON b.vec_id = p.vec_b
-WHERE CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) >= 0.3
-ORDER BY vec_a, vec_b
+SELECT CAST(c.node AS BIGINT) AS vec_id,
+  CAST(c.component AS BIGINT) AS cluster,
+  sz.cluster_size,
+  c.node = c.component AS keep
+FROM c JOIN sz USING (component)
+ORDER BY cluster, vec_id
 """
 
 
@@ -3220,6 +3277,7 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         "sim_pq": _sim_pq_oracle(),
         "sim_pq_refine": _sim_pq_refine_oracle(),
         "sim_ivfpq_refine": _sim_ivfpq_refine_oracle(),
+        "sim_semantic_clusters": _sim_semantic_clusters_oracle(),
         "sim_ivfpq": _sim_ivfpq_oracle(),
         "sim_neardup": _sim_neardup_oracle(),
         # ---- evaluation ----

@@ -91,6 +91,7 @@ EXTRA_QUERIES = [
     "sim_ivfpq_refine",
     "dd_clusters",
     "ta_bigram_support",
+    "sim_semantic_clusters",
 ]
 
 

@@ -821,3 +821,53 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         .orderBy("vec_a", "vec_b")
     )
     return attach_audits(out, _cap_audit)
+
+
+def semantic_clusters(
+    emb: DataFrame, threshold: float = 0.95, cfg=None
+) -> DataFrame:
+    """Semantic duplicate CLUSTERS over embeddings — the SemDeDup shape
+    (Abbas et al. 2023: embedding-space near-duplicates grouped, one
+    representative kept): the verified SRP near-dup pair set
+    (embedding_neardup — banded hyperplane LSH + exact integer-cosine
+    verify) closed into connected components, keep = the min-vec_id
+    representative. The vector-side sibling of dedup.duplicate_clusters;
+    cosine-pairwise similarity is not transitive, so consumers need the
+    closure, not the pair list.
+
+    Scale shape: the only corpus-width work is the capped+audited SRP
+    band join; CC runs over the verified pair set (adaptive driver/
+    distributed, reused from entity linking). Returns (vec_id, cluster,
+    cluster_size, keep) for clustered vectors only — singletons are
+    implicitly their own cluster."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.metrics import attach_audits
+    from gliner_spark.operators.linking import connected_components
+
+    if cfg is None:
+        cfg = PipelineConfig()
+    pairs = embedding_neardup(emb, threshold=threshold)
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges, cfg)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    out = (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("component").alias("cluster"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
+        .orderBy("cluster", "vec_id")
+    )
+    return attach_audits(forward_caches(out, pairs), pairs)

@@ -331,3 +331,31 @@ def test_ivfpq_refine_composes(spark):
         ).collect()
     ]
     assert rf == bf and len(rf) == 15
+
+
+def test_semantic_clusters_invariants(spark):
+    """r5 SemDeDup shape: transitive closure of verified SRP pairs,
+    min-vec_id representative, exactly one keep per cluster."""
+    from gliner_spark.cache import release_caches
+    from gliner_spark.operators.similarity import semantic_clusters
+
+    emb = _emb(spark)
+    out = semantic_clusters(emb, threshold=0.3)
+    rows = out.collect()
+    release_caches(out)
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, members in by_cluster.items():
+        ids = [m.vec_id for m in members]
+        assert cl == min(ids)
+        assert len(members) >= 2
+        assert sum(m.keep for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    # closure covers every verified pair
+    pairs = embedding_neardup(emb, threshold=0.3)
+    cmap = {r.vec_id: r.cluster for r in rows}
+    assert all(
+        cmap[p.vec_a] == cmap[p.vec_b] for p in pairs.collect()
+    )
