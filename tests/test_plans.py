@@ -200,3 +200,52 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS gs_od_b")
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_bigram_support_scans_corpus_once(spark):
+    """r5 review fix: the exploded bigram table is persisted at the branch
+    point so the corpus-count aggregate and the per-doc join share one
+    text scan + explode (the two subplans differ below their exchanges,
+    so ReuseExchange alone could never deduplicate them)."""
+    from gliner_spark.cache import release_caches
+    from gliner_spark.operators.text_analysis import bigram_support
+
+    docs = spark.read.parquet(DOCS)
+    df = bigram_support(docs)
+    p = _plan(df)
+    n_file = len(re.findall(r"FileScan parquet", p))
+    n_cached = len(re.findall(r"InMemoryRelation", p))
+    assert n_file == n_cached and n_cached >= 1, (
+        f"{n_file} FileScans vs {n_cached} cached relations\n" + p[:3000]
+    )
+    release_caches(df)
+
+
+def test_pq_refine_fetches_vectors_by_join_not_scan_product(spark):
+    """r5: the refine stage must be shaped as shortlist -> equi-join on
+    vec_id -> broadcast of the tiny query side. The ONLY nested-loop
+    product allowed in the whole plan is pq_topk's broadcast code scan
+    (queries x codes); the exact re-rank must not add another."""
+    from gliner_spark.operators.similarity import pq_refine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    p = _plan(pq_refine_topk(emb))
+    n_nlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+    assert n_nlj <= 1, p[:3000]
+    assert "CartesianProduct" not in p, p[:3000]
+    # the vector fetch is a hash/broadcast equi-join keyed on vec_id
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p), p[:3000]
+
+
+def test_constrained_generation_runs_over_distinct_surfaces(spark):
+    """r5: the generation head's input is the DISTINCT surface table (one
+    aggregate), never the raw mention stream — the trie UDF sits above
+    exactly one distinct exchange pair."""
+    from gliner_spark.operators.constrained import generate_mention_labels
+
+    mentions = spark.createDataFrame(
+        [("a b", ), ("c d", ), ("a b", )], "norm string"
+    )
+    p = _plan(generate_mention_labels(mentions, ["person", "big cat"]))
+    assert "HashAggregate" in p, p[:2000]  # the distinct
+    assert p.count("mapInPandas") <= 1 or "MapInPandas" in p, p[:2000]
