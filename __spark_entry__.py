@@ -156,6 +156,15 @@ def q_kg_two_hop(spark, sf_dir):
     return two_hop_paths(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-entity triangle counts over the undirected distinct entity
+    graph (r5) — node-ordered compact-forward enumeration with an audited
+    pivot-degree cap (operators/graph_analytics.triangle_counts)."""
+    from gliner_spark.operators.graph_analytics import triangle_counts
+
+    return triangle_counts(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
@@ -1207,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_bigram_support": q_ta_bigram_support,
         "sim_ivfpq_refine": q_sim_ivfpq_refine,
         "sim_semantic_clusters": q_sim_semantic_clusters,
+        "kg_triangles": q_kg_triangles,
         # KG construction (correctness gate: tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2658,6 +2668,43 @@ ORDER BY 1, 2
 """
 
 
+def _kg_triangles_oracle() -> str:
+    """Node-ordered compact-forward triangle enumeration replayed
+    relationally (graph_analytics.triangle_counts): canonical undirected
+    edges, capped pivots, wedges from the smallest node, EXISTS closure
+    against the uncapped edge set, per-member counts."""
+    from gliner_spark.operators.graph_analytics import TWO_HOP_MAX_FANOUT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+tfan AS (SELECT a, count(*) AS fan FROM und GROUP BY a),
+tcapped AS (
+  SELECT u.a, u.b FROM und u JOIN tfan f ON f.a = u.a
+  WHERE f.fan <= {TWO_HOP_MAX_FANOUT}
+),
+wedges AS (
+  SELECT u1.a, u1.b AS x, u2.b AS y
+  FROM tcapped u1 JOIN tcapped u2 ON u1.a = u2.a AND u1.b < u2.b
+),
+tris AS (
+  SELECT w.a, w.x, w.y FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM und t WHERE t.a = w.x AND t.b = w.y)
+),
+tmembers AS (
+  SELECT a AS entity FROM tris
+  UNION ALL SELECT x FROM tris
+  UNION ALL SELECT y FROM tris
+)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_triangles
+FROM tmembers GROUP BY entity ORDER BY entity
+"""
+
+
 def _kg_pagerank_oracle(dangling: bool = False) -> str:
     from gliner_spark.operators.graph_analytics import (
         PR_DAMP,
@@ -3486,6 +3533,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_triples": _kg_triples_canonical_oracle(),
         "kg_degree": _kg_degree_oracle(),
         "kg_two_hop": _kg_two_hop_oracle(),
+        "kg_triangles": _kg_triangles_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_components": _kg_components_oracle(),

@@ -92,6 +92,7 @@ EXTRA_QUERIES = [
     "dd_clusters",
     "ta_bigram_support",
     "sim_semantic_clusters",
+    "kg_triangles",
 ]
 
 

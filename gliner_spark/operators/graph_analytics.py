@@ -265,3 +265,56 @@ def pagerank(
     from gliner_spark.cache import forward_caches
 
     return forward_caches(out, triples)
+
+
+def triangle_counts(
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+) -> DataFrame:
+    """Per-entity triangle participation counts over the UNDIRECTED
+    distinct entity graph — the clustering-coefficient numerator and the
+    standard "how clique-ish is this entity's neighborhood" KG signal.
+
+    Node-ordered compact-forward enumeration: canonical undirected edges
+    (a < b), wedges generated only from the SMALLEST node of the triangle
+    (a-b, a-c with b < c), closed by one semi-join against the edge set —
+    every triangle is found exactly once, as joins + aggregates (no UDF).
+    Wedge generation from a pivot costs C(deg, 2) pairs, so pivots with
+    canonical-degree > max_fanout are excluded and AUDITED (same
+    capped_filter contract as two_hop_paths; the closing-edge lookup uses
+    the UNCAPPED edge set). Pure integer counts — the kg_triangles oracle
+    replays the same enumeration relationally."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    e = graph_edges(triples)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("a")
+    capped, audit = capped_filter(
+        und.withColumn("fan", F.count(F.lit(1)).over(w)),
+        "fan", max_fanout, "triangle_pivot_cap",
+    )
+    u1 = capped.select("a", F.col("b").alias("x"))
+    u2 = capped.select("a", F.col("b").alias("y"))
+    wedges = u1.join(u2, "a").filter(F.col("x") < F.col("y"))
+    tris = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    members = (
+        tris.select(F.col("a").alias("entity"))
+        .union(tris.select(F.col("x").alias("entity")))
+        .union(tris.select(F.col("y").alias("entity")))
+    )
+    out = (
+        members.groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("entity")
+    )
+    return forward_caches(attach_audits(out, audit), triples)

@@ -200,3 +200,45 @@ def test_pagerank_sink_outranks_source_and_is_deterministic(spark):
     assert r1["c"] > r1["a"] == r1["b"]
     # sources receive no mass: rank = (1-d) * UNIT exactly
     assert r1["a"] == PR_UNIT * 150 // 1000
+
+
+def test_triangle_counts_match_brute_force(spark):
+    """r5: per-entity triangle counts on a planted graph vs itertools
+    brute force (triangle = 3 mutually connected nodes, direction
+    ignored), plus the audited-cap contract."""
+    from itertools import combinations
+
+    from gliner_spark.metrics import skew_metrics
+    from gliner_spark.operators.graph_analytics import triangle_counts
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),          # triangle abc
+        ("c", "d"), ("d", "e"), ("c", "e"),          # triangle cde
+        ("e", "a"), ("b", "d"),                      # extra chords
+        ("x", "y"),                                  # no triangle
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    und = {frozenset(e) for e in edges}
+    nodes = {n for e in edges for n in e}
+    expect = {}
+    for tri in combinations(sorted(nodes), 3):
+        a, b, c = tri
+        if (
+            frozenset((a, b)) in und
+            and frozenset((a, c)) in und
+            and frozenset((b, c)) in und
+        ):
+            for n in tri:
+                expect[n] = expect.get(n, 0) + 1
+    got = {r.entity: r.n_triangles for r in triangle_counts(triples).collect()}
+    assert got == expect and expect  # planted graph HAS triangles
+    # cap of 1 kills every pivot with >1 canonical edge -> no triangles,
+    # and the audit reports what it dropped
+    capped = triangle_counts(triples, max_fanout=1)
+    assert capped.count() == 0
+    sk = skew_metrics(capped)["triangle_pivot_cap"]
+    assert sk["n_dropped_rows"] > 0 and sk["cap"] == 1

@@ -67,7 +67,7 @@ def main():
                   "kg_triples_scored", "kg_triples_spans", "kg_eval_suite",
                   "kg_classify", "kg_qa", "kg_summarize",
                   "ev_docred", "ev_squad",
-                  "kg_degree", "kg_two_hop", "kg_pagerank",
+                  "kg_degree", "kg_two_hop", "kg_pagerank", "kg_triangles",
                   "kg_pagerank_dangling", "kg_components"):
             oracles.pop(k, None)
     failures = []
