@@ -207,6 +207,21 @@ class GlinerSparkModel:
             self._mkw = max(widths)
         return self._mkw
 
+    @property
+    def _known_first_words(self) -> frozenset:
+        """First word of every gazetteer surface — the start-position prune
+        for the scoring loop: a span starting at s can only score above
+        base if low[s] opens some known surface, so non-opening starts
+        skip the whole width loop (and its string building). Pure pruning:
+        skipped cells keep the base prob, exactly what the full lookup
+        would have produced (parity asserted by the fast-path==dense test
+        and every extraction oracle gate)."""
+        if not hasattr(self, "_kfw"):
+            self._kfw = frozenset(
+                s.split(" ", 1)[0] for s in self.known_surfaces
+            )
+        return self._kfw
+
     def _probs_grid(self, tokens: List[str], span_idx: np.ndarray,
                     valid: np.ndarray) -> np.ndarray:
         """(S, C) sigmoid grid — gather-equivalent of the dense score head."""
@@ -218,6 +233,7 @@ class GlinerSparkModel:
         K = self.config.max_width
         mkw = min(self.max_known_width, K)
         lookup = self.known_surfaces.get
+        first_words = self._known_first_words
         # only spans of width <= max gazetteer width can score above base;
         # build each start's surface incrementally (no re-join per width).
         # `valid` is already implied by e = s+w <= n-1 here; an explicit
@@ -225,6 +241,8 @@ class GlinerSparkModel:
         # on the decoded grid via `valid`, which decode_scores consults.
         for s in range(n):
             surface = low[s]
+            if surface not in first_words:
+                continue  # no known surface opens here — all widths stay base
             row = s * K
             for w in range(min(mkw, n - s)):
                 if w:
