@@ -2288,6 +2288,41 @@ vpairs AS MATERIALIZED (
 )"""
 
 
+def _closure_cte_sql(
+    pair_cte: str, a: str, b: str, p: str, size_alias: str = "cluster_size"
+) -> str:
+    """Shared min-label transitive-closure CTE block (r5 review: this
+    fixpoint existed in three hand-written copies — kg_components,
+    dd_clusters, sim_semantic_clusters — all claiming to replay the ONE
+    Spark connected_components implementation). Emits
+    {p}nodes/{p}sym/{p}lbl/{p}c/{p}sz over the (a, b) pairs of
+    `pair_cte`; the caller's final SELECT reads {p}c ((node, component))
+    joined with {p}sz. Domination pruning: a label arriving at dst that
+    is >= dst is dominated by dst's own label — cuts the fixpoint from
+    O(|C|^2) label pairs to ~O(n log n)."""
+    return f"""
+{p}nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT {a} AS node FROM {pair_cte} UNION ALL SELECT {b} FROM {pair_cte}
+  )
+),
+{p}sym AS MATERIALIZED (
+  SELECT {a} AS src, {b} AS dst FROM {pair_cte}
+  UNION ALL SELECT {b} AS src, {a} AS dst FROM {pair_cte}
+),
+{p}lbl(node, comp) AS (
+  SELECT node, node FROM {p}nodes
+  UNION
+  SELECT e.dst, l.comp FROM {p}lbl l JOIN {p}sym e
+    ON e.src = l.node AND l.comp < e.dst
+),
+{p}c AS (SELECT node, min(comp) AS component FROM {p}lbl GROUP BY node),
+{p}sz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS {size_alias}
+  FROM {p}c GROUP BY component
+)"""
+
+
 def _sim_neardup_oracle() -> str:
     """SRP LSH blocking + exact-cosine verify (shared WITH block) — the
     verified pair list, bit-equal to similarity.embedding_neardup."""
@@ -2305,31 +2340,12 @@ def _sim_semantic_clusters_oracle() -> str:
     representative — replaying similarity.semantic_clusters."""
     return f"""
 {_srp_with_block(0.3, recursive=True)},
-snodes AS (
-  SELECT DISTINCT node FROM (
-    SELECT vec_a AS node FROM vpairs UNION ALL SELECT vec_b FROM vpairs
-  )
-),
-ssym AS MATERIALIZED (
-  SELECT vec_a AS src, vec_b AS dst FROM vpairs
-  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM vpairs
-),
-lbl(node, comp) AS (
-  SELECT node, node FROM snodes
-  UNION
-  SELECT e.dst, l.comp FROM lbl l JOIN ssym e
-    ON e.src = l.node AND l.comp < e.dst
-),
-c AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
-sz AS (
-  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-  FROM c GROUP BY component
-)
-SELECT CAST(c.node AS BIGINT) AS vec_id,
-  CAST(c.component AS BIGINT) AS cluster,
-  sz.cluster_size,
-  c.node = c.component AS keep
-FROM c JOIN sz USING (component)
+{_closure_cte_sql('vpairs', 'vec_a', 'vec_b', 's')}
+SELECT CAST(sc.node AS BIGINT) AS vec_id,
+  CAST(sc.component AS BIGINT) AS cluster,
+  ssz.cluster_size,
+  sc.node = sc.component AS keep
+FROM sc JOIN ssz USING (component)
 ORDER BY cluster, vec_id
 """
 
@@ -2593,32 +2609,9 @@ def _kg_components_oracle() -> str:
     return f"""
 WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
 {_KG_EDGES_CTE},
-knodes AS (
-  SELECT DISTINCT node FROM (
-    SELECT src AS node FROM kedges UNION ALL SELECT dst FROM kedges
-  )
-),
-sym AS (
-  SELECT src, dst FROM kedges UNION ALL SELECT dst AS src, src AS dst FROM kedges
-),
-lbl(node, comp) AS (
-  SELECT node, node FROM knodes
-  UNION
-  -- domination pruning: a label arriving at dst that is >= dst is
-  -- dominated by dst's own label (dst reaches everything the label
-  -- reaches onward, and dst sorts smaller) — the component minimum's
-  -- path survives because the min is < every other member. Cuts the
-  -- fixpoint from O(|C|^2) label pairs to ~O(n log n).
-  SELECT e.dst, l.comp FROM lbl l JOIN sym e
-    ON e.src = l.node AND l.comp < e.dst
-),
-c AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
-sz AS (
-  SELECT component, CAST(count(*) AS BIGINT) AS component_size
-  FROM c GROUP BY component
-)
-SELECT c.node AS entity, c.component, sz.component_size
-FROM c JOIN sz USING (component)
+{_closure_cte_sql('kedges', 'src', 'dst', 'k', size_alias='component_size')}
+SELECT kc.node AS entity, kc.component, ksz.component_size
+FROM kc JOIN ksz USING (component)
 ORDER BY component_size DESC, component ASC, entity ASC
 """
 
@@ -3253,38 +3246,19 @@ inter AS (
   JOIN dtok tb ON tb.doc_id = p.doc_b AND tb.token_id = ta.token_id
   GROUP BY p.doc_a, p.doc_b
 ),
-vp AS (
+vp AS MATERIALIZED (
   SELECT i.doc_a, i.doc_b
   FROM inter i
   JOIN cnt ca ON ca.doc_id = i.doc_a
   JOIN cnt cb ON cb.doc_id = i.doc_b
   WHERE CAST(i.n_inter AS DOUBLE)/(ca.n_tok + cb.n_tok - i.n_inter) >= 0.5
 ),
-dnodes AS (
-  SELECT DISTINCT node FROM (
-    SELECT doc_a AS node FROM vp UNION ALL SELECT doc_b FROM vp
-  )
-),
-dsym AS (
-  SELECT doc_a AS src, doc_b AS dst FROM vp
-  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vp
-),
-lbl(node, comp) AS (
-  SELECT node, node FROM dnodes
-  UNION
-  SELECT e.dst, l.comp FROM lbl l JOIN dsym e
-    ON e.src = l.node AND l.comp < e.dst
-),
-c AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
-sz AS (
-  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-  FROM c GROUP BY component
-)
-SELECT CAST(c.node AS BIGINT) AS doc_id,
-  CAST(c.component AS BIGINT) AS cluster,
-  sz.cluster_size,
-  c.node = c.component AS keep
-FROM c JOIN sz USING (component)
+{_closure_cte_sql('vp', 'doc_a', 'doc_b', 'd')}
+SELECT CAST(dc.node AS BIGINT) AS doc_id,
+  CAST(dc.component AS BIGINT) AS cluster,
+  dsz.cluster_size,
+  dc.node = dc.component AS keep
+FROM dc JOIN dsz USING (component)
 ORDER BY cluster, doc_id
 """,
         # ---- similarity ----

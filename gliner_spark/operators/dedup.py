@@ -130,11 +130,16 @@ def _candidate_pairs_from_ids(staged: DataFrame) -> DataFrame:
     return attach_audits(out, audit)
 
 
-def _jaccard_verify(pairs: DataFrame, items: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_verify(
+    pairs: DataFrame, items: DataFrame, threshold: float, sort: bool = True
+) -> DataFrame:
     """Exact Jaccard over per-doc item sets; items = (doc_id, item) distinct.
 
     One intersection join + two broadcast-size count joins; the only
-    full-width shuffle is keyed by (doc, item)."""
+    full-width shuffle is keyed by (doc, item). sort=False skips the
+    user-facing ORDER BY for internal consumers that immediately shuffle
+    the pairs again (duplicate_clusters' CC — r5 review: the range
+    exchange + sort was pure waste there)."""
     cnt = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_it"))
     ia = items.select(F.col("doc_id").alias("doc_a"), "item")
     ib = items.select(F.col("doc_id").alias("doc_b"), "item")
@@ -144,7 +149,7 @@ def _jaccard_verify(pairs: DataFrame, items: DataFrame, threshold: float) -> Dat
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_it", "n_a"), "doc_a")
         .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_it", "n_b"), "doc_b")
         .withColumn(
@@ -154,11 +159,13 @@ def _jaccard_verify(pairs: DataFrame, items: DataFrame, threshold: float) -> Dat
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
-def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_dedup(
+    docs: DataFrame, threshold: float = 0.5, sort: bool = True
+) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact token-set Jaccard.
 
     ONE tokenize pass: the staged in-row token-id arrays are persisted and
@@ -174,7 +181,9 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         "doc_id", F.explode(F.array_distinct("_ids")).alias("item")
     )
     pairs = _candidate_pairs_from_ids(staged)
-    out = attach_caches(_jaccard_verify(pairs, ids, threshold), staged)
+    out = attach_caches(
+        _jaccard_verify(pairs, ids, threshold, sort=sort), staged
+    )
     return attach_audits(out, pairs)  # forward the bucket-cap audit
 
 
@@ -265,33 +274,11 @@ def duplicate_clusters(
     cc_reliable_checkpoint for executor-loss survival on a real cluster);
     None = defaults."""
     from gliner_spark.cache import forward_caches
-    from gliner_spark.config import PipelineConfig
     from gliner_spark.metrics import attach_audits
-    from gliner_spark.operators.linking import connected_components
+    from gliner_spark.operators.linking import closure_clusters
 
-    if cfg is None:
-        cfg = PipelineConfig()
-    pairs = minhash_dedup(docs, threshold)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    comp = connected_components(nodes, edges, cfg)
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
-    )
-    out = (
-        comp.join(sizes, "component")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("component").alias("cluster"),
-            "cluster_size",
-            (F.col("id") == F.col("component")).alias("keep"),
-        )
-        .orderBy("cluster", "doc_id")
-    )
+    # sort=False: the pair list feeds straight into CC's shuffle — the
+    # user-facing ORDER BY would be a wasted range exchange (r5 review)
+    pairs = minhash_dedup(docs, threshold, sort=False)
+    out = closure_clusters(pairs, "doc_a", "doc_b", "doc_id", cfg)
     return attach_audits(forward_caches(out, pairs), pairs)

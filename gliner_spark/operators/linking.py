@@ -308,6 +308,45 @@ def connected_components(
     return comp
 
 
+def closure_clusters(
+    pairs: DataFrame, a_col: str, b_col: str, out_col: str, cfg=None
+) -> DataFrame:
+    """Shared closure-cluster shape (r5 review): verified similarity pairs
+    (a_col, b_col) -> transitive closure via connected_components ->
+    (out_col, cluster, cluster_size, keep) with cluster = MIN reachable id
+    and keep = this row IS the representative. The single implementation
+    behind dedup.duplicate_clusters (minhash pairs over doc ids) and
+    similarity.semantic_clusters (SRP pairs over vec ids) — keep/size/
+    ordering semantics can never drift between them. Callers own audit/
+    cache forwarding from their pair source."""
+    from gliner_spark.config import PipelineConfig
+
+    if cfg is None:
+        cfg = PipelineConfig()
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges, cfg)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias(out_col),
+            F.col("component").alias("cluster"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
+        .orderBy("cluster", out_col)
+    )
+
+
 def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     """mentions -> (entities DF, surface->entity map DF).
 

@@ -748,7 +748,9 @@ def _hp_band_keys(q_col, dim: int, planes: int = HP_PLANES,
     return keys
 
 
-def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_neardup(
+    emb: DataFrame, threshold: float = 0.95, sort: bool = True
+) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, blocked by hyperplane
     LSH (sign-random-projection): sign-bit signatures against fixed
     deterministic hyperplanes -> banded equi-join (bucket-capped) -> exact
@@ -818,8 +820,11 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         )
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
-        .orderBy("vec_a", "vec_b")
     )
+    # sort=False skips the user-facing ORDER BY for internal consumers
+    # that immediately shuffle the pairs again (semantic_clusters' CC)
+    if sort:
+        out = out.orderBy("vec_a", "vec_b")
     return attach_audits(out, _cap_audit)
 
 
@@ -841,33 +846,9 @@ def semantic_clusters(
     cluster_size, keep) for clustered vectors only — singletons are
     implicitly their own cluster."""
     from gliner_spark.cache import forward_caches
-    from gliner_spark.config import PipelineConfig
     from gliner_spark.metrics import attach_audits
-    from gliner_spark.operators.linking import connected_components
+    from gliner_spark.operators.linking import closure_clusters
 
-    if cfg is None:
-        cfg = PipelineConfig()
-    pairs = embedding_neardup(emb, threshold=threshold)
-    edges = pairs.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    )
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    comp = connected_components(nodes, edges, cfg)
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
-    )
-    out = (
-        comp.join(sizes, "component")
-        .select(
-            F.col("id").alias("vec_id"),
-            F.col("component").alias("cluster"),
-            "cluster_size",
-            (F.col("id") == F.col("component")).alias("keep"),
-        )
-        .orderBy("cluster", "vec_id")
-    )
+    pairs = embedding_neardup(emb, threshold=threshold, sort=False)
+    out = closure_clusters(pairs, "vec_a", "vec_b", "vec_id", cfg)
     return attach_audits(forward_caches(out, pairs), pairs)

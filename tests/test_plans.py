@@ -248,4 +248,7 @@ def test_constrained_generation_runs_over_distinct_surfaces(spark):
     )
     p = _plan(generate_mention_labels(mentions, ["person", "big cat"]))
     assert "HashAggregate" in p, p[:2000]  # the distinct
-    assert p.count("mapInPandas") <= 1 or "MapInPandas" in p, p[:2000]
+    # exactly ONE python stage, sitting above the distinct (r5 review:
+    # the earlier disjunct was vacuously true — Spark spells the node
+    # "MapInPandas", so count("mapInPandas") was always 0)
+    assert p.count("MapInPandas") == 1, p[:2000]
