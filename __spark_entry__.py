@@ -165,6 +165,15 @@ def q_kg_triangles(spark, sf_dir):
     return triangle_counts(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_clustering(spark, sf_dir):
+    """Local clustering coefficients (r5): 2*T(v) / (k(v)*(k(v)-1)) over
+    the undirected entity graph — exact bigint numerator/denominator,
+    one division (operators/graph_analytics.clustering_coefficients)."""
+    from gliner_spark.operators.graph_analytics import clustering_coefficients
+
+    return clustering_coefficients(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
@@ -1217,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_refine": q_sim_ivfpq_refine,
         "sim_semantic_clusters": q_sim_semantic_clusters,
         "kg_triangles": q_kg_triangles,
+        "kg_clustering": q_kg_clustering,
         # KG construction (correctness gate: tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2698,6 +2708,56 @@ FROM tmembers GROUP BY entity ORDER BY entity
 """
 
 
+def _kg_clustering_oracle() -> str:
+    """clustering_coefficients replay: the kg_triangles enumeration CTEs
+    plus the symmetrized undirected degree, one exact division."""
+    from gliner_spark.operators.graph_analytics import TWO_HOP_MAX_FANOUT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+tfan AS (SELECT a, count(*) AS fan FROM und GROUP BY a),
+tcapped AS (
+  SELECT u.a, u.b FROM und u JOIN tfan f ON f.a = u.a
+  WHERE f.fan <= {TWO_HOP_MAX_FANOUT}
+),
+wedges AS (
+  SELECT u1.a, u1.b AS x, u2.b AS y
+  FROM tcapped u1 JOIN tcapped u2 ON u1.a = u2.a AND u1.b < u2.b
+),
+tris AS (
+  SELECT w.a, w.x, w.y FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM und t WHERE t.a = w.x AND t.b = w.y)
+),
+tmembers AS (
+  SELECT a AS entity FROM tris
+  UNION ALL SELECT x FROM tris
+  UNION ALL SELECT y FROM tris
+),
+tcnt AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM tmembers GROUP BY entity
+),
+udeg AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS k FROM (
+    SELECT a AS entity FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY entity
+)
+SELECT d.entity, d.k,
+  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+  CASE WHEN d.k >= 2
+       THEN round(CAST(2*coalesce(t.n_triangles, 0) AS DOUBLE)
+                  / (d.k*(d.k-1)), 6)
+       ELSE 0.0 END AS clustering
+FROM udeg d LEFT JOIN tcnt t USING (entity)
+ORDER BY entity
+"""
+
+
 def _kg_pagerank_oracle(dangling: bool = False) -> str:
     from gliner_spark.operators.graph_analytics import (
         PR_DAMP,
@@ -3508,6 +3568,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_degree": _kg_degree_oracle(),
         "kg_two_hop": _kg_two_hop_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
+        "kg_clustering": _kg_clustering_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_components": _kg_components_oracle(),

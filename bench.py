@@ -93,6 +93,7 @@ EXTRA_QUERIES = [
     "ta_bigram_support",
     "sim_semantic_clusters",
     "kg_triangles",
+    "kg_clustering",
 ]
 
 

@@ -318,3 +318,56 @@ def triangle_counts(
         .orderBy("entity")
     )
     return forward_caches(attach_audits(out, audit), triples)
+
+
+def clustering_coefficients(
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+) -> DataFrame:
+    """Local clustering coefficient per entity over the undirected
+    distinct graph: cc(v) = 2*T(v) / (k(v)*(k(v)-1)), with T(v) the
+    triangle participation count (triangle_counts, same audited pivot
+    cap) and k(v) the number of distinct undirected neighbors. The
+    ratio is ONE division of two exact bigints (2*T and k*(k-1)), so the
+    kg_clustering oracle replays it bit-for-bit; entities with k < 2
+    have no defined coefficient and are emitted with cc = 0.0 (the
+    conventional fill), entities absent from the edge set are omitted.
+
+    Plan shape: the symmetrized neighbor-degree aggregate + the triangle
+    subplan joined on entity — aggregates and equi-joins only."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.metrics import attach_audits
+
+    e = graph_edges(triples)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .union(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    tri = triangle_counts(triples, max_fanout=max_fanout)
+    out = (
+        deg.join(tri, "entity", "left")
+        .select(
+            "entity",
+            "k",
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("k") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / (F.col("k") * (F.col("k") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+        .orderBy("entity")
+    )
+    return forward_caches(attach_audits(out, tri), triples)

@@ -242,3 +242,42 @@ def test_triangle_counts_match_brute_force(spark):
     assert capped.count() == 0
     sk = skew_metrics(capped)["triangle_pivot_cap"]
     assert sk["n_dropped_rows"] > 0 and sk["cap"] == 1
+
+
+def test_clustering_coefficients_match_brute_force(spark):
+    """r5: cc(v) = 2*T(v)/(k(v)*(k(v)-1)) on the planted graph."""
+    from itertools import combinations
+
+    from gliner_spark.operators.graph_analytics import (
+        clustering_coefficients,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("c", "d"), ("d", "e"), ("c", "e"),
+        ("e", "a"), ("b", "d"), ("x", "y"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    und = {frozenset(e) for e in edges}
+    nodes = {n for e in edges for n in e}
+    tcount = {n: 0 for n in nodes}
+    for tri in combinations(sorted(nodes), 3):
+        if all(
+            frozenset(p) in und for p in combinations(tri, 2)
+        ):
+            for n in tri:
+                tcount[n] += 1
+    kdeg = {n: sum(n in e for e in und) for n in nodes}
+    got = {
+        r.entity: (r.k, r.n_triangles, r.clustering)
+        for r in clustering_coefficients(triples).collect()
+    }
+    assert set(got) == nodes
+    for n in nodes:
+        k, t = kdeg[n], tcount[n]
+        cc = round(2 * t / (k * (k - 1)), 6) if k >= 2 else 0.0
+        assert got[n] == (k, t, cc), (n, got[n], (k, t, cc))

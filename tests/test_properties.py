@@ -118,3 +118,58 @@ def test_fold_hash_spark_equals_python(spark):
     df = spark.createDataFrame([(t,) for t in toks], "tok string")
     got = {r.tok: r.h for r in df.select("tok", fold_hash("tok").alias("h")).collect()}
     assert got == {t: fold_hash_py(t) for t in toks}
+
+
+_seq = st.lists(st.integers(1, 6), min_size=1, max_size=4)
+
+
+@given(
+    st.lists(_seq, max_size=6),  # permanent (construction) sequences
+    st.lists(_seq, max_size=6),  # removable (added) sequences
+)
+@settings(max_examples=150, deadline=None)
+def test_labels_trie_matches_set_model(perm, added):
+    """r5: the trie's get() must agree with a naive set-of-sequences model
+    on every reachable prefix, before and after removing the added
+    sequences (permanent ones survive removal; shared prefixes survive
+    partial removal)."""
+    from gliner_spark.core.labels_trie import LabelsTrie
+
+    trie = LabelsTrie(perm)
+    trie.add_batch(added)
+
+    def model_next(seqs, prefix):
+        n = len(prefix)
+        out = []
+        for s in seqs:
+            if len(s) > n and list(s[:n]) == list(prefix) and s[n] not in out:
+                out.append(s[n])
+        return out
+
+    def check(seqs):
+        prefixes = {()} | {
+            tuple(s[:i]) for s in seqs for i in range(1, len(s) + 1)
+        }
+        for p in prefixes:
+            assert sorted(trie.get(list(p))) == sorted(model_next(seqs, p)), (
+                p, seqs,
+            )
+
+    check(perm + added)
+    trie.remove_batch(added)
+    # after removal: permanent sequences fully intact; an added sequence
+    # may leave nodes alive only where it shares a prefix with a survivor
+    for p in perm:
+        node_path = [p[:i] for i in range(len(p))]
+        for pref in node_path:
+            assert p[len(pref)] in trie.get(list(pref))
+    # no token reachable that no permanent sequence explains, except
+    # prefixes shared with permanent paths (removal stops at shared nodes)
+    for s in added:
+        if not any(
+            len(q) >= len(s) and list(q[: len(s)]) == list(s) for q in perm
+        ):
+            # the full added path must be gone unless a permanent sequence
+            # extends through it
+            leaf_next = trie.get(list(s))
+            assert sorted(leaf_next) == sorted(model_next(perm, tuple(s)))
