@@ -165,6 +165,16 @@ def q_kg_triangles(spark, sf_dir):
     return triangle_counts(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank seeded at the person entities (r5):
+    importance relative to a seed set — rank mass originates at and
+    teleports back to 'person:*' ids only, pure bigint
+    (operators/graph_analytics.pagerank seed_prefix)."""
+    from gliner_spark.operators.graph_analytics import pagerank
+
+    return pagerank(q_kg_triples(spark, sf_dir), seed_prefix="person:")
+
+
 def q_kg_clustering(spark, sf_dir):
     """Local clustering coefficients (r5): 2*T(v) / (k(v)*(k(v)-1)) over
     the undirected entity graph — exact bigint numerator/denominator,
@@ -1227,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_clusters": q_sim_semantic_clusters,
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
+        "kg_ppr": q_kg_ppr,
         # KG construction (correctness gate: tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2758,7 +2769,7 @@ ORDER BY entity
 """
 
 
-def _kg_pagerank_oracle(dangling: bool = False) -> str:
+def _kg_pagerank_oracle(dangling: bool = False, seed_prefix: str = "") -> str:
     from gliner_spark.operators.graph_analytics import (
         PR_DAMP,
         PR_ITERS,
@@ -2767,9 +2778,13 @@ def _kg_pagerank_oracle(dangling: bool = False) -> str:
 
     snap = _kg_snapshot()
     base = PR_UNIT * (1000 - PR_DAMP) // 1000
-    ctes = [
-        f"r0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS rank FROM knodes)"
-    ]
+    if seed_prefix:
+        seed_case = f"CASE WHEN node LIKE '{seed_prefix}%' THEN"
+        r0 = (f"r0 AS (SELECT node, CAST({seed_case} {PR_UNIT} ELSE 0 END "
+              "AS BIGINT) AS rank FROM knodes)")
+    else:
+        r0 = f"r0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS rank FROM knodes)"
+    ctes = [r0]
     for it in range(PR_ITERS):
         if dangling:
             # total sink mass this round, redistributed DT DIV N per node
@@ -2786,8 +2801,13 @@ d{it} AS (
             tail = f" CROSS JOIN d{it} CROSS JOIN nn"
         else:
             extra = ""
+            base_sql = (
+                f"(CASE WHEN n.node LIKE '{seed_prefix}%' THEN {base} "
+                "ELSE 0 END)"
+                if seed_prefix else str(base)
+            )
             upd = (
-                f"CAST({base} + ({PR_DAMP} * coalesce(c.s, 0)) "
+                f"CAST({base_sql} + ({PR_DAMP} * coalesce(c.s, 0)) "
                 "// 1000 AS BIGINT)"
             )
             tail = ""
@@ -3571,6 +3591,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_clustering": _kg_clustering_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
+        "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),
         "kg_components": _kg_components_oracle(),
         "kg_mentions_zeroshot": _kg_zeroshot_oracle(),
         "kg_media_nodes": _kg_media_nodes_oracle(),

@@ -94,6 +94,7 @@ EXTRA_QUERIES = [
     "sim_semantic_clusters",
     "kg_triangles",
     "kg_clustering",
+    "kg_ppr",
 ]
 
 

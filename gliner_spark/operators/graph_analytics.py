@@ -150,6 +150,7 @@ def pagerank(
     reliable_checkpoint: bool = False,
     checkpoint_dir: str = "",
     dangling: bool = False,
+    seed_prefix: str = "",
 ) -> DataFrame:
     """Integer PageRank over the distinct edge set: fixed `iters` rounds of
     r'(v) = (1-d) + d * sum_{u->v} (r(u) DIV out_deg(u)),
@@ -174,7 +175,19 @@ def pagerank(
     instead of re-running the distinct shuffle. On a real cluster pass
     reliable_checkpoint=True (+ checkpoint_dir=hdfs://...): an executor
     loss invalidates localCheckpoint blocks — the same trade the CC loop's
-    cc_reliable_checkpoint config covers (operators/linking.py)."""
+    cc_reliable_checkpoint config covers (operators/linking.py).
+
+    seed_prefix (r5): PERSONALIZED PageRank — importance relative to a
+    seed set rather than the uniform prior. Seeds = nodes whose id starts
+    with the prefix (entity ids are 'label:hash', so 'person:' seeds all
+    person entities); r0(v) = UNIT*is_seed(v) and the teleport term
+    becomes (1-d)*UNIT*is_seed(v): rank mass originates at and teleports
+    back to the seeds only (standard PPR, still pure bigint — the kg_ppr
+    oracle replays it). Mutually exclusive with dangling=True (the
+    uniform sink redistribution contradicts seeded teleport)."""
+    if seed_prefix and dangling:
+        raise ValueError("personalized + dangling redistribution is not "
+                         "defined here; pick one")
     e = graph_edges(triples)
     if reliable_checkpoint:
         sc = e.sparkSession.sparkContext
@@ -200,7 +213,17 @@ def pagerank(
     if dangling:
         nodes = nodes.persist()
         n_nodes = nodes.count()  # materializes the persist; N is fixed
-    ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("rank"))
+    if seed_prefix:
+        _seed = F.col("node").startswith(seed_prefix)
+        ranks = nodes.select(
+            "node",
+            F.when(_seed, F.lit(PR_UNIT)).otherwise(F.lit(0))
+            .cast("long").alias("rank"),
+        )
+    else:
+        ranks = nodes.select(
+            "node", F.lit(PR_UNIT).cast("long").alias("rank")
+        )
     for _ in range(iters):
         if dangling:
             # ADVICE r4: the dangling round references `ranks` twice
@@ -245,12 +268,18 @@ def pagerank(
                 )
             )
         else:
+            base_col = (
+                F.when(
+                    F.col("node").startswith(seed_prefix), F.lit(base)
+                ).otherwise(F.lit(0))
+                if seed_prefix else F.lit(base)
+            )
             ranks = (
                 nodes.join(contrib, "node", "left")
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        base_col
                         + F.expr(
                             f"({damping} * coalesce(s, 0)) DIV 1000"
                         )

@@ -281,3 +281,28 @@ def test_clustering_coefficients_match_brute_force(spark):
         k, t = kdeg[n], tcount[n]
         cc = round(2 * t / (k * (k - 1)), 6) if k >= 2 else 0.0
         assert got[n] == (k, t, cc), (n, got[n], (k, t, cc))
+
+
+def test_personalized_pagerank_seeds_and_reachability(spark):
+    """r5 PPR: rank mass originates at the seed prefix and flows only
+    along edges — nodes unreachable from any seed end with exactly 0."""
+    from gliner_spark.operators.graph_analytics import pagerank
+
+    edges = [
+        ("person:a", "org:x"), ("org:x", "loc:y"),
+        ("loc:z", "org:w"),  # z/w unreachable from any person
+        ("person:b", "org:x"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    got = {r.node: r.rank for r in pagerank(triples, seed_prefix="person:").collect()}
+    assert got["loc:z"] == 0 and got["org:w"] == 0
+    assert got["person:a"] > 0 and got["person:b"] > 0
+    assert got["org:x"] > got["loc:y"] > 0  # closer to seeds, more mass
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="personalized"):
+        pagerank(triples, seed_prefix="person:", dangling=True)

@@ -68,7 +68,7 @@ def main():
                   "kg_classify", "kg_qa", "kg_summarize",
                   "ev_docred", "ev_squad",
                   "kg_degree", "kg_two_hop", "kg_pagerank", "kg_triangles",
-                  "kg_clustering",
+                  "kg_clustering", "kg_ppr",
                   "kg_pagerank_dangling", "kg_components"):
             oracles.pop(k, None)
     failures = []
