@@ -111,6 +111,13 @@ def tokenize_labels(labels: Iterable[str]):
         seq = []
         for w in lab.split(" "):
             t = fold_hash(w)
+            if t == EOS:  # ADVICE r5: a word aliasing EOS would silently
+                # truncate the trie path and diverge from the oracle —
+                # enforce the reserved-id invariant instead of assuming it.
+                raise ValueError(
+                    f"label word {w!r} hashes to the reserved EOS id "
+                    f"({EOS}); remap the label vocabulary"
+                )
             id2word[t] = w
             seq.append(t)
         seq.append(EOS)

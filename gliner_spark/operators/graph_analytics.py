@@ -224,6 +224,7 @@ def pagerank(
         ranks = nodes.select(
             "node", F.lit(PR_UNIT).cast("long").alias("rank")
         )
+    prev_ckpt = None
     for _ in range(iters):
         if dangling:
             # ADVICE r4: the dangling round references `ranks` twice
@@ -235,6 +236,13 @@ def pagerank(
                 ranks.checkpoint() if reliable_checkpoint
                 else ranks.localCheckpoint()
             )
+            # ADVICE r5: checkpoint()/localCheckpoint() are eager, so once
+            # the new round's blocks exist the previous round's are dead
+            # weight — drop them instead of letting PR_ITERS rounds of rank
+            # RDDs pile up in storage until GC.
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(od.withColumnRenamed("node", "src"), "src")
@@ -296,8 +304,23 @@ def pagerank(
     return forward_caches(out, triples)
 
 
+def undirected_edges(triples: DataFrame) -> DataFrame:
+    """Canonical UNDIRECTED distinct edge set (a < b) of the entity graph
+    — the shared input of triangle_counts / clustering_coefficients."""
+    e = graph_edges(triples)
+    return (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
 def triangle_counts(
-    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+    triples: DataFrame,
+    max_fanout: int = TWO_HOP_MAX_FANOUT,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """Per-entity triangle participation counts over the UNDIRECTED
     distinct entity graph — the clustering-coefficient numerator and the
@@ -310,19 +333,22 @@ def triangle_counts(
     Wedge generation from a pivot costs C(deg, 2) pairs, so pivots with
     canonical-degree > max_fanout are excluded and AUDITED (same
     capped_filter contract as two_hop_paths; the closing-edge lookup uses
-    the UNCAPPED edge set). Pure integer counts — the kg_triangles oracle
-    replays the same enumeration relationally."""
+    the UNCAPPED edge set). When the cap fires, every triangle whose
+    SMALLEST member was a capped pivot is missed, so the emitted counts
+    are LOWER BOUNDS for the capped pivots and their higher-id neighbors
+    — the audit row records how many pivots were dropped, and
+    clustering_coefficients surfaces the affected entities with a per-row
+    `capped` flag. Pure integer counts — the kg_triangles oracle replays
+    the same enumeration relationally.
+
+    `und` optionally supplies a pre-built (possibly persisted) canonical
+    undirected edge set so composing operators (clustering_coefficients)
+    don't re-run the same distinct-exchange twice in one query."""
     from gliner_spark.cache import forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
-    e = graph_edges(triples)
-    und = (
-        e.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    if und is None:
+        und = undirected_edges(triples)
     w = Window.partitionBy("a")
     capped, audit = capped_filter(
         und.withColumn("fan", F.count(F.lit(1)).over(w)),
@@ -361,28 +387,50 @@ def clustering_coefficients(
     have no defined coefficient and are emitted with cc = 0.0 (the
     conventional fill), entities absent from the edge set are omitted.
 
-    Plan shape: the symmetrized neighbor-degree aggregate + the triangle
-    subplan joined on entity — aggregates and equi-joins only."""
-    from gliner_spark.cache import forward_caches
+    `capped` (ADVICE r5): when the triangle pivot cap fires, triangles
+    pivoted at a capped node are missed, understating T(v) for that node
+    and its higher-id neighbors. Rather than leaving the understatement
+    observable only in the aggregate audit, each affected row carries
+    capped = true so consumers can tell exact coefficients from lower
+    bounds. With no capped pivots (the normal case) every row is false.
+
+    Plan shape (r6): the canonical undirected edge set is computed ONCE
+    and persisted at the branch point (it feeds the degree aggregate, the
+    triangle subplan, and the capped-pivot flag — previously the same
+    distinct ran twice per query); the persist handle rides on the output
+    for release_caches. Aggregates and equi-joins only."""
+    from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits
 
-    e = graph_edges(triples)
-    und = (
-        e.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    und = undirected_edges(triples).persist()
     deg = (
         und.select(F.col("a").alias("entity"))
         .union(und.select(F.col("b").alias("entity")))
         .groupBy("entity")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
     )
-    tri = triangle_counts(triples, max_fanout=max_fanout)
+    tri = triangle_counts(triples, max_fanout=max_fanout, und=und)
+    capped_piv = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("fan"))
+        .filter(F.col("fan") > max_fanout)
+        .select("a")
+    )
+    affected = (
+        capped_piv.select(F.col("a").alias("entity"))
+        .union(
+            und.join(F.broadcast(capped_piv), "a", "left_semi")
+            .select(F.col("b").alias("entity"))
+        )
+        .distinct()
+        .withColumn("capped", F.lit(True))
+    )
     out = (
         deg.join(tri, "entity", "left")
+        # no broadcast hint: `affected` contains every neighbor of every
+        # capped pivot — a capped hub has > max_fanout neighbors, so the
+        # set is only small when the cap never fires; let AQE decide.
+        .join(affected, "entity", "left")
         .select(
             "entity",
             "k",
@@ -396,7 +444,10 @@ def clustering_coefficients(
                     6,
                 ),
             ).otherwise(F.lit(0.0)).alias("clustering"),
+            F.coalesce("capped", F.lit(False)).alias("capped"),
         )
         .orderBy("entity")
     )
-    return forward_caches(attach_audits(out, tri), triples)
+    return attach_caches(
+        forward_caches(attach_audits(out, tri), triples), und
+    )

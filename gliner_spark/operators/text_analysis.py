@@ -502,7 +502,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def bigram_support(docs: DataFrame) -> DataFrame:
+def bigram_support(docs: DataFrame, min_count: int = 2) -> DataFrame:
     """Per-doc fluency/quality from CORPUS bigram statistics (r5): how
     well-supported is each document's word-pair sequence by the rest of
     the corpus? The n-gram-LM surrogate quality filters use (CCNet /
@@ -525,10 +525,21 @@ def bigram_support(docs: DataFrame) -> DataFrame:
     minhash_dedup's staged token ids; without the persist the two
     subplans differ below their exchanges and ReuseExchange cannot
     deduplicate them — r5 review finding). The join is keyed by the
-    bigram string (AQE handles the Zipf head). At web scale the count
-    table is prunable to counts >= k before the join without changing
-    rare_ratio semantics (rare = absent-or-1). The persist handle rides
-    the output — release with cache.release_caches after the action."""
+    bigram string (AQE handles the Zipf head).
+
+    `min_count` (VERDICT r5 ask #7): the count table is PRUNED to
+    corpus count >= min_count BEFORE the join — on a Zipf corpus the
+    hapax tail is most of the distinct bigrams, so this shrinks the
+    join's build side by 2-10x at web scale. A doc bigram absent from
+    the pruned table is coalesced to count 1. min_count=2 (the default)
+    is LOSSLESS: the bigram exists in the corpus (the doc itself holds
+    it), so absent-from-pruned means corpus count exactly 1 — support
+    and rare_ratio are bit-identical to the unpruned computation.
+    min_count=1 disables pruning; min_count>2 trades exactness for a
+    smaller table (absent counts in [1, min_count-1] are floored to 1
+    and classified rare — a documented lower bound on avg_support).
+    The persist handle rides the output — release with
+    cache.release_caches after the action."""
     from gliner_spark.cache import attach_caches
 
     arr = F.split("text", " ")
@@ -540,8 +551,11 @@ def bigram_support(docs: DataFrame) -> DataFrame:
     )
     bg = docs.select("doc_id", F.explode(bigrams).alias("bg")).persist()
     bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1:
+        bgc = bgc.filter(F.col("c") >= min_count)
     return attach_caches(
-        bg.join(bgc, "bg")
+        bg.join(bgc, "bg", "left")
+        .withColumn("c", F.coalesce("c", F.lit(1)))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

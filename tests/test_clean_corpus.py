@@ -326,3 +326,37 @@ def test_bigram_support_exact_counts(spark):
     assert (got[4].n_bigrams, got[4].support_sum, got[4].n_rare) == (3, 6, 1)
     assert got[2].rare_ratio == 0.5
     assert got[1].avg_support == 2.5
+
+
+def test_bigram_support_min_count_pruning(spark):
+    """r6 (VERDICT ask #7): min_count=2 pruning is LOSSLESS — a doc
+    bigram absent from the pruned count table has corpus count exactly 1
+    (the doc itself holds one occurrence), so coalescing to 1 reproduces
+    the unpruned numbers bit-for-bit; and the filter is live BEFORE the
+    join (min_count above every corpus count -> all bigrams floored to
+    rare singletons)."""
+    from gliner_spark.operators.text_analysis import bigram_support
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    unpruned = sorted(
+        bigram_support(docs, min_count=1).collect(), key=lambda r: r.doc_id
+    )
+    pruned = sorted(
+        bigram_support(docs, min_count=2).collect(), key=lambda r: r.doc_id
+    )
+    assert unpruned == pruned
+    # min_count above the max corpus count (3): every bigram pruned ->
+    # treated as count-1 rare; proves the filter acts before the join
+    floored = bigram_support(docs, min_count=100).collect()
+    assert floored and all(
+        r.avg_support == 1.0 and r.rare_ratio == 1.0 for r in floored
+    )
+    # the pruned count table drops the hapax tail in the physical plan
+    import re
+
+    p = bigram_support(docs, min_count=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert re.search(r">= 2", p), p[:2000]

@@ -273,14 +273,46 @@ def test_clustering_coefficients_match_brute_force(spark):
                 tcount[n] += 1
     kdeg = {n: sum(n in e for e in und) for n in nodes}
     got = {
-        r.entity: (r.k, r.n_triangles, r.clustering)
+        r.entity: (r.k, r.n_triangles, r.clustering, r.capped)
         for r in clustering_coefficients(triples).collect()
     }
     assert set(got) == nodes
     for n in nodes:
         k, t = kdeg[n], tcount[n]
         cc = round(2 * t / (k * (k - 1)), 6) if k >= 2 else 0.0
-        assert got[n] == (k, t, cc), (n, got[n], (k, t, cc))
+        # no pivot cap fires on the planted graph -> every row exact
+        assert got[n] == (k, t, cc, False), (n, got[n], (k, t, cc))
+
+
+def test_clustering_capped_flag_marks_lower_bounds(spark):
+    """ADVICE r5: when the triangle pivot cap fires, the entities whose
+    coefficients may be understated (the capped pivots + their higher-id
+    canonical neighbors) must carry capped=true; unaffected entities stay
+    exact and false."""
+    from gliner_spark.operators.graph_analytics import (
+        clustering_coefficients,
+    )
+
+    # hub 'a' has canonical degree 3 (a<b,c,d); everything else <= 2.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    rows = {
+        r.entity: r for r in
+        clustering_coefficients(triples, max_fanout=2).collect()
+    }
+    # pivot 'a' capped -> a,b,c,d flagged; triangle abc lost (lower bound)
+    assert {n: rows[n].capped for n in "abcd"} == dict.fromkeys("abcd", True)
+    assert rows["a"].n_triangles == 0  # understated: abc exists but pivot capped
+    # x,y,z untouched: exact triangle xyz survives, flags false
+    for n in "xyz":
+        assert rows[n].capped is False and rows[n].n_triangles == 1
 
 
 def test_personalized_pagerank_seeds_and_reachability(spark):

@@ -221,6 +221,37 @@ def test_bigram_support_scans_corpus_once(spark):
     release_caches(df)
 
 
+def test_clustering_builds_undirected_edges_once(spark):
+    """VERDICT r5 ask #4: clustering_coefficients previously ran the same
+    canonical-undirected-edge distinct TWICE (its own copy + the one
+    inside triangle_counts). The shared `und` is now persisted at the
+    branch point: every `least(src,dst)` construction in the executed
+    plan must sit under an InMemoryTableScan (cache print-out), i.e. no
+    branch rebuilds the distinct outside the cache."""
+    from gliner_spark.cache import release_caches
+    from gliner_spark.operators.graph_analytics import (
+        clustering_coefficients,
+    )
+
+    triples = spark.createDataFrame(
+        [("d0", "a", "rel", "b", "t", "t", 1.0),
+         ("d0", "b", "rel", "c", "t", "t", 1.0),
+         ("d0", "c", "rel", "a", "t", "t", 1.0)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    df = clustering_coefficients(triples)
+    p = _plan(df)
+    n_least = len(re.findall(r"least\(", p))
+    n_scan = len(re.findall(r"InMemoryTableScan", p))
+    assert n_scan >= 3, p[:2000]  # deg + wedges + closure + capped branches
+    assert n_least == n_scan, (
+        f"{n_least} least() constructions vs {n_scan} cached scans — "
+        "an und branch is rebuilding the distinct\n" + p[:3000]
+    )
+    release_caches(df)
+
+
 def test_pq_refine_fetches_vectors_by_join_not_scan_product(spark):
     """r5: the refine stage must be shaped as shortlist -> equi-join on
     vec_id -> broadcast of the tiny query side. The ONLY nested-loop
