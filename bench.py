@@ -151,9 +151,66 @@ def main():
         extra[name] = round(time.time() - t0, 3)
         release_caches(df)
 
+    # Graph operators over a PRE-MATERIALIZED triples table (VERDICT r5
+    # ask #3): the self-contained kg_* gates above re-run the ~7s
+    # extract->link->canonicalize chain per query, conflating chain with
+    # operator. Deployment input for the graph family is the materialized
+    # base/triples table (q_kg_degree docstring), so time each operator
+    # against a saved sf triples parquet — these walls are the operator
+    # cost a consumer actually pays. min of 2 reps (same variance
+    # discipline as the headline set, cheaper because the ops are fast).
+    graph_ops = {}
+    try:
+        import shutil
+        import tempfile
+
+        from gliner_spark.operators.graph_analytics import (
+            clustering_coefficients,
+            entity_components,
+            entity_degrees,
+            pagerank,
+            triangle_counts,
+            two_hop_paths,
+        )
+
+        tdir = tempfile.mkdtemp(prefix="gs_bench_triples_")
+        tpath = f"{tdir}/triples.parquet"
+        t0 = time.time()
+        src = qs["kg_triples"](spark, SF_DIR)
+        src.write.mode("overwrite").parquet(tpath)
+        release_caches(src)
+        graph_ops["materialize_chain"] = round(time.time() - t0, 3)
+        mat = spark.read.parquet(tpath)
+        graph_op_fns = {
+            "degree": entity_degrees,
+            "two_hop": two_hop_paths,
+            "pagerank": pagerank,
+            "pagerank_dangling": lambda t: pagerank(t, dangling=True),
+            "ppr": lambda t: pagerank(t, seed_prefix="person:"),
+            "components": entity_components,
+            "triangles": triangle_counts,
+            "clustering": clustering_coefficients,
+        }
+        for name, fn in graph_op_fns.items():
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(mat)
+                df.count()
+                reps.append(round(time.time() - t0, 3))
+                release_caches(df)
+            graph_ops[name] = min(reps)
+        shutil.rmtree(tdir, ignore_errors=True)
+    except Exception as e:  # artifact, not a gate
+        graph_ops = {"error": str(e)[:200]}
+
     # ANN recall artifact (VERDICT r4 ask #4): recall@5 vs the brute-force
     # cosine gate for the PQ family at multiple operating points (m =
     # subspace count -> code bytes/vector; nprobe = coarse cells probed).
+    # r6 (VERDICT ask #8): 100 queries x k=5 = 500 gt pairs -> 0.002
+    # recall granularity (10 queries gave 0.02 — too coarse to rank
+    # operating points). Queries stay broadcast-side: still bounded work.
+    NQ = 100
     ann_recall = {}
     try:
         from gliner_spark.operators.similarity import (
@@ -170,7 +227,7 @@ def main():
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         gt = {
             (r.query_id, r.vec_id)
-            for r in cosine_topk(emb, n_queries=10, k=5).collect()
+            for r in cosine_topk(emb, n_queries=NQ, k=5).collect()
         }
         qz = _quantized(emb)
         rows_s = _collect_training_sample(qz, KM_SAMPLE_TARGET)
@@ -182,18 +239,20 @@ def main():
         # PQ code-size sweep: the gated default (m=16, k=16 -> 4-bit
         # codes, 8 B/vector) vs byte-code operating points (k=256)
         ann_recall["pq_m16_k16_8B"] = _recall(
-            pq_topk(emb, books=train_pq_codebooks(qz, _rows=rows_s))
+            pq_topk(emb, n_queries=NQ, books=train_pq_codebooks(qz, _rows=rows_s))
         )
         big = _collect_training_sample(qz, 2048)
         ann_recall["pq_m8_k256_8B"] = _recall(
             pq_topk(
                 emb,
+                n_queries=NQ,
                 books=train_pq_codebooks(qz, m=8, k=256, iters=4, _rows=big),
             )
         )
         ann_recall["pq_m16_k256_16B"] = _recall(
             pq_topk(
                 emb,
+                n_queries=NQ,
                 books=train_pq_codebooks(qz, m=16, k=256, iters=4, _rows=big),
             )
         )
@@ -202,23 +261,24 @@ def main():
 
         books_d = train_pq_codebooks(qz, _rows=rows_s)
         ann_recall["pq_refine_short50"] = _recall(
-            pq_refine_topk(emb, shortlist=50, books=books_d)
+            pq_refine_topk(emb, n_queries=NQ, shortlist=50, books=books_d)
         )
         ann_recall["pq_refine_short200"] = _recall(
-            pq_refine_topk(emb, shortlist=200, books=books_d)
+            pq_refine_topk(emb, n_queries=NQ, shortlist=200, books=books_d)
         )
         # IVF-PQ nprobe sweep at the gated default codebooks
         cells = train_kmeans_cells(qz, _rows=rows_s)
         books = train_pq_codebooks(qz, _rows=rows_s)
         for nprobe in (1, 2, 4):
             ann_recall[f"ivfpq_nprobe{nprobe}"] = _recall(
-                ivfpq_topk(emb, nprobe=nprobe, cells=cells, books=books)
+                ivfpq_topk(emb, n_queries=NQ, nprobe=nprobe, cells=cells, books=books)
             )
         from gliner_spark.operators.similarity import ivfpq_refine_topk
 
         ann_recall["ivfpq_refine_np4_short50"] = _recall(
             ivfpq_refine_topk(
-                emb, shortlist=50, nprobe=4, cells=cells, books=books
+                emb, n_queries=NQ, shortlist=50, nprobe=4,
+                cells=cells, books=books
             )
         )
     except Exception as e:  # recall is an artifact, not a gate
@@ -245,6 +305,7 @@ def main():
         "counts": counts,
         "legacy8_value": round(sum(timings[n] for n in LEGACY8), 3),
         "extra_queries": extra,
+        "graph_ops_materialized": graph_ops,
         "median": medians,
         "ann_recall_at5": ann_recall,
         "spread": samples,

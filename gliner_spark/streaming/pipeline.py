@@ -367,6 +367,43 @@ def stream_neardup_pairs(
     )
 
 
+def finalize_duplicate_clusters(pairs: DataFrame, cfg=None) -> DataFrame:
+    """Finalize-time duplicate CLUSTERS over a streamed verified-pair
+    accumulation (VERDICT r5 ask #6): batch got dd_clusters (pairs ->
+    transitive closure -> keep-first representative); the streaming path
+    stopped at stream_neardup_pairs' verified pair rows. This closes the
+    gap the same way streamed extraction merges at finalize — the stream
+    appends pairs to a sink table as they verify, and on demand the
+    accumulated BATCH view of that sink is closed into components:
+
+        pairs = spark.read.parquet(neardup_sink)   # or .table(ident)
+        clusters = finalize_duplicate_clusters(pairs)
+
+    Semantics == batch dedup.duplicate_clusters on non-overflowing
+    buckets, by construction: stream_neardup_pairs emits the same
+    verified (doc_a, doc_b) set batch minhash_dedup emits (pytest-pinned),
+    and the closure runs through the SAME linking.closure_clusters helper
+    (cluster = MIN reachable doc_id, keep = is-representative,
+    cluster_size), so keep/size/ordering semantics can never drift.
+
+    Input hygiene: __frozen_bucket__ audit sentinels (emit_skip_metrics)
+    are filtered out, and the pair set is dedup'd across bands/batches
+    (a pair re-verifies in multiple bands and re-appears if the sink
+    accumulated overlapping runs) — CC is idempotent on edge multiplicity
+    but the distinct keeps the closure's input Zipf-collapsed. cfg
+    threads the CC knobs (cc_driver_max_nodes etc.); None = defaults."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.linking import closure_clusters
+
+    clean = (
+        pairs.filter(F.col("doc_a") != "__frozen_bucket__")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return closure_clusters(clean, "doc_a", "doc_b", "doc_id", cfg)
+
+
 def stream_windowed_counts(
     events_stream: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -107,3 +107,38 @@ def test_constrained_matches_manual_greedy():
     best = max(step1, key=lambda t: (gen_score(nid, 1, t), -t))
     expect = "big " + id2word[best]
     assert constrained_greedy(nid, trie, id2word) == expect
+
+
+def test_gate_fixture_differs_splits(spark):
+    """r6 (VERDICT ask #5): the kg_constrained_labels fixture must be
+    DISCRIMINATING — a meaningful fraction of free generations land on
+    valid label paths (differs=false, agreement) while others diverge
+    (differs=true, the trie pruning is load-bearing), including at least
+    one multi-word agreement (the free decoder walked a full trie path)."""
+    from gliner_spark.operators.constrained import generate_mention_labels
+    from __spark_entry__ import GEN_LABELS, _mentions
+
+    rows = generate_mention_labels(
+        _mentions(spark, "/root/testdata/sf0.001"), GEN_LABELS
+    ).collect()
+    n_true = sum(r.differs for r in rows)
+    n_false = sum(not r.differs for r in rows)
+    assert n_true >= 10 and n_false >= 10, (n_true, n_false)
+    # every constrained label is valid; some free label is NOT (pruning
+    # matters), and some agreement covers a multi-word label path
+    assert all(r.constrained_label in GEN_LABELS for r in rows)
+    assert any(r.free_label not in GEN_LABELS for r in rows)
+    assert any(
+        not r.differs and " " in r.constrained_label for r in rows
+    )
+
+
+def test_tokenize_labels_rejects_eos_alias():
+    """ADVICE r5: a label word whose fold_hash equals the reserved EOS id
+    must raise, not silently truncate the trie path. fold_hash("") == 0
+    is the constructible alias (double-space label -> empty word)."""
+    import pytest
+
+    assert fold_hash("") == EOS
+    with pytest.raises(ValueError, match="reserved EOS id"):
+        tokenize_labels(["person", "bad  label"])

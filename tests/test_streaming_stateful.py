@@ -369,3 +369,83 @@ def test_watermark_drops_late_keeps_on_time(spark):
     finally:
         for d in (src, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_finalize_clusters_equals_batch_duplicate_clusters(spark):
+    """r6 (VERDICT ask #6): streamed verified pairs + finalize-time
+    closure == batch duplicate_clusters on non-overflowing buckets — the
+    streaming path now also answers 'which doc do I keep'. Overflowing
+    buckets are excluded the same way the pair-equality test above does:
+    a frozen streaming bucket still emits its pre-freeze pairs, while
+    batch capped_filter drops the whole over-cap bucket."""
+    from gliner_spark.cache import release_caches
+    from gliner_spark.operators.dedup import (
+        MAX_BUCKET,
+        _band_buckets,
+        duplicate_clusters,
+        minhash_signatures,
+    )
+    from gliner_spark.streaming.pipeline import (
+        finalize_duplicate_clusters,
+        stream_neardup_pairs,
+    )
+
+    src = tempfile.mkdtemp(prefix="gs_ndc_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_ndc_ckpt_")
+    out = tempfile.mkdtemp(prefix="gs_ndc_out_")
+    try:
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .persist()
+        )
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream_neardup_pairs(stream, threshold=0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        oversized = (
+            _band_buckets(minhash_signatures(docs))
+            .groupBy("band", "bkey")
+            .count()
+            .filter(F.col("count") > MAX_BUCKET)
+            .select("band", "bkey")
+        )
+        streamed = spark.read.parquet(out).join(
+            oversized, ["band", "bkey"], "left_anti"
+        )
+        got = sorted(
+            (r.doc_id, r.cluster, r.cluster_size, r.keep)
+            for r in finalize_duplicate_clusters(streamed).collect()
+        )
+        # the stream casts doc_id to string, so its closure MIN is
+        # lexicographic — feed batch the same string ids so the
+        # representative choice is comparable
+        batch = duplicate_clusters(
+            docs.withColumn("doc_id", F.col("doc_id").cast("string")),
+            threshold=0.5,
+        )
+        want = sorted(
+            (r.doc_id, r.cluster, r.cluster_size, r.keep)
+            for r in batch.collect()
+        )
+        release_caches(batch)
+        assert got == want and len(want) > 0
+    finally:
+        docs.unpersist()
+        for d in (src, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
