@@ -187,6 +187,36 @@ def q_kg_clustering(spark, sf_dir):
     return clustering_coefficients(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_node_similarity(spark, sf_dir):
+    """Neighborhood Jaccard per canonical undirected entity edge (r6):
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the link-prediction / entity-
+    resolution signal, compact-forward wedge enumeration with the audited
+    pivot cap (operators/graph_analytics.node_similarity)."""
+    from gliner_spark.operators.graph_analytics import node_similarity
+
+    return node_similarity(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_kcore(spark, sf_dir):
+    """k-core of the entity graph (r6): iterative peeling to the maximal
+    subgraph with min-degree >= k — dense-nucleus extraction before
+    community analysis (operators/graph_analytics.kcore; the oracle
+    unrolls the confluent peel rounds)."""
+    from gliner_spark.operators.graph_analytics import kcore
+
+    return kcore(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_link_prediction(spark, sf_dir):
+    """Missing-link candidates by Resource Allocation index (r6): top-100
+    NON-adjacent entity pairs scored by sum over common neighbors of
+    UNIT DIV deg(c) — KG completion over the constructed graph, pure
+    bigint (operators/graph_analytics.link_prediction)."""
+    from gliner_spark.operators.graph_analytics import link_prediction
+
+    return link_prediction(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
@@ -774,6 +804,19 @@ def q_sim_pq_refine(spark, sf_dir):
     )
 
 
+def q_sim_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) top-k (r6): per-dim 8-bit uniform codes
+    against full-corpus trained ranges, asymmetric exact-query vs
+    reconstructed-corpus scoring — the third FAISS compression family
+    member next to PQ/IVF-PQ (operators/similarity.sq8_topk)."""
+    from gliner_spark.operators.similarity import sq8_topk
+
+    df = sq8_topk(_t(spark, sf_dir, "embeddings"))
+    return df.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
 def q_sim_ivfpq_refine(spark, sf_dir):
     """IVF-PQ + exact re-rank — the complete FAISS production default
     (operators/similarity.ivfpq_refine_topk)."""
@@ -1245,7 +1288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_keyword_prf": q_ev_keyword_prf,
         "rel_q1": q_rel_q1,
         # new r6 operators (kept inside the driver's 50-query window)
-        # (r6 additions are registered here as they land)
+        "kg_node_similarity": q_kg_node_similarity,
+        "sim_sq8": q_sim_sq8,
+        "kg_kcore": q_kg_kcore,
+        "kg_link_prediction": q_kg_link_prediction,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2723,6 +2769,133 @@ FROM tmembers GROUP BY entity ORDER BY entity
 """
 
 
+def _kg_kcore_oracle() -> str:
+    """kcore replay: KCORE_MAX_ROUNDS unrolled peel rounds (each drops
+    edges touching a node with current degree < k). Peeling is confluent
+    and idempotent after convergence, so the fixed unroll equals the
+    Spark side's early-exited fixpoint. Every round CTE is MATERIALIZED:
+    each is referenced twice by the next round, and DuckDB would
+    otherwise re-inline (exponential blowup over 16 rounds — the r5
+    recursive-CTE lesson)."""
+    from gliner_spark.operators.graph_analytics import (
+        KCORE_K,
+        KCORE_MAX_ROUNDS,
+    )
+
+    snap = _kg_snapshot()
+    rounds = []
+    for r in range(KCORE_MAX_ROUNDS):
+        rounds.append(f"""
+kd{r} AS MATERIALIZED (
+  SELECT node, count(*) AS k FROM (
+    SELECT a AS node FROM ks{r} UNION ALL SELECT b FROM ks{r}
+  ) GROUP BY node
+),
+ks{r + 1} AS MATERIALIZED (
+  SELECT s.a, s.b FROM ks{r} s
+  JOIN kd{r} da ON da.node = s.a
+  JOIN kd{r} db ON db.node = s.b
+  WHERE da.k >= {KCORE_K} AND db.k >= {KCORE_K}
+)""")
+    last = f"ks{KCORE_MAX_ROUNDS}"
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+ks0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+{",".join(rounds)}
+SELECT node AS entity, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS node FROM {last} UNION ALL SELECT b FROM {last}
+) GROUP BY node ORDER BY entity
+"""
+
+
+def _kg_link_prediction_oracle() -> str:
+    """link_prediction replay: capped-pivot wedges carrying the pivot's
+    degree, anti-joined against the edge set (non-edges only), RA-scored
+    with the same integer floor-div, global top-N with the (score DESC,
+    a, b) tie rule."""
+    from gliner_spark.operators.graph_analytics import (
+        LP_TOP,
+        LP_UNIT,
+        TWO_HOP_MAX_FANOUT,
+    )
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+lsym AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+),
+lfan AS (SELECT node, count(*) AS fan FROM lsym GROUP BY node),
+lcap AS (
+  SELECT s.node, s.nbr, f.fan FROM lsym s JOIN lfan f ON f.node = s.node
+  WHERE f.fan <= {TWO_HOP_MAX_FANOUT}
+),
+lwedge AS (
+  SELECT s1.nbr AS x, s2.nbr AS y, s1.fan
+  FROM lcap s1 JOIN lcap s2 ON s1.node = s2.node AND s1.nbr < s2.nbr
+),
+lnon AS (
+  SELECT x, y, fan FROM lwedge w
+  WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = w.x AND u.b = w.y)
+),
+lsc AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS common,
+    CAST(sum({LP_UNIT} // fan) AS BIGINT) AS ra_score
+  FROM lnon GROUP BY x, y
+)
+SELECT x AS a, y AS b, common, ra_score
+FROM lsc ORDER BY ra_score DESC, a ASC, b ASC LIMIT {LP_TOP}
+"""
+
+
+def _kg_node_similarity_oracle() -> str:
+    """node_similarity replay: symmetric adjacency from the canonical
+    undirected edges, capped-pivot wedge counts = common neighbors per
+    edge, one exact division for the Jaccard."""
+    from gliner_spark.operators.graph_analytics import TWO_HOP_MAX_FANOUT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+nsym AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+),
+ndeg AS (SELECT node, CAST(count(*) AS BIGINT) AS k FROM nsym GROUP BY node),
+nsc AS (
+  SELECT s.node, s.nbr FROM nsym s JOIN ndeg d ON d.node = s.node
+  WHERE d.k <= {TWO_HOP_MAX_FANOUT}
+),
+nwedges AS (
+  SELECT s1.nbr AS x, s2.nbr AS y
+  FROM nsc s1 JOIN nsc s2 ON s1.node = s2.node AND s1.nbr < s2.nbr
+),
+ncn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common FROM nwedges GROUP BY x, y)
+SELECT u.a, u.b,
+  CAST(coalesce(c.common, 0) AS BIGINT) AS common,
+  da.k AS k_a, db.k AS k_b,
+  round(CAST(coalesce(c.common, 0) AS DOUBLE)
+        / (da.k + db.k - coalesce(c.common, 0)), 6) AS jaccard
+FROM und u
+LEFT JOIN ncn c ON c.x = u.a AND c.y = u.b
+JOIN ndeg da ON da.node = u.a
+JOIN ndeg db ON db.node = u.b
+ORDER BY u.a, u.b
+"""
+
+
 def _kg_clustering_oracle() -> str:
     """clustering_coefficients replay: the kg_triangles enumeration CTEs
     plus the symmetrized undirected degree, one exact division."""
@@ -3385,6 +3558,51 @@ ranked AS (
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
+        # SQ8: per-dim 8-bit uniform codes vs full-corpus trained ranges,
+        # asymmetric exact-query x reconstructed-corpus scoring — every
+        # quantize/reconstruct step is nonneg integer floor-div, replayed
+        # bit-for-bit (similarity.sq8_topk / train_sq8_ranges)
+        "sim_sq8": f"""
+WITH {_QUANT_EMB},
+dims AS (SELECT unnest(range(len(q))) AS pos FROM (SELECT q FROM qn LIMIT 1)),
+rng AS (
+  SELECT pos, min(q[CAST(pos+1 AS INT)]) AS mn, max(q[CAST(pos+1 AS INT)]) AS mx
+  FROM qn, dims GROUP BY pos
+),
+rngl AS (
+  SELECT list(mn ORDER BY pos) AS mnl,
+         list(CASE WHEN mx - mn < 1 THEN 1 ELSE mx - mn END ORDER BY pos) AS spl
+  FROM rng
+),
+recon AS (
+  SELECT vec_id,
+    list_transform(range(len(q)), i ->
+      mnl[CAST(i+1 AS INT)]
+      + (((q[CAST(i+1 AS INT)] - mnl[CAST(i+1 AS INT)]) * 255)
+         // spl[CAST(i+1 AS INT)]) * spl[CAST(i+1 AS INT)] // 255) AS r
+  FROM qn, rngl
+),
+reconn AS (
+  SELECT vec_id, r,
+    list_aggregate(list_transform(r, x -> x*x), 'sum') AS nr2
+  FROM recon
+),
+sq8s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+    CAST(list_aggregate(list_transform(list_zip(a.q, b.r), p -> p[1]*p[2]),
+         'sum') AS DOUBLE)
+      / sqrt(CAST(a.norm2 * b.nr2 AS DOUBLE)) AS sim
+  FROM qn a JOIN reconn b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 10
+),
+sq8r AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sq8s
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+FROM sq8r WHERE rank <= 5 ORDER BY query_id, rank
+""",
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         "sim_pq": _sim_pq_oracle(),
         "sim_pq_refine": _sim_pq_refine_oracle(),
@@ -3600,6 +3818,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_two_hop": _kg_two_hop_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
+        "kg_node_similarity": _kg_node_similarity_oracle(),
+        "kg_kcore": _kg_kcore_oracle(),
+        "kg_link_prediction": _kg_link_prediction_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

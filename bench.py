@@ -95,6 +95,11 @@ EXTRA_QUERIES = [
     "kg_triangles",
     "kg_clustering",
     "kg_ppr",
+    # round 6
+    "kg_node_similarity",
+    "kg_kcore",
+    "kg_link_prediction",
+    "sim_sq8",
 ]
 
 
@@ -168,6 +173,9 @@ def main():
             clustering_coefficients,
             entity_components,
             entity_degrees,
+            kcore,
+            link_prediction,
+            node_similarity,
             pagerank,
             triangle_counts,
             two_hop_paths,
@@ -190,6 +198,9 @@ def main():
             "components": entity_components,
             "triangles": triangle_counts,
             "clustering": clustering_coefficients,
+            "node_similarity": node_similarity,
+            "kcore": kcore,
+            "link_prediction": link_prediction,
         }
         for name, fn in graph_op_fns.items():
             reps = []
@@ -281,6 +292,11 @@ def main():
                 cells=cells, books=books
             )
         )
+        # SQ8 (r6): 1 byte/dim scalar quantization — the accuracy/size
+        # point between raw vectors and PQ codes
+        from gliner_spark.operators.similarity import sq8_topk
+
+        ann_recall["sq8_1B_per_dim"] = _recall(sq8_topk(emb, n_queries=NQ))
     except Exception as e:  # recall is an artifact, not a gate
         ann_recall = {"error": str(e)[:200]}
 

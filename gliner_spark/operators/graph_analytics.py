@@ -451,3 +451,226 @@ def clustering_coefficients(
     return attach_caches(
         forward_caches(attach_audits(out, tri), triples), und
     )
+
+
+def node_similarity(
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+) -> DataFrame:
+    """Neighborhood Jaccard for every canonical undirected entity edge
+    (a, b): J = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the undirected
+    distinct graph — the classic link-prediction / entity-resolution
+    signal ("how much do these two connected entities share their
+    neighborhoods"), the per-EDGE counterpart of the per-entity
+    clustering coefficient. |N(a) ∪ N(b)| = k(a) + k(b) - common (note
+    a ∈ N(b) and b ∈ N(a), so the union counts both endpoints — the
+    standard edge-Jaccard convention; J < 1 for any real edge pair).
+
+    Plan shape: common neighbors are enumerated compact-forward like
+    triangle_counts — wedges (x, y) pivot at the shared neighbor, pivots
+    with degree > max_fanout excluded and AUDITED (C(deg, 2) blowup
+    bound; counts for edges touching a capped pivot's neighborhood are
+    LOWER BOUNDS, recorded in the audit row). One symmetric adjacency is
+    built from the persisted canonical edge set and shared by the degree
+    aggregate and the wedge join; joins + aggregates only, one exact
+    bigint division per row — the kg_node_similarity oracle replays it
+    bit-for-bit."""
+    from gliner_spark.cache import attach_caches, forward_caches
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    und = undirected_edges(triples).persist()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    w = Window.partitionBy("node")
+    capped, audit = capped_filter(
+        sym.withColumn("fan", F.count(F.lit(1)).over(w)),
+        "fan", max_fanout, "nodesim_pivot_cap",
+    )
+    s1 = capped.select("node", F.col("nbr").alias("x"))
+    s2 = capped.select("node", F.col("nbr").alias("y"))
+    wedges = s1.join(s2, "node").filter(F.col("x") < F.col("y"))
+    cn = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("common")
+    )
+    out = (
+        und.join(
+            cn,
+            (und["a"] == cn["x"]) & (und["b"] == cn["y"]),
+            "left",
+        )
+        .join(deg.select(F.col("node").alias("a"), F.col("k").alias("k_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("k").alias("k_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("common", F.lit(0)).cast("long").alias("common"),
+            "k_a",
+            "k_b",
+            F.round(
+                F.coalesce("common", F.lit(0)).cast("double")
+                / (F.col("k_a") + F.col("k_b")
+                   - F.coalesce("common", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+    return attach_caches(
+        forward_caches(attach_audits(out, audit), triples), und
+    )
+
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore(
+    triples: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> DataFrame:
+    """k-core of the undirected entity graph: the maximal subgraph in
+    which every member keeps degree >= k WITHIN the subgraph — the
+    standard dense-nucleus extraction (Seidman 1983; the usual KG recipe
+    for separating a hub core from pendant/noise entities before
+    community analysis). Computed by iterative peeling: drop nodes whose
+    current degree < k, recompute degrees over the surviving edges,
+    repeat to fixpoint. Returns survivors as (entity, core_degree) with
+    core_degree the degree INSIDE the k-core (>= k by construction).
+
+    Determinism + oracle: peeling is confluent (the k-core is unique and
+    independent of removal order), so fixed-round replay is exact — the
+    kg_kcore oracle unrolls KCORE_MAX_ROUNDS peel rounds (idempotent
+    after convergence) while this side early-exits the round after no
+    node fell below k. Pure integer degree counts; no tie-breaking
+    anywhere.
+
+    Scale shape: each round is one symmetrized map-side-combined degree
+    aggregate + two left-anti joins against the (typically tiny) peeled
+    set, localCheckpoint per round to cut lineage (same loop hygiene as
+    connected_components / dangling pagerank, including unpersisting the
+    previous round's blocks). Rounds are bounded: a graph with peel depth
+    > max_rounds raises rather than returning a non-fixpoint (CC's
+    convergence contract); real KGs converge in a handful of rounds —
+    depth equals the longest chain of cascading removals, not |V|."""
+    from gliner_spark.cache import forward_caches
+
+    edges = undirected_edges(triples).localCheckpoint()
+    prev = edges
+    converged = False
+    for _ in range(max_rounds):
+        sym = edges.select(F.col("a").alias("node")).union(
+            edges.select(F.col("b").alias("node"))
+        )
+        deg = sym.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("core_degree")
+        )
+        # bad is referenced three times this round (convergence probe +
+        # two anti-joins) — materialize the tiny peeled set once instead
+        # of running the degree aggregate thrice
+        bad = deg.filter(F.col("core_degree") < k).localCheckpoint()
+        if bad.limit(1).count() == 0:
+            bad.unpersist()
+            converged = True
+            break
+        edges = (
+            edges.join(
+                bad.select(F.col("node").alias("a")), "a", "left_anti"
+            )
+            .join(bad.select(F.col("node").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        bad.unpersist()
+        prev.unpersist()
+        prev = edges
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within {max_rounds} rounds; "
+            "raise max_rounds (peel depth exceeds the bound)"
+        )
+    out = (
+        edges.select(F.col("a").alias("entity"))
+        .union(edges.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .orderBy("entity")
+    )
+    return forward_caches(out, triples)
+
+
+LP_UNIT = 1_000_000
+LP_TOP = 100
+
+
+def link_prediction(
+    triples: DataFrame,
+    top: int = LP_TOP,
+    max_fanout: int = TWO_HOP_MAX_FANOUT,
+) -> DataFrame:
+    """Missing-link candidates by Resource Allocation index (Zhou,
+    Lü & Zhang 2009 — the strongest of the classic local similarity
+    indices): for every NON-adjacent pair (a, b) sharing at least one
+    neighbor, score = sum over common neighbors c of 1/deg(c), here in
+    exact integer micro-units (LP_UNIT DIV deg(c)) so the ranking is
+    bit-deterministic and the kg_link_prediction oracle replays it. The
+    KG-completion primitive: "these two entities are probably related,
+    the extractor just never saw them in one document".
+
+    Plan shape: candidate pairs are wedges pivoted at the shared
+    neighbor (the SAME audited-cap compact-forward enumeration as
+    node_similarity — a hub pivot contributes C(deg, 2) wedges, so
+    pivots above max_fanout are excluded and audited; RA discounts hub
+    evidence by 1/deg anyway, so the cap drops exactly the
+    lowest-information wedges), anti-joined against the edge set to keep
+    non-edges, grouped-sum scored, global top-N. Joins + aggregates
+    only."""
+    from gliner_spark.cache import attach_caches, forward_caches
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    und = undirected_edges(triples).persist()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    w = Window.partitionBy("node")
+    capped, audit = capped_filter(
+        sym.withColumn("fan", F.count(F.lit(1)).over(w)),
+        "fan", max_fanout, "linkpred_pivot_cap",
+    )
+    # wedge (x, y) at pivot `node` carries the pivot's RA contribution.
+    # capped_filter drops its cap column, and node groups survive it
+    # wholesale, so re-counting over the capped frame reproduces each
+    # surviving pivot's true degree.
+    capped = capped.withColumn("fan", F.count(F.lit(1)).over(w))
+    s1 = capped.select("node", F.col("nbr").alias("x"), "fan")
+    s2 = capped.select("node", F.col("nbr").alias("y"))
+    wedges = s1.join(s2, "node").filter(F.col("x") < F.col("y"))
+    nonedges = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    scored = (
+        nonedges.select(
+            "x", "y", F.expr(f"{LP_UNIT} DIV fan").alias("ra")
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.sum("ra").cast("long").alias("ra_score"),
+            F.count(F.lit(1)).cast("long").alias("common"),
+        )
+    )
+    out = (
+        scored.orderBy(F.desc("ra_score"), F.asc("x"), F.asc("y"))
+        .limit(top)
+        .select(
+            F.col("x").alias("a"), F.col("y").alias("b"),
+            "common", "ra_score",
+        )
+    )
+    return attach_caches(
+        forward_caches(attach_audits(out, audit), triples), und
+    )

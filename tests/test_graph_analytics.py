@@ -338,3 +338,132 @@ def test_personalized_pagerank_seeds_and_reachability(spark):
 
     with _pytest.raises(ValueError, match="personalized"):
         pagerank(triples, seed_prefix="person:", dangling=True)
+
+
+def test_node_similarity_matches_brute_force(spark):
+    """r6: per-edge neighborhood Jaccard on the planted graph vs a
+    hand-computed neighbor-set intersection, plus the audited-cap
+    contract (capped pivots lose their wedges -> lower-bound counts)."""
+    from gliner_spark.metrics import skew_metrics
+    from gliner_spark.operators.graph_analytics import node_similarity
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("c", "d"), ("d", "e"), ("c", "e"),
+        ("e", "a"), ("b", "d"), ("x", "y"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    und = {tuple(sorted(e)) for e in edges}
+    nbrs = {}
+    for s, o in und:
+        nbrs.setdefault(s, set()).add(o)
+        nbrs.setdefault(o, set()).add(s)
+    got = {
+        (r.a, r.b): (r.common, r.k_a, r.k_b, r.jaccard)
+        for r in node_similarity(triples).collect()
+    }
+    assert set(got) == und
+    for a, b in und:
+        common = len(nbrs[a] & nbrs[b])
+        ka, kb = len(nbrs[a]), len(nbrs[b])
+        jac = round(common / (ka + kb - common), 6)
+        assert got[(a, b)] == (common, ka, kb, jac), (a, b, got[(a, b)])
+    # cap of 1 excludes every pivot with degree > 1 -> all commons 0,
+    # audit records the drop
+    capped = node_similarity(triples, max_fanout=1)
+    rows = capped.collect()
+    assert all(r.common == 0 for r in rows)
+    sk = skew_metrics(capped)["nodesim_pivot_cap"]
+    assert sk["n_dropped_rows"] > 0 and sk["cap"] == 1
+
+
+def test_kcore_multi_round_peeling_matches_brute_force(spark):
+    """r6: k-core on a planted clique + pendant chain — the chain forces
+    CASCADING removals (peel depth 3, exercising the iteration), the
+    clique survives with its inside-core degrees; plus the convergence
+    raise on an over-tight round bound."""
+    import pytest
+
+    from gliner_spark.operators.graph_analytics import kcore
+
+    # 4-clique abcd; chain d-e-f-g peels g -> f -> e at k=2
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+    def brute(k):
+        und = {tuple(sorted(e)) for e in edges}
+        while True:
+            deg = {}
+            for x, y in und:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            und = {e for e in und if e[0] not in bad and e[1] not in bad}
+
+    for k in (2, 3, 4):
+        want = brute(k)
+        got = {r.entity: r.core_degree for r in kcore(triples, k=k).collect()}
+        assert got == want, (k, got, want)
+    # k=2 core is exactly the clique, every survivor at full degree 3
+    assert set(brute(2)) == set("abcd")
+    # peel depth 3 exceeds a 2-round bound -> the convergence contract fires
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(triples, k=2, max_rounds=2)
+
+
+def test_link_prediction_matches_brute_force(spark):
+    """r6: RA-scored non-edges on the planted graph vs a hand loop —
+    integer micro-unit scores, non-adjacency, and the (score DESC, a, b)
+    global ordering."""
+    from itertools import combinations
+
+    from gliner_spark.operators.graph_analytics import (
+        LP_UNIT,
+        link_prediction,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("c", "d"), ("d", "e"), ("c", "e"),
+        ("e", "a"), ("b", "d"), ("x", "y"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    und = {tuple(sorted(e)) for e in edges}
+    nbrs = {}
+    for s, o in und:
+        nbrs.setdefault(s, set()).add(o)
+        nbrs.setdefault(o, set()).add(s)
+    want = {}
+    for a, b in combinations(sorted(nbrs), 2):
+        if (a, b) in und:
+            continue
+        common = nbrs[a] & nbrs[b]
+        if common:
+            want[(a, b)] = (
+                len(common), sum(LP_UNIT // len(nbrs[c]) for c in common)
+            )
+    rows = link_prediction(triples).collect()
+    got = {(r.a, r.b): (r.common, r.ra_score) for r in rows}
+    assert got == want and want
+    # ordering: score desc, then (a, b) asc
+    keys = [(-r.ra_score, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+    # predicted links are genuinely absent from the graph
+    assert all(p not in und for p in got)

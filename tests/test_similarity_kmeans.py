@@ -359,3 +359,41 @@ def test_semantic_clusters_invariants(spark):
     assert all(
         cmap[p.vec_a] == cmap[p.vec_b] for p in pairs.collect()
     )
+
+
+def test_sq8_reconstruction_bounded_and_recall(spark):
+    """r6: SQ8 codes reconstruct WITHIN the trained per-dim range with
+    error <= span/255 per dim, and the asymmetric SQ8 ranking recovers
+    most of the brute-force top-5 (8-bit/dim loses far less than 4-bit
+    PQ subspace codes at this dim)."""
+    from gliner_spark.operators.similarity import (
+        _quantized,
+        sq8_topk,
+        train_sq8_ranges,
+    )
+
+    emb = _emb(spark)
+    qz = _quantized(emb)
+    ranges = train_sq8_ranges(qz)
+    assert all(mn <= mx for mn, mx in ranges)
+    # replay quantize->reconstruct in python on a handful of rows
+    sample = qz.orderBy("vec_id").limit(5).collect()
+    for row in sample:
+        for j, x in enumerate(row.q):
+            mn, mx = ranges[j]
+            span = max(mx - mn, 1)
+            code = ((x - mn) * 255) // span
+            assert 0 <= code <= 255
+            recon = mn + (code * span) // 255
+            assert mn <= recon <= mx
+            assert abs(recon - x) <= span // 255 + (span + 254) // 255
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, n_queries=10, k=5).collect()
+    }
+    sq = {
+        (r.query_id, r.vec_id)
+        for r in sq8_topk(emb, n_queries=10, k=5).collect()
+    }
+    recall = len(bf & sq) / len(bf)
+    assert recall >= 0.8, recall
