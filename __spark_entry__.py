@@ -217,6 +217,16 @@ def q_kg_link_prediction(spark, sf_dir):
     return link_prediction(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_bfs(spark, sf_dir):
+    """Seeded multi-hop BFS distances (r6): minimum directed-hop distance
+    from any 'person:*' entity within BFS_DEPTH hops — subgraph
+    extraction / provenance expansion over the constructed graph
+    (operators/graph_analytics.bfs_distances; level-unrolled oracle)."""
+    from gliner_spark.operators.graph_analytics import bfs_distances
+
+    return bfs_distances(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
@@ -1292,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sq8": q_sim_sq8,
         "kg_kcore": q_kg_kcore,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_bfs": q_kg_bfs,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2856,6 +2867,48 @@ FROM lsc ORDER BY ra_score DESC, a ASC, b ASC LIMIT {LP_TOP}
 """
 
 
+def _kg_bfs_oracle() -> str:
+    """bfs_distances replay: BFS_DEPTH unrolled level CTEs — each level
+    is the distinct one-hop expansion of the previous frontier minus
+    everything already distanced (first reach = min distance), exactly
+    the Spark loop's level-synchronous semantics (idempotent once a
+    frontier empties). MATERIALIZED per level: each bN is referenced by
+    the next frontier (expand + NOT IN) and the final union."""
+    from gliner_spark.operators.graph_analytics import BFS_DEPTH
+
+    snap = _kg_snapshot()
+    levels = []
+    for d in range(1, BFS_DEPTH + 1):
+        levels.append(f"""
+bf{d} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node FROM bb{d - 1} b
+  JOIN kedges e ON e.src = b.node
+  WHERE b.dist = {d - 1}
+    AND e.dst NOT IN (SELECT node FROM bb{d - 1})
+),
+bb{d} AS MATERIALIZED (
+  SELECT node, dist FROM bb{d - 1}
+  UNION ALL SELECT node, {d} AS dist FROM bf{d}
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+bnodes AS (
+  -- inside WITH RECURSIVE a CTE-level UNION is the recursive-union
+  -- operator (no dedup) — explicit DISTINCT, same as knodes
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM kedges UNION ALL SELECT dst FROM kedges
+  )
+),
+bb0 AS MATERIALIZED (
+  SELECT node, 0 AS dist FROM bnodes WHERE node LIKE 'person:%'
+),
+{",".join(levels)}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM bb{BFS_DEPTH}
+ORDER BY dist, node
+"""
+
+
 def _kg_node_similarity_oracle() -> str:
     """node_similarity replay: symmetric adjacency from the canonical
     undirected edges, capped-pivot wedge counts = common neighbors per
@@ -3821,6 +3874,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_node_similarity": _kg_node_similarity_oracle(),
         "kg_kcore": _kg_kcore_oracle(),
         "kg_link_prediction": _kg_link_prediction_oracle(),
+        "kg_bfs": _kg_bfs_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

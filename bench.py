@@ -99,6 +99,7 @@ EXTRA_QUERIES = [
     "kg_node_similarity",
     "kg_kcore",
     "kg_link_prediction",
+    "kg_bfs",
     "sim_sq8",
 ]
 
@@ -170,6 +171,7 @@ def main():
         import tempfile
 
         from gliner_spark.operators.graph_analytics import (
+            bfs_distances,
             clustering_coefficients,
             entity_components,
             entity_degrees,
@@ -201,6 +203,7 @@ def main():
             "node_similarity": node_similarity,
             "kcore": kcore,
             "link_prediction": link_prediction,
+            "bfs": bfs_distances,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -674,3 +674,66 @@ def link_prediction(
     return attach_caches(
         forward_caches(attach_audits(out, audit), triples), und
     )
+
+
+BFS_DEPTH = 4
+
+
+def bfs_distances(
+    triples: DataFrame,
+    seed_prefix: str = "person:",
+    depth: int = BFS_DEPTH,
+) -> DataFrame:
+    """Minimum directed-hop distance from any SEED entity (id starts with
+    `seed_prefix`) within `depth` hops over the distinct edge set — the
+    multi-hop neighborhood query ("everything within 4 hops of a person")
+    that KG consumers run for subgraph extraction and provenance
+    expansion. Level-synchronous BFS: each round expands the current
+    frontier one hop and keeps only NEWLY reached nodes (anti-join
+    against everything already distanced), so every node is assigned its
+    first = minimum distance exactly once; pure integers, no tie-breaks.
+
+    Early exit on an empty frontier equals running all `depth` rounds
+    (later rounds are no-ops), so the kg_bfs oracle's fixed unrolled
+    levels replay this bit-for-bit. Scale shape: one equi-join +
+    distinct + anti-join per round over the localCheckpointed edge set
+    (frontiers shrink after the expansion wave); depth is a constant, so
+    the plan is a fixed pipeline, not a data-dependent recursion."""
+    from gliner_spark.cache import forward_caches
+
+    e = graph_edges(triples).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.filter(F.col("node").startswith(seed_prefix)).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    prev_frontier = None
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        prev = dist
+        dist = dist.union(nxt).localCheckpoint()
+        prev.unpersist()
+        # the previous frontier's blocks are dead once this round's nxt
+        # (its only consumer) is materialized — same loop hygiene as the
+        # dangling-PageRank / kcore iterates
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_frontier = nxt
+        frontier = nxt.select("node")
+    if prev_frontier is not None:
+        prev_frontier.unpersist()  # dist is independently checkpointed
+    return forward_caches(dist.orderBy("dist", "node"), triples)

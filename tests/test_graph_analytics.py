@@ -467,3 +467,55 @@ def test_link_prediction_matches_brute_force(spark):
     assert keys == sorted(keys)
     # predicted links are genuinely absent from the graph
     assert all(p not in und for p in got)
+
+
+def test_bfs_distances_match_brute_force(spark):
+    """r6: seeded level-synchronous BFS on a planted DIRECTED graph —
+    min-hop distances, depth bound, direction respected, unreachable
+    nodes absent."""
+    from collections import deque
+
+    from gliner_spark.operators.graph_analytics import bfs_distances
+
+    edges = [
+        ("person:a", "org:x"), ("org:x", "loc:y"), ("loc:y", "org:z"),
+        ("org:z", "loc:w"), ("loc:w", "org:far"),   # chain depth 5 from a
+        ("person:b", "org:z"),                       # shortcut: z at 1
+        ("loc:iso", "org:island"),                   # unreachable island
+        ("org:x", "person:a"),                       # cycle back
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+    def brute(depth):
+        adj = {}
+        nodes = set()
+        for s, o in edges:
+            adj.setdefault(s, []).append(o)
+            nodes.update((s, o))
+        dist = {n: 0 for n in nodes if n.startswith("person:")}
+        q = deque(dist)
+        while q:
+            u = q.popleft()
+            if dist[u] >= depth:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    for depth in (2, 4):
+        want = brute(depth)
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(triples, depth=depth).collect()
+        }
+        assert got == want, (depth, got, want)
+    # min-hop: org:z reachable at 3 via a but 1 via b -> 1
+    assert brute(4)["org:z"] == 1
+    # the island never appears; org:far needs 3 hops (w at 2 via b)
+    assert "org:island" not in brute(4) and brute(4)["org:far"] == 3
