@@ -827,6 +827,16 @@ def q_sim_sq8(spark, sf_dir):
     )
 
 
+def q_ev_mrr(spark, sf_dir):
+    """In-engine MRR@10 harness (r6): reciprocal rank of the brute-force
+    nearest neighbor within the SQ8 index's top-10, integer micro-units
+    (operators/similarity.retrieval_mrr) — the continuous index-drift
+    check an ANN deployment runs."""
+    from gliner_spark.operators.similarity import retrieval_mrr
+
+    return retrieval_mrr(_t(spark, sf_dir, "embeddings"))
+
+
 def q_sim_ivfpq_refine(spark, sf_dir):
     """IVF-PQ + exact re-rank — the complete FAISS production default
     (operators/similarity.ivfpq_refine_topk)."""
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_bfs": q_kg_bfs,
+        "ev_mrr": q_ev_mrr,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -2867,6 +2878,76 @@ FROM lsc ORDER BY ra_score DESC, a ASC, b ASC LIMIT {LP_TOP}
 """
 
 
+def _ev_mrr_oracle() -> str:
+    """retrieval_mrr replay: the sim_topk block at k=1 (ground truth) +
+    the sim_sq8 block at k=10 (index ranking) + one left join and the
+    integer reciprocal-rank floor-div."""
+    from gliner_spark.operators.similarity import MRR_UNIT
+
+    return f"""
+WITH {_QUANT_EMB},
+mgt_s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+    CAST({_DOT} AS DOUBLE) / sqrt(CAST(a.norm2*b.norm2 AS DOUBLE)) AS sim
+  FROM qn a JOIN qn b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 10
+),
+mgt AS (
+  SELECT query_id, vec_id AS gt_vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM mgt_s
+  ) WHERE rank = 1
+),
+mdims AS (SELECT unnest(range(len(q))) AS pos FROM (SELECT q FROM qn LIMIT 1)),
+mrng AS (
+  SELECT pos, min(q[CAST(pos+1 AS INT)]) AS mn, max(q[CAST(pos+1 AS INT)]) AS mx
+  FROM qn, mdims GROUP BY pos
+),
+mrngl AS (
+  SELECT list(mn ORDER BY pos) AS mnl,
+         list(CASE WHEN mx - mn < 1 THEN 1 ELSE mx - mn END ORDER BY pos) AS spl
+  FROM mrng
+),
+mrecon AS (
+  SELECT vec_id,
+    list_transform(range(len(q)), i ->
+      mnl[CAST(i+1 AS INT)]
+      + (((q[CAST(i+1 AS INT)] - mnl[CAST(i+1 AS INT)]) * 255)
+         // spl[CAST(i+1 AS INT)]) * spl[CAST(i+1 AS INT)] // 255) AS r
+  FROM qn, mrngl
+),
+mreconn AS (
+  SELECT vec_id, r,
+    list_aggregate(list_transform(r, x -> x*x), 'sum') AS nr2
+  FROM mrecon
+),
+msq_s AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+    CAST(list_aggregate(list_transform(list_zip(a.q, b.r), p -> p[1]*p[2]),
+         'sum') AS DOUBLE)
+      / sqrt(CAST(a.norm2 * b.nr2 AS DOUBLE)) AS sim
+  FROM qn a JOIN mreconn b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 10
+),
+msq AS (
+  SELECT query_id, vec_id AS gt_vec_id, rank FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM msq_s
+  ) WHERE rank <= 10
+)
+SELECT g.query_id, g.gt_vec_id,
+  CAST(coalesce(i.rank, 0) AS BIGINT) AS found_rank,
+  CAST(CASE WHEN i.rank IS NOT NULL THEN {MRR_UNIT} // i.rank
+            ELSE 0 END AS BIGINT) AS rr_micro
+FROM mgt g LEFT JOIN msq i USING (query_id, gt_vec_id)
+ORDER BY g.query_id
+"""
+
+
 def _kg_bfs_oracle() -> str:
     """bfs_distances replay: BFS_DEPTH unrolled level CTEs — each level
     is the distinct one-hop expansion of the previous frontier minus
@@ -3875,6 +3956,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_kcore": _kg_kcore_oracle(),
         "kg_link_prediction": _kg_link_prediction_oracle(),
         "kg_bfs": _kg_bfs_oracle(),
+        "ev_mrr": _ev_mrr_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "kg_link_prediction",
     "kg_bfs",
     "sim_sq8",
+    "ev_mrr",
 ]
 
 

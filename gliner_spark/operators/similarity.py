@@ -949,3 +949,43 @@ def sq8_topk(
         .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
     )
+
+
+MRR_UNIT = 1_000_000
+
+
+def retrieval_mrr(
+    emb: DataFrame, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Retrieval-quality evaluation IN-ENGINE: for each query, the
+    reciprocal rank of its TRUE nearest neighbor (brute-force
+    integer-cosine rank 1) within the SQ8 index's top-k list — the
+    standard MRR@k harness an ANN deployment runs continuously to catch
+    index drift, expressed as two already-oracle-proven rankings + one
+    equi-join (no new scoring math). rr is held in exact integer
+    micro-units (MRR_UNIT DIV rank; 0 when the index misses the true
+    neighbor inside k), so the per-query rows are bit-deterministic;
+    MRR = avg(rr_micro) / MRR_UNIT is one downstream division.
+
+    Scale shape: both rankings are broadcast-query scans (cosine over
+    full vectors for the n_queries gt rows only; SQ8 over 1-byte/dim
+    reconstructions); the join is n_queries-sized."""
+    gt = cosine_topk(emb, n_queries=n_queries, k=1).select(
+        "query_id", F.col("vec_id").alias("gt_vec_id")
+    )
+    idx = sq8_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", F.col("vec_id").alias("gt_vec_id"), "rank"
+    )
+    return (
+        gt.join(idx, ["query_id", "gt_vec_id"], "left")
+        .select(
+            "query_id",
+            "gt_vec_id",
+            F.coalesce("rank", F.lit(0)).cast("long").alias("found_rank"),
+            F.when(
+                F.col("rank").isNotNull(),
+                F.expr(f"{MRR_UNIT} DIV rank"),
+            ).otherwise(F.lit(0)).cast("long").alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )

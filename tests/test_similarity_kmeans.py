@@ -397,3 +397,34 @@ def test_sq8_reconstruction_bounded_and_recall(spark):
     }
     recall = len(bf & sq) / len(bf)
     assert recall >= 0.8, recall
+
+
+def test_retrieval_mrr_reciprocal_ranks(spark):
+    """r6: per-query reciprocal rank of the brute-force top-1 within the
+    SQ8 top-k — rr_micro = UNIT DIV found_rank when found, 0 when missed,
+    and the gt column IS the cosine rank-1 neighbor."""
+    from gliner_spark.operators.similarity import (
+        MRR_UNIT,
+        retrieval_mrr,
+        sq8_topk,
+    )
+
+    emb = _emb(spark)
+    rows = retrieval_mrr(emb, n_queries=10, k=10).collect()
+    assert len(rows) == 10
+    gt = {
+        r.query_id: r.vec_id
+        for r in cosine_topk(emb, n_queries=10, k=1).collect()
+    }
+    idx = {
+        (r.query_id, r.vec_id): r.rank
+        for r in sq8_topk(emb, n_queries=10, k=10).collect()
+    }
+    for r in rows:
+        assert r.gt_vec_id == gt[r.query_id]
+        want_rank = idx.get((r.query_id, r.gt_vec_id), 0)
+        assert r.found_rank == want_rank
+        assert r.rr_micro == (MRR_UNIT // want_rank if want_rank else 0)
+    # the 8-bit index finds most true neighbors at this dim — MRR is high
+    mrr = sum(r.rr_micro for r in rows) / (10 * MRR_UNIT)
+    assert mrr >= 0.5, mrr

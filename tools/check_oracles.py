@@ -69,7 +69,10 @@ def main():
                   "ev_docred", "ev_squad",
                   "kg_degree", "kg_two_hop", "kg_pagerank", "kg_triangles",
                   "kg_clustering", "kg_ppr",
-                  "kg_pagerank_dangling", "kg_components"):
+                  "kg_pagerank_dangling", "kg_components",
+                  # round-6 oracles on the same fixture snapshot
+                  "kg_node_similarity", "kg_kcore", "kg_link_prediction",
+                  "kg_bfs"):
             oracles.pop(k, None)
     failures = []
     results = {}
