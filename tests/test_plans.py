@@ -283,3 +283,40 @@ def test_constrained_generation_runs_over_distinct_surfaces(spark):
     # the earlier disjunct was vacuously true — Spark spells the node
     # "MapInPandas", so count("mapInPandas") was always 0)
     assert p.count("MapInPandas") == 1, p[:2000]
+
+
+def test_sq8_scoring_is_broadcast_only(spark):
+    """r6: SQ8 search must be shaped like pq_topk — reconstruction is a
+    narrow per-row transform over the corpus scan, the query side is the
+    ONLY nested-loop broadcast, no cartesian product, no extra
+    exchange-wide join."""
+    from gliner_spark.operators.similarity import sq8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    p = _plan(sq8_topk(emb))
+    assert "CartesianProduct" not in p, p[:2000]
+    n_nlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+    assert n_nlj == 1, p[:2000]
+    # ranges are plan literals: no second aggregate over the corpus
+    # inside the scoring plan (training ran at construction time)
+    assert "posexplode" not in p, p[:2000]
+
+
+def test_link_prediction_plan_has_no_cartesian(spark):
+    """r6: the RA candidate join is wedge-pivot equi-join + anti-join —
+    never an all-pairs product."""
+    from gliner_spark.operators.graph_analytics import link_prediction
+
+    triples = spark.createDataFrame(
+        [("d0", "a", "r", "b", "t", "t", 1.0),
+         ("d0", "b", "r", "c", "t", "t", 1.0)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    df = link_prediction(triples)
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    from gliner_spark.cache import release_caches
+
+    release_caches(df)
