@@ -227,6 +227,38 @@ def q_kg_bfs(spark, sf_dir):
     return bfs_distances(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities (r6): every entity
+    simultaneously adopts its neighbors' plurality label (min-label
+    ties) for LPA_ROUNDS rounds — the mesoscale community split inside
+    the reachability components (operators/graph_analytics.
+    lpa_communities; round-unrolled oracle)."""
+    from gliner_spark.operators.graph_analytics import lpa_communities
+
+    return lpa_communities(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_hll(spark, sf_dir):
+    """HyperLogLog distinct-object counts per predicate (r6): 64
+    exact-integer registers per key, mergeable by cell-wise max, with
+    the raw harmonic-mean estimate computed as one 64-bit division next
+    to the exact distinct for grounding (operators/sketches.
+    hll_distinct)."""
+    from gliner_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(q_kg_triples(spark, sf_dir))
+
+
+def q_ta_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (r6, Schleimer et al. 2003 /
+    MOSS): per-window minimum k-gram hash with rightmost-tie packing —
+    guaranteed-coverage local fingerprints for overlap detection
+    (operators/text_analysis.winnow_fingerprints)."""
+    from gliner_spark.operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
@@ -1314,6 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": q_kg_link_prediction,
         "kg_bfs": q_kg_bfs,
         "ev_mrr": q_ev_mrr,
+        "kg_lpa": q_kg_lpa,
+        "kg_hll": q_kg_hll,
+        "ta_winnowing": q_ta_winnowing,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3030,6 +3065,162 @@ ORDER BY u.a, u.b
 """
 
 
+def _kg_lpa_oracle() -> str:
+    """lpa_communities replay: LPA_ROUNDS unrolled synchronous rounds —
+    each round re-labels EVERY node with the (count DESC, lbl ASC)
+    plurality label of its neighbors. A round that changes nothing is a
+    fixpoint of the synchronous update, so the Spark side's early exit
+    equals this fixed unroll. gsym / lp{r} are MATERIALIZED (each is
+    referenced by the next round's join — the r5 recursive-CTE
+    re-inlining lesson); the CTE-level UNION-in-WITH-RECURSIVE gotcha is
+    avoided with explicit UNION ALL + DISTINCT."""
+    from gliner_spark.operators.graph_analytics import LPA_ROUNDS
+
+    snap = _kg_snapshot()
+    rounds = []
+    for r in range(LPA_ROUNDS):
+        rounds.append(f"""
+lp{r + 1} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM (
+      SELECT s.node, p.lbl, count(*) AS c
+      FROM gsym s JOIN lp{r} p ON p.node = s.nbr
+      GROUP BY s.node, p.lbl
+    )
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+gund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+gsym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM gund UNION ALL SELECT b, a FROM gund
+),
+lp0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS lbl FROM gsym
+),
+{",".join(rounds)}
+SELECT node AS entity, lbl AS community FROM lp{LPA_ROUNDS}
+ORDER BY entity
+"""
+
+
+def _kg_hll_oracle() -> str:
+    """hll_distinct replay: identical fold hash, bucket/rest split, the
+    same 25-threshold bit-length CASE for rho, register max, the
+    power-of-two CASE map and the one integer division — every value
+    exact bigint, so the gate compares estimates bit-for-bit."""
+    from gliner_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_MIX_A,
+        HLL_REST_BITS,
+    )
+
+    snap = _kg_snapshot()
+    bitlen = " ".join(
+        f"WHEN rest >= {1 << (b - 1)} THEN {b}"
+        for b in range(HLL_REST_BITS, 0, -1)
+    )
+    pw = " ".join(
+        f"WHEN {mm} THEN {1 << (HLL_REST_BITS + 1 - mm)}"
+        for mm in range(1, HLL_REST_BITS + 2)
+    )
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+hh0 AS (
+  SELECT pred,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(length(obj)),
+        i -> CAST(ascii(substring(obj, CAST(i+1 AS INT), 1)) AS BIGINT))),
+      (acc, cp) -> (acc*1000003 + cp) % 2147483647) AS h0
+  FROM ktriples
+),
+hh AS (
+  SELECT pred,
+    (((h0 * h0) % 2147483647) * {HLL_MIX_A} + h0) % 2147483647 AS h
+  FROM hh0
+),
+hrows AS (
+  SELECT pred, h % {HLL_M} AS bucket, h // {HLL_M} AS rest FROM hh
+),
+hreg AS (
+  SELECT pred, bucket,
+    max({HLL_REST_BITS + 1} - CASE {bitlen} ELSE 0 END) AS m
+  FROM hrows GROUP BY pred, bucket
+),
+hest AS (
+  SELECT pred,
+    CAST({HLL_M} - count(*) AS BIGINT) AS zero_registers,
+    sum(CASE m {pw} END)
+      + ({HLL_M} - count(*)) * {1 << (HLL_REST_BITS + 1)} AS sumpow
+  FROM hreg GROUP BY pred
+),
+hex AS (
+  SELECT pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_exact
+  FROM ktriples GROUP BY pred
+)
+SELECT x.pred, x.n_exact,
+  CAST(({HLL_EST_NUM} // e.sumpow) // 1000000 AS BIGINT) AS hll_est,
+  e.zero_registers
+FROM hex x JOIN hest e ON e.pred = x.pred
+ORDER BY x.pred
+"""
+
+
+def _ta_winnowing_oracle() -> str:
+    """winnow_fingerprints replay: in-list gram hashes, the identical
+    packed-key window min (rightmost-tie rule is the position
+    complement), the full-window/short-doc start filter, DISTINCT."""
+    from gliner_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_POS_BITS,
+        WINNOW_W,
+    )
+
+    cap = 1 << WINNOW_POS_BITS
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH warr AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), tok ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(length(tok)),
+          i -> CAST(ascii(substring(tok, CAST(i+1 AS INT), 1)) AS BIGINT))),
+        (acc, cp) -> (acc*1000003 + cp) % 2147483647)) AS ids
+  FROM documents
+),
+wgrams AS (
+  SELECT doc_id,
+    unnest(range(greatest(len(ids) - {k} + 1, 0))) AS pos,
+    unnest(list_transform(range(greatest(len(ids) - {k} + 1, 0)), i ->
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     ids[CAST(i+1 AS INT):CAST(i+{k} AS INT)]),
+        (acc, x) -> (acc*131 + x) % 2147483647))) AS gh
+  FROM warr
+),
+wkeys AS (
+  SELECT doc_id, pos,
+    count(*) OVER (PARTITION BY doc_id) AS total,
+    min(gh * {cap} + ({cap - 1} - pos)) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wkey
+  FROM wgrams
+)
+SELECT DISTINCT doc_id,
+  CAST({cap - 1} - (wkey % {cap}) AS BIGINT) AS fp_pos,
+  CAST(wkey // {cap} AS BIGINT) AS fp
+FROM wkeys
+WHERE pos <= total - {w} OR (total < {w} AND pos = 0)
+ORDER BY doc_id, fp_pos
+"""
+
+
 def _kg_clustering_oracle() -> str:
     """clustering_coefficients replay: the kg_triangles enumeration CTEs
     plus the symmetrized undirected degree, one exact division."""
@@ -3957,6 +4148,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_link_prediction": _kg_link_prediction_oracle(),
         "kg_bfs": _kg_bfs_oracle(),
         "ev_mrr": _ev_mrr_oracle(),
+        "kg_lpa": _kg_lpa_oracle(),
+        "kg_hll": _kg_hll_oracle(),
+        "ta_winnowing": _ta_winnowing_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -737,3 +737,75 @@ def bfs_distances(
     if prev_frontier is not None:
         prev_frontier.unpersist()  # dist is independently checkpointed
     return forward_caches(dist.orderBy("dist", "node"), triples)
+
+
+LPA_ROUNDS = 4
+
+
+def lpa_communities(
+    triples: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007, made deterministic): every node starts labeled
+    with its own id; each round EVERY node simultaneously adopts the
+    plurality label among its neighbors, ties broken by MINIMUM label —
+    no randomized visit order, no asynchronous races, so the result is a
+    pure function of the graph and bit-replayable by the kg_lpa oracle.
+    A fixed `rounds` bound replaces "iterate to consensus": synchronous
+    LPA need not converge at all (bipartite structures oscillate), so
+    bounded rounds IS the spec, not an approximation of it — and a round
+    that changes no label is a fixpoint (new = f(old)), so the early
+    exit below equals the oracle's full unroll.
+
+    Communities complement the other graph gates: connected components
+    give reachability-level grouping, k-core gives density nuclei; LPA
+    gives the mesoscale "who clusters with whom" split inside a
+    component. Returned as (entity, community) with community = the
+    surviving label (an entity id), ordered by entity.
+
+    Scale shape: each round is one equi-join of the symmetric adjacency
+    against the current (node, lbl) map, one (node, lbl) grouped count
+    (map-side partial — the shuffle carries at most one row per distinct
+    neighbor label per node, never one per edge), and one per-node
+    row_number window over those counts (partition size <= the node's
+    distinct neighbor-label count <= its degree; the same hub exposure
+    as the degree aggregate itself, no C(deg,2) blowup anywhere).
+    localCheckpoint + previous-iterate unpersist per round, the
+    CC/kcore/BFS loop hygiene."""
+    from gliner_spark.cache import forward_caches
+
+    und = undirected_edges(triples).localCheckpoint()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    labels = (
+        sym.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        nxt = (
+            sym.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(labels, ["node", "lbl"], "left_anti").limit(1).count()
+        )
+        if changed == 0:
+            nxt.unpersist()
+            break
+        labels.unpersist()
+        labels = nxt
+    out = labels.select(
+        F.col("node").alias("entity"), F.col("lbl").alias("community")
+    ).orderBy("entity")
+    return forward_caches(out, triples)

@@ -576,3 +576,80 @@ def bigram_support(docs: DataFrame, min_count: int = 2) -> DataFrame:
         .orderBy("doc_id"),
         bg,
     )
+
+
+WINNOW_K = 3   # tokens per k-gram
+WINNOW_W = 4   # k-gram hashes per winnowing window
+WINNOW_POS_BITS = 20  # position packing for the rightmost-tie min key
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    window of w consecutive gram hashes over the document, and record
+    the MINIMUM hash of each window (rightmost position on ties), keeping
+    one row per distinct (doc_id, position). Guarantees every shared
+    substring of length >= w+k-1 tokens contributes at least one common
+    fingerprint, while storing only ~2/(w+1) of the grams — the
+    robust local fingerprint selection for plagiarism / near-dup overlap
+    detection that pairs with the global rolling hash of
+    doc_fingerprint.
+
+    Determinism trick: the rightmost-argmin of a window is a SINGLE
+    integer min over packed keys gh * 2^POS_BITS + (2^POS_BITS-1 - pos)
+    (gram hash < 2^31, so the key fits a long; positions must be <
+    2^POS_BITS = ~1M tokens/doc). The ta_winnowing oracle replays the
+    identical window min. Only full windows select (plus the whole doc
+    as one window when it has fewer than w grams), matching the paper.
+
+    Scale shape: token ids, gram hashes and pack keys are all in-row
+    array expressions (zero shuffle); the only exchange is the
+    partition-by-doc window — the same single-shuffle shape as
+    sessionization. Fingerprints per doc are ~n/w·2/(w+1), so output is
+    a constant fraction of the corpus regardless of scale."""
+    ids = F.col("_ids")
+    n = F.size(ids)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.aggregate(
+                F.slice(ids, i + 1, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(131) + x) % F.lit(P31),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = docs.select(
+        "doc_id", token_id_array("text").alias("_ids")
+    ).select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+    from pyspark.sql import Window
+
+    pos_cap = 1 << WINNOW_POS_BITS
+    key = F.col("gh") * F.lit(pos_cap) + (F.lit(pos_cap - 1) - F.col("pos"))
+    wn = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    keyed = staged.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("total"),
+        F.min(key).over(wn).alias("wkey"),
+    )
+    return (
+        keyed.filter(
+            (F.col("pos") <= F.col("total") - w)
+            | ((F.col("total") < w) & (F.col("pos") == 0))
+        )
+        .select(
+            "doc_id",
+            (F.lit(pos_cap - 1) - F.col("wkey") % F.lit(pos_cap))
+            .cast("long")
+            .alias("fp_pos"),
+            F.expr(f"wkey DIV {pos_cap}").cast("long").alias("fp"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos")
+    )

@@ -1,0 +1,238 @@
+"""Round-6 additions: synchronous LPA communities, HyperLogLog distinct
+registers, and winnowing fingerprints — each checked against an
+independent pure-python brute force (exact integer math, so equality is
+== not approx) plus the operator-specific invariants (community split,
+register mergeability, winnowing coverage guarantee)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+P31 = 2147483647
+
+
+def _fold(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 1000003 + ord(ch)) % P31
+    return h
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [("d0", s, p, o, "t", "t", 1.0) for s, p, o in rows],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+
+# ------------------------------------------------------------------ LPA --
+def _lpa_brute(edges, rounds):
+    """Synchronous plurality-label propagation, min-label ties."""
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in nbrs.items():
+            cnt = {}
+            for m in ns:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            nxt[n] = min(
+                cnt, key=lambda c: (-cnt[c], c)
+            )  # plurality, min-label tie
+        if nxt == lbl:
+            break
+        lbl = nxt
+    return lbl
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge resolve to exactly two
+    communities, each the lexicographic min of its clique."""
+    from gliner_spark.operators.graph_analytics import lpa_communities
+
+    left = [f"a{i}" for i in range(4)]
+    right = [f"b{i}" for i in range(4)]
+    rows = [
+        (x, "r", y) for grp in (left, right) for x in grp for y in grp if x < y
+    ] + [("a0", "r", "b0")]
+    got = {
+        r.entity: r.community
+        for r in lpa_communities(_triples(spark, rows)).collect()
+    }
+    assert all(got[x] == "a0" for x in left)
+    assert all(got[x] == "b0" for x in right)
+
+
+def test_lpa_matches_brute_force(spark):
+    from gliner_spark.operators.graph_analytics import (
+        LPA_ROUNDS,
+        lpa_communities,
+    )
+
+    rng = random.Random(23)
+    names = [f"e{i:03d}" for i in range(40)]
+    triples = list(
+        {
+            (rng.choice(names), "r", rng.choice(names))
+            for _ in range(90)
+        }
+    )
+    want = _lpa_brute([(s, o) for s, _, o in triples], LPA_ROUNDS)
+    got = {
+        r.entity: r.community
+        for r in lpa_communities(_triples(spark, triples)).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------------------ HLL --
+def _hll_brute(values):
+    """(registers, sumpow, est) from the same integer spec."""
+    from gliner_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_MIX_A,
+        HLL_REST_BITS,
+    )
+
+    regs = {}
+    for v in set(values):
+        h0 = _fold(v)
+        h = ((h0 * h0) % P31 * HLL_MIX_A + h0) % P31
+        bucket, rest = h % HLL_M, h // HLL_M
+        rho = HLL_REST_BITS + 1 - rest.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    sumpow = sum(1 << (HLL_REST_BITS + 1 - m) for m in regs.values())
+    sumpow += (HLL_M - len(regs)) * (1 << (HLL_REST_BITS + 1))
+    est = (HLL_EST_NUM // sumpow) // 1_000_000
+    return regs, sumpow, est
+
+
+def test_hll_registers_and_estimate_match_brute_force(spark):
+    from gliner_spark.operators.sketches import hll_build, hll_distinct
+
+    objs = [f"obj-{i}" for i in range(500)]
+    rows = [("s", "p1", o) for o in objs for _ in range(2)] + [
+        ("s", "p2", f"x-{i}") for i in range(40)
+    ]
+    t = _triples(spark, rows)
+
+    regs1, _, est1 = _hll_brute(objs)
+    regs2, _, est2 = _hll_brute([f"x-{i}" for i in range(40)])
+    got_regs = {
+        (r.pred, r.bucket): r.m for r in hll_build(t).collect()
+    }
+    assert got_regs == {
+        **{("p1", b): m for b, m in regs1.items()},
+        **{("p2", b): m for b, m in regs2.items()},
+    }
+    got = {r.pred: r for r in hll_distinct(t).collect()}
+    assert got["p1"].n_exact == 500 and got["p2"].n_exact == 40
+    assert got["p1"].hll_est == est1 and got["p2"].hll_est == est2
+    # raw HLL operating regime: within ~3 sigma of 1.04/sqrt(64)
+    assert abs(got["p1"].hll_est - 500) <= 500 * 0.40
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Registers of two disjoint halves merged cell-wise by MAX equal the
+    registers of the union — the 100 TB / streaming mergeability
+    contract."""
+    from gliner_spark.operators.sketches import hll_build
+
+    a = [("s", "p", f"v{i}") for i in range(200)]
+    b = [("s", "p", f"w{i}") for i in range(200)]
+    whole = {
+        (r.bucket): r.m
+        for r in hll_build(_triples(spark, a + b)).collect()
+    }
+    ra = hll_build(_triples(spark, a))
+    rb = hll_build(_triples(spark, b))
+    merged = {
+        r.bucket: r.m
+        for r in ra.unionByName(rb)
+        .groupBy("pred", "bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    assert merged == whole
+
+
+# ------------------------------------------------------------ winnowing --
+def _winnow_brute(tokens, k, w, pos_bits):
+    ids = [_fold(t) for t in tokens]
+    if len(ids) < k:
+        return set()
+    grams = []
+    for i in range(len(ids) - k + 1):
+        g = 0
+        for x in ids[i : i + k]:
+            g = (g * 131 + x) % P31
+        grams.append(g)
+    cap = 1 << pos_bits
+    starts = (
+        range(len(grams) - w + 1) if len(grams) >= w else [0]
+    )
+    out = set()
+    for s in starts:
+        window = grams[s : s + w]
+        key = min(
+            g * cap + (cap - 1 - (s + j)) for j, g in enumerate(window)
+        )
+        out.add((cap - 1 - key % cap, key // cap))
+    return out
+
+
+def test_winnowing_matches_brute_force(spark):
+    from gliner_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_POS_BITS,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (f"d{i}", " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r.doc_id, r.fp_pos, r.fp)
+        for r in winnow_fingerprints(df).collect()
+    }
+    want = {
+        (d, p, f)
+        for d, text in docs
+        for p, f in _winnow_brute(
+            text.split(" "), WINNOW_K, WINNOW_W, WINNOW_POS_BITS
+        )
+    }
+    assert got == want
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """Any shared run of >= w+k-1 tokens yields at least one common
+    fingerprint HASH between the two documents (the paper's guarantee)."""
+    from gliner_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    docs = [
+        ("da", "alpha beta " + shared + " gamma"),
+        ("db", "x y z " + shared),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = winnow_fingerprints(df).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps["da"] & fps["db"]
