@@ -102,6 +102,9 @@ EXTRA_QUERIES = [
     "kg_bfs",
     "sim_sq8",
     "ev_mrr",
+    "kg_lpa",
+    "kg_hll",
+    "ta_winnowing",
 ]
 
 
@@ -178,11 +181,13 @@ def main():
             entity_degrees,
             kcore,
             link_prediction,
+            lpa_communities,
             node_similarity,
             pagerank,
             triangle_counts,
             two_hop_paths,
         )
+        from gliner_spark.operators.sketches import hll_distinct
 
         tdir = tempfile.mkdtemp(prefix="gs_bench_triples_")
         tpath = f"{tdir}/triples.parquet"
@@ -205,6 +210,8 @@ def main():
             "kcore": kcore,
             "link_prediction": link_prediction,
             "bfs": bfs_distances,
+            "lpa": lpa_communities,
+            "hll": hll_distinct,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -320,3 +320,51 @@ def test_link_prediction_plan_has_no_cartesian(spark):
     from gliner_spark.cache import release_caches
 
     release_caches(df)
+
+
+def test_winnowing_single_shuffle(spark):
+    """r6: gram hashing and key packing are in-row; the only exchanges
+    are the doc-partition window and the output sort (distinct rides the
+    window's hash partitioning or adds at most one more)."""
+    from gliner_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = spark.read.parquet(DOCS)
+    p = _plan(winnow_fingerprints(docs))
+    assert _n_exchanges(p) <= 3, p[:2000]
+    assert "CartesianProduct" not in p
+    # no join anywhere: fingerprints derive from the doc rows alone
+    assert "Join" not in p, p[:2000]
+
+
+def test_hll_registers_are_one_aggregate(spark):
+    """r6: hll_build is scan -> project (hash/scramble/rho) -> ONE
+    partial+final aggregate; at most one exchange, no join, no window."""
+    from gliner_spark.operators.sketches import hll_build
+
+    triples = spark.createDataFrame(
+        [("d0", "a", "r", f"o{i}", "t", "t", 1.0) for i in range(50)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    p = _plan(hll_build(triples))
+    assert _n_exchanges(p) <= 1, p[:2000]
+    assert "Join" not in p, p[:2000]
+    assert "Window" not in p, p[:2000]
+
+
+def test_lpa_round_has_no_cartesian_or_global_window(spark):
+    """r6: each LPA round's window partitions by node (never a global
+    unpartitioned window) and all joins are equi-joins."""
+    from gliner_spark.operators.graph_analytics import lpa_communities
+
+    triples = spark.createDataFrame(
+        [("d0", "a", "r", "b", "t", "t", 1.0),
+         ("d0", "b", "r", "c", "t", "t", 1.0),
+         ("d0", "c", "r", "a", "t", "t", 1.0)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    df = lpa_communities(triples, rounds=1)
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
