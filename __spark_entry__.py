@@ -259,6 +259,26 @@ def q_ta_winnowing(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_kg_modularity(spark, sf_dir):
+    """Newman modularity decomposition of the LPA partition (r6):
+    per-community q_c = (4*m*e_c - d_c^2)/(4*m^2) in exact integers —
+    the "are these communities real" score over the constructed graph
+    (operators/graph_analytics.partition_modularity)."""
+    from gliner_spark.operators.graph_analytics import partition_modularity
+
+    return partition_modularity(q_kg_triples(spark, sf_dir))
+
+
+def q_dd_winnow(spark, sf_dir):
+    """Winnowing-overlap near-dup pairs (r6, the MOSS second half): doc
+    pairs sharing >= WINNOW_MIN_SHARED selected fingerprints via a
+    capped inverted index — local-overlap detection that whole-doc
+    minhash dilutes away (operators/dedup.winnow_overlap_pairs)."""
+    from gliner_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
@@ -1349,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lpa": q_kg_lpa,
         "kg_hll": q_kg_hll,
         "ta_winnowing": q_ta_winnowing,
+        "kg_modularity": q_kg_modularity,
+        "dd_winnow": q_dd_winnow,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3076,6 +3098,24 @@ def _kg_lpa_oracle() -> str:
     avoided with explicit UNION ALL + DISTINCT."""
     from gliner_spark.operators.graph_analytics import LPA_ROUNDS
 
+    return f"""
+WITH RECURSIVE {_lpa_body()}
+SELECT node AS entity, lbl AS community FROM lp{_lpa_last()}
+ORDER BY entity
+"""
+
+
+def _lpa_last() -> int:
+    from gliner_spark.operators.graph_analytics import LPA_ROUNDS
+
+    return LPA_ROUNDS
+
+
+def _lpa_body() -> str:
+    """Shared LPA CTE chain (canonical triples -> gund/gsym -> unrolled
+    rounds ending at lp{LPA_ROUNDS}) for kg_lpa and kg_modularity."""
+    from gliner_spark.operators.graph_analytics import LPA_ROUNDS
+
     snap = _kg_snapshot()
     rounds = []
     for r in range(LPA_ROUNDS):
@@ -3091,10 +3131,9 @@ lp{r + 1} AS MATERIALIZED (
     )
   ) WHERE rn = 1
 )""")
-    return f"""
-WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+    return f"""{_kg_canonical_triples_cte(snap)},
 {_KG_EDGES_CTE},
-gund AS (
+gund AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
 ),
 gsym AS MATERIALIZED (
@@ -3103,9 +3142,46 @@ gsym AS MATERIALIZED (
 lp0 AS MATERIALIZED (
   SELECT DISTINCT node, node AS lbl FROM gsym
 ),
-{",".join(rounds)}
-SELECT node AS entity, lbl AS community FROM lp{LPA_ROUNDS}
-ORDER BY entity
+{",".join(rounds)}"""
+
+
+def _kg_modularity_oracle() -> str:
+    """partition_modularity replay: the LPA body, then intra-edge counts
+    (both endpoints in the community), member degree sums, m as a 1-row
+    aggregate, and the exact-integer single division."""
+    last = _lpa_last()
+    return f"""
+WITH RECURSIVE {_lpa_body()},
+mlab AS MATERIALIZED (SELECT node, lbl FROM lp{last}),
+mintra AS (
+  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_intra
+  FROM gund u
+  JOIN mlab la ON la.node = u.a
+  JOIN mlab lb ON lb.node = u.b
+  WHERE la.lbl = lb.lbl
+  GROUP BY la.lbl
+),
+mdeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS k FROM gsym GROUP BY node
+),
+mcomm AS (
+  SELECT l.lbl AS community,
+    CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(d.k) AS BIGINT) AS d_total
+  FROM mlab l JOIN mdeg d ON d.node = l.node
+  GROUP BY l.lbl
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gund)
+SELECT c.community, c.n_nodes,
+  CAST(coalesce(i.e_intra, 0) AS BIGINT) AS e_intra,
+  c.d_total,
+  round(CAST(4 * mm.m * coalesce(i.e_intra, 0)
+             - c.d_total * c.d_total AS DOUBLE)
+        / (4 * mm.m * mm.m), 6) AS q_contrib
+FROM mcomm c
+LEFT JOIN mintra i ON i.community = c.community
+CROSS JOIN mm
+ORDER BY c.community
 """
 
 
@@ -3172,10 +3248,11 @@ ORDER BY x.pred
 """
 
 
-def _ta_winnowing_oracle() -> str:
-    """winnow_fingerprints replay: in-list gram hashes, the identical
-    packed-key window min (rightmost-tie rule is the position
-    complement), the full-window/short-doc start filter, DISTINCT."""
+def _winnow_body() -> str:
+    """Shared winnowing CTE chain ending in `wfps` (doc_id, fp_pos, fp)
+    — in-list gram hashes, the packed-key window min (rightmost-tie rule
+    is the position complement), the full-window/short-doc start filter,
+    DISTINCT. Used by ta_winnowing and dd_winnow."""
     from gliner_spark.operators.text_analysis import (
         WINNOW_K,
         WINNOW_POS_BITS,
@@ -3184,8 +3261,7 @@ def _ta_winnowing_oracle() -> str:
 
     cap = 1 << WINNOW_POS_BITS
     k, w = WINNOW_K, WINNOW_W
-    return f"""
-WITH warr AS (
+    return f"""warr AS (
   SELECT doc_id,
     list_transform(string_split(text, ' '), tok ->
       list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3211,13 +3287,51 @@ wkeys AS (
       PARTITION BY doc_id ORDER BY pos
       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wkey
   FROM wgrams
-)
-SELECT DISTINCT doc_id,
-  CAST({cap - 1} - (wkey % {cap}) AS BIGINT) AS fp_pos,
-  CAST(wkey // {cap} AS BIGINT) AS fp
-FROM wkeys
-WHERE pos <= total - {w} OR (total < {w} AND pos = 0)
+),
+wfps AS (
+  SELECT DISTINCT doc_id,
+    CAST({cap - 1} - (wkey % {cap}) AS BIGINT) AS fp_pos,
+    CAST(wkey // {cap} AS BIGINT) AS fp
+  FROM wkeys
+  WHERE pos <= total - {w} OR (total < {w} AND pos = 0)
+)"""
+
+
+def _ta_winnowing_oracle() -> str:
+    return f"""
+WITH {_winnow_body()}
+SELECT doc_id, fp_pos, fp FROM wfps
 ORDER BY doc_id, fp_pos
+"""
+
+
+def _dd_winnow_oracle() -> str:
+    """winnow_overlap_pairs replay: distinct (fp, doc) postings, the
+    bucket cap on docs-per-fingerprint, one self-equi-join on fp, the
+    grouped shared count and the min_shared filter."""
+    from gliner_spark.operators.dedup import (
+        WINNOW_BUCKET_CAP,
+        WINNOW_MIN_SHARED,
+    )
+
+    return f"""
+WITH {_winnow_body()},
+winv AS (
+  SELECT DISTINCT doc_id, fp FROM wfps
+),
+wfan AS (
+  SELECT fp, count(*) AS n_docs FROM winv GROUP BY fp
+),
+wcap AS (
+  SELECT i.doc_id, i.fp FROM winv i JOIN wfan f ON f.fp = i.fp
+  WHERE f.n_docs <= {WINNOW_BUCKET_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM wcap a JOIN wcap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -4151,6 +4265,8 @@ def _kg_oracles() -> dict[str, str]:
         "kg_lpa": _kg_lpa_oracle(),
         "kg_hll": _kg_hll_oracle(),
         "ta_winnowing": _ta_winnowing_oracle(),
+        "kg_modularity": _kg_modularity_oracle(),
+        "dd_winnow": _dd_winnow_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

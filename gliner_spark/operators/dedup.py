@@ -282,3 +282,54 @@ def duplicate_clusters(
     pairs = minhash_dedup(docs, threshold, sort=False)
     out = closure_clusters(pairs, "doc_a", "doc_b", "doc_id", cfg)
     return attach_audits(forward_caches(out, pairs), pairs)
+
+
+WINNOW_MIN_SHARED = 2
+WINNOW_BUCKET_CAP = 16
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    bucket_cap: int = WINNOW_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup / overlap candidate pairs from WINNOWING fingerprints
+    (the MOSS pipeline's second half): doc pairs sharing at least
+    `min_shared` selected fingerprint hashes, with the shared count —
+    winnowing's guarantee (every common run of >= w+k-1 tokens leaves a
+    common fingerprint) makes this the local-overlap detector that
+    catches partial plagiarism/quotation which whole-doc minhash
+    dilutes away. Complements minhash (global Jaccard), simhash
+    (Hamming) and n-gram Jaccard in the dedup family.
+
+    Plan shape: the same inverted-index discipline as every LSH stage
+    here — distinct (fp, doc) postings, fingerprints shared by more
+    than `bucket_cap` docs dropped AND audited (boilerplate shingles
+    are the Zipf head; a winnowed fingerprint kept by >cap docs carries
+    no pair information worth C(cap,2) join rows), then one equi-join
+    on fp and a grouped count. Never an all-pairs product; output is
+    bounded by C(bucket_cap, 2) rows per fingerprint."""
+    from gliner_spark.metrics import attach_audits, capped_filter
+    from gliner_spark.operators.text_analysis import winnow_fingerprints
+
+    inv = (
+        winnow_fingerprints(docs, sort=False)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    w = Window.partitionBy("fp")
+    capped, audit = capped_filter(
+        inv.withColumn("n_docs", F.count(F.lit(1)).over(w)),
+        "n_docs", bucket_cap, "winnow_bucket_cap",
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+    return attach_audits(pairs, audit)

@@ -743,7 +743,8 @@ LPA_ROUNDS = 4
 
 
 def lpa_communities(
-    triples: DataFrame, rounds: int = LPA_ROUNDS
+    triples: DataFrame, rounds: int = LPA_ROUNDS,
+    und: DataFrame | None = None, sort: bool = True,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan,
     Albert & Kumara 2007, made deterministic): every node starts labeled
@@ -771,10 +772,15 @@ def lpa_communities(
     distinct neighbor-label count <= its degree; the same hub exposure
     as the degree aggregate itself, no C(deg,2) blowup anywhere).
     localCheckpoint + previous-iterate unpersist per round, the
-    CC/kcore/BFS loop hygiene."""
+    CC/kcore/BFS loop hygiene. `und`: a caller-materialized canonical
+    undirected edge set to share (partition_modularity passes its own so
+    one query runs the distinct once — the clustering_coefficients
+    lesson); `sort=False` skips the output sort for composing
+    consumers."""
     from gliner_spark.cache import forward_caches
 
-    und = undirected_edges(triples).localCheckpoint()
+    if und is None:
+        und = undirected_edges(triples).localCheckpoint()
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
@@ -807,5 +813,80 @@ def lpa_communities(
         labels = nxt
     out = labels.select(
         F.col("node").alias("entity"), F.col("lbl").alias("community")
-    ).orderBy("entity")
+    )
+    if sort:
+        out = out.orderBy("entity")
+    return forward_caches(out, triples)
+
+
+def partition_modularity(
+    triples: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Newman modularity decomposition of the LPA partition — the
+    standard "are these communities real" score, per community and in
+    EXACT arithmetic: for community c with e_c intra-community edges and
+    d_c total member degree over an m-edge undirected graph,
+
+        q_c = e_c/m - (d_c/(2m))^2 = (4*m*e_c - d_c^2) / (4*m^2)
+
+    and Q = sum_c q_c (in [-1/2, 1]; ~0 means the partition is no better
+    than random). Numerator and denominator are exact bigints here, so
+    the single rounded division replays bit-for-bit in the kg_modularity
+    oracle. (Bigint validity bound: 4*m*e_c needs m*e_c < 2^61 — fine up
+    to ~1.5e9 edges; past that a consumer switches the final division to
+    doubles, the standard practice at that scale.)
+
+    Plan shape: ONE canonical undirected distinct, localCheckpointed and
+    shared by the LPA rounds, the degree aggregate and the intra-edge
+    count (the clustering_coefficients single-distinct lesson); m rides
+    as a broadcast 1-row aggregate (no driver collect); two label joins
+    + three grouped aggregates, no window wider than a node's label
+    candidates."""
+    from gliner_spark.cache import forward_caches
+
+    und = undirected_edges(triples).localCheckpoint()
+    labels = lpa_communities(triples, rounds, und=und, sort=False)
+    la = labels.select(F.col("entity").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("entity").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_intra"))
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .union(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    comm = (
+        labels.join(deg, "entity", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("k", F.lit(0))).cast("long").alias("d_total"),
+        )
+    )
+    mrow = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    out = (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_intra", F.lit(0)).cast("long").alias("e_intra"),
+            "d_total",
+            F.round(
+                (
+                    4 * F.col("m") * F.coalesce("e_intra", F.lit(0))
+                    - F.col("d_total") * F.col("d_total")
+                ).cast("double")
+                / (4 * F.col("m") * F.col("m")),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
     return forward_caches(out, triples)

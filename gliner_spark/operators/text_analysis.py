@@ -584,7 +584,8 @@ WINNOW_POS_BITS = 20  # position packing for the rightmost-tie min key
 
 
 def winnow_fingerprints(
-    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
+    sort: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
@@ -638,7 +639,7 @@ def winnow_fingerprints(
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("total"),
         F.min(key).over(wn).alias("wkey"),
     )
-    return (
+    out = (
         keyed.filter(
             (F.col("pos") <= F.col("total") - w)
             | ((F.col("total") < w) & (F.col("pos") == 0))
@@ -651,5 +652,7 @@ def winnow_fingerprints(
             F.expr(f"wkey DIV {pos_cap}").cast("long").alias("fp"),
         )
         .distinct()
-        .orderBy("doc_id", "fp_pos")
     )
+    # sort=False for composing consumers (winnow_overlap_pairs): no
+    # global sort below their joins
+    return out.orderBy("doc_id", "fp_pos") if sort else out

@@ -236,3 +236,124 @@ def test_winnowing_coverage_guarantee(spark):
     for r in rows:
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps["da"] & fps["db"]
+
+
+# -------------------------------------------------- winnow overlap pairs --
+def test_winnow_overlap_pairs_match_brute_force(spark):
+    from gliner_spark.operators.dedup import (
+        WINNOW_BUCKET_CAP,
+        WINNOW_MIN_SHARED,
+        winnow_overlap_pairs,
+    )
+    from gliner_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_POS_BITS,
+        WINNOW_W,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(8)]
+    shared = " ".join(rng.choice(vocab) for _ in range(12))
+    docs = [
+        ("d0", shared + " tail one"),
+        ("d1", "head " + shared),
+        ("d2", " ".join(rng.choice(vocab) for _ in range(15))),
+        ("d3", shared + " " + shared),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    postings = {}
+    for d, text in docs:
+        for _, f in _winnow_brute(
+            text.split(" "), WINNOW_K, WINNOW_W, WINNOW_POS_BITS
+        ):
+            postings.setdefault(f, set()).add(d)
+    pairs = {}
+    for f, ds in postings.items():
+        if len(ds) > WINNOW_BUCKET_CAP:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] = pairs.get((ds[i], ds[j]), 0) + 1
+    want = {p: c for p, c in pairs.items() if c >= WINNOW_MIN_SHARED}
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_overlap_pairs(df).collect()
+    }
+    assert got == want
+    assert ("d0", "d1") in got  # the planted shared run is detected
+
+
+def test_winnow_bucket_cap_drops_boilerplate_fingerprints(spark):
+    """A fingerprint shared by > cap docs must generate NO pairs."""
+    from gliner_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "a b c d e f"
+    docs = [(f"d{i}", boiler) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    assert winnow_overlap_pairs(df, min_shared=1, bucket_cap=3).count() == 0
+    # under the cap the same docs all pair up (C(5,2) = 10)
+    assert winnow_overlap_pairs(df, min_shared=1, bucket_cap=10).count() == 10
+
+
+# ------------------------------------------------------------ modularity --
+def test_modularity_matches_brute_force(spark):
+    from gliner_spark.operators.graph_analytics import (
+        LPA_ROUNDS,
+        partition_modularity,
+    )
+
+    rng = random.Random(31)
+    names = [f"e{i:03d}" for i in range(30)]
+    triples = list(
+        {(rng.choice(names), "r", rng.choice(names)) for _ in range(70)}
+    )
+    edges = sorted(
+        {(min(s, o), max(s, o)) for s, _, o in triples if s != o}
+    )
+    lbl = _lpa_brute(edges, LPA_ROUNDS)
+    m = len(edges)
+    deg, e_c, d_c, n_c = {}, {}, {}, {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        if lbl[a] == lbl[b]:
+            e_c[lbl[a]] = e_c.get(lbl[a], 0) + 1
+    for node, c in lbl.items():
+        d_c[c] = d_c.get(c, 0) + deg[node]
+        n_c[c] = n_c.get(c, 0) + 1
+    want = {
+        c: (
+            n_c[c],
+            e_c.get(c, 0),
+            d_c[c],
+            round((4 * m * e_c.get(c, 0) - d_c[c] ** 2) / (4 * m * m), 6),
+        )
+        for c in n_c
+    }
+    got = {
+        r.community: (r.n_nodes, r.e_intra, r.d_total, r.q_contrib)
+        for r in partition_modularity(_triples(spark, triples)).collect()
+    }
+    assert got == want
+    # Q = sum of contributions is a sane modularity value
+    q = sum(v[3] for v in got.values())
+    assert -0.5 <= q <= 1.0
+
+
+def test_modularity_two_cliques_is_high(spark):
+    """The barbell partition (two 4-cliques, one bridge) has Q close to
+    the theoretical value for a clean 2-community split."""
+    from gliner_spark.operators.graph_analytics import partition_modularity
+
+    left = [f"a{i}" for i in range(4)]
+    right = [f"b{i}" for i in range(4)]
+    rows = [
+        (x, "r", y) for grp in (left, right) for x in grp for y in grp if x < y
+    ] + [("a0", "r", "b0")]
+    out = partition_modularity(_triples(spark, rows)).collect()
+    assert {r.community for r in out} == {"a0", "b0"}
+    q = sum(r.q_contrib for r in out)
+    # m=13, per side e=6, d=13 -> q_c = (4*13*6 - 169)/676 each; Q ~ 0.423
+    assert abs(q - 2 * round((4 * 13 * 6 - 169) / 676, 6)) < 1e-9
