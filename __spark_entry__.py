@@ -269,6 +269,16 @@ def q_kg_modularity(spark, sf_dir):
     return partition_modularity(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_schema(spark, sf_dir):
+    """Schema induction over the emitted KG (r6): per (subj_type, pred,
+    obj_type) signature — triple count, distinct subjects/objects, and
+    the functionality ratio (operators/graph_analytics.schema_profile).
+    The first profile a consumer reads on a constructed graph."""
+    from gliner_spark.operators.graph_analytics import schema_profile
+
+    return schema_profile(q_kg_triples(spark, sf_dir))
+
+
 def q_dd_winnow(spark, sf_dir):
     """Winnowing-overlap near-dup pairs (r6, the MOSS second half): doc
     pairs sharing >= WINNOW_MIN_SHARED selected fingerprints via a
@@ -1371,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_winnowing": q_ta_winnowing,
         "kg_modularity": q_kg_modularity,
         "dd_winnow": q_dd_winnow,
+        "kg_schema": q_kg_schema,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3145,6 +3156,25 @@ lp0 AS MATERIALIZED (
 {",".join(rounds)}"""
 
 
+def _kg_schema_oracle() -> str:
+    """schema_profile replay: one grouped aggregate with per-group
+    distincts, the exact single division, (count DESC, signature)
+    order."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)}
+SELECT subj_type, pred, obj_type,
+  CAST(count(*) AS BIGINT) AS n_triples,
+  CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+  CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+  round(CAST(count(*) AS DOUBLE) / count(DISTINCT subj), 6)
+    AS functionality
+FROM ktriples
+GROUP BY subj_type, pred, obj_type
+ORDER BY n_triples DESC, subj_type, pred, obj_type
+"""
+
+
 def _kg_modularity_oracle() -> str:
     """partition_modularity replay: the LPA body, then intra-edge counts
     (both endpoints in the community), member degree sums, m as a 1-row
@@ -4267,6 +4297,7 @@ def _kg_oracles() -> dict[str, str]:
         "ta_winnowing": _ta_winnowing_oracle(),
         "kg_modularity": _kg_modularity_oracle(),
         "dd_winnow": _dd_winnow_oracle(),
+        "kg_schema": _kg_schema_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

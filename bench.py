@@ -105,6 +105,9 @@ EXTRA_QUERIES = [
     "kg_lpa",
     "kg_hll",
     "ta_winnowing",
+    "kg_modularity",
+    "dd_winnow",
+    "kg_schema",
 ]
 
 
@@ -184,6 +187,8 @@ def main():
             lpa_communities,
             node_similarity,
             pagerank,
+            partition_modularity,
+            schema_profile,
             triangle_counts,
             two_hop_paths,
         )
@@ -212,6 +217,8 @@ def main():
             "bfs": bfs_distances,
             "lpa": lpa_communities,
             "hll": hll_distinct,
+            "modularity": partition_modularity,
+            "schema": schema_profile,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -890,3 +890,41 @@ def partition_modularity(
         .orderBy("community")
     )
     return forward_caches(out, triples)
+
+
+def schema_profile(triples: DataFrame) -> DataFrame:
+    """Schema/ontology induction over the emitted triples: one grouped
+    aggregate per (subj_type, pred, obj_type) signature with triple
+    count, distinct subject/object entity counts and the functionality
+    ratio n_triples/n_subjects (≈1 means the predicate is functional —
+    each subject carries at most one object; >1 means multi-valued) —
+    the profile a KG consumer reads FIRST to learn what the extractor
+    actually emitted, and the standard input to ontology alignment /
+    constraint mining. Single map-side-combined aggregate (distincts are
+    per-group partial), no joins; deterministic (count DESC, signature)
+    ordering."""
+    from gliner_spark.cache import forward_caches
+
+    out = (
+        triples.groupBy("subj_type", "pred", "obj_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subjects"),
+            F.countDistinct("obj").cast("long").alias("n_objects"),
+        )
+        .select(
+            "subj_type",
+            "pred",
+            "obj_type",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            F.round(
+                F.col("n_triples").cast("double") / F.col("n_subjects"), 6
+            ).alias("functionality"),
+        )
+        .orderBy(
+            F.desc("n_triples"), "subj_type", "pred", "obj_type"
+        )
+    )
+    return forward_caches(out, triples)

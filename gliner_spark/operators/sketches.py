@@ -152,12 +152,23 @@ def hll_build(triples: DataFrame) -> DataFrame:
     cell-wise MAX — the same mergeability contract as the CMS grid,
     which is what lets a 100 TB run keep per-key distinct-count state in
     kilobytes instead of a distinct shuffle per key."""
-    # stage the fold hash once, then SCRAMBLE before the bucket/rest
-    # split: the plain codepoint fold is too regular on sequential keys
-    # (the last characters dominate the low bits), which starves the
-    # geometric register tail; one squaring round (mid-square mixing,
-    # h^2 < 2^62 so exact in int64 in both engines) plus an affine step
-    # restores the uniformity HLL's estimator assumes
+    return (
+        hll_projection(triples)
+        .groupBy("pred", "bucket")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )
+
+
+def hll_projection(triples: DataFrame) -> DataFrame:
+    """STATELESS narrow projection (pred, bucket, rho) feeding the HLL
+    register max — shared by batch hll_build and the streaming register
+    operator (works unchanged on a streaming DataFrame: pure row-local
+    expressions). The fold hash is staged once, then SCRAMBLED before
+    the bucket/rest split: the plain codepoint fold is too regular on
+    sequential keys (the last characters dominate the low bits), which
+    starves the geometric register tail; one squaring round (mid-square
+    mixing, h^2 < 2^62 so exact in int64 in both engines) plus an affine
+    step restores the uniformity HLL's estimator assumes."""
     staged = triples.select(
         "pred", fold_hash(F.col("obj")).alias("h0")
     ).select(
@@ -168,16 +179,11 @@ def hll_build(triples: DataFrame) -> DataFrame:
         )
         % F.lit(P31),
     ).toDF("pred", "h")
-    rows = staged.select(
+    return staged.select(
         "pred",
         F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
         F.expr(f"h DIV {HLL_M}").alias("rest"),
-    )
-    return (
-        rows.withColumn("rho", _hll_rho(F.col("rest")))
-        .groupBy("pred", "bucket")
-        .agg(F.max("rho").cast("long").alias("m"))
-    )
+    ).withColumn("rho", _hll_rho(F.col("rest"))).drop("rest")
 
 
 def hll_distinct(triples: DataFrame) -> DataFrame:

@@ -458,3 +458,25 @@ def run_stream_to_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_hll_registers(triples_stream: DataFrame) -> DataFrame:
+    """Streaming per-predicate HyperLogLog registers: the batch
+    operator's stateless (pred, bucket, rho) projection feeds a BUILT-IN
+    incremental max aggregate — Structured Streaming's native stateful
+    max IS the HLL merge rule (registers combine by cell-wise max), so
+    no custom applyInPandasWithState state is needed; state is bounded
+    at 64 rows per distinct predicate forever, regardless of stream
+    length. Emit in update mode; the register table at any drain point
+    equals batch sketches.hll_build over everything ingested so far
+    (exactly-once by idempotent max). The estimator stays a batch-side
+    view over the registers (sketches.hll_distinct's estimate CTE)."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.sketches import hll_projection
+
+    return (
+        hll_projection(triples_stream)
+        .groupBy("pred", "bucket")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )

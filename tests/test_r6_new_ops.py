@@ -357,3 +357,29 @@ def test_modularity_two_cliques_is_high(spark):
     q = sum(r.q_contrib for r in out)
     # m=13, per side e=6, d=13 -> q_c = (4*13*6 - 169)/676 each; Q ~ 0.423
     assert abs(q - 2 * round((4 * 13 * 6 - 169) / 676, 6)) < 1e-9
+
+
+# --------------------------------------------------------- schema profile --
+def test_schema_profile_hand_checked(spark):
+    from gliner_spark.operators.graph_analytics import schema_profile
+
+    rows = [
+        ("d0", "a", "works_at", "x", "person", "org", 1.0),
+        ("d0", "b", "works_at", "x", "person", "org", 1.0),
+        ("d1", "a", "works_at", "y", "person", "org", 1.0),
+        ("d1", "a", "born_in", "p", "person", "place", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    out = schema_profile(t).collect()
+    assert [(r.subj_type, r.pred, r.obj_type) for r in out] == [
+        ("person", "works_at", "org"),
+        ("person", "born_in", "place"),
+    ]
+    top = out[0]
+    assert top.n_triples == 3 and top.n_subjects == 2 and top.n_objects == 2
+    assert top.functionality == 1.5
+    assert out[1].functionality == 1.0

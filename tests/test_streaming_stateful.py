@@ -449,3 +449,42 @@ def test_streaming_finalize_clusters_equals_batch_duplicate_clusters(spark):
         docs.unpersist()
         for d in (src, ckpt, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_hll_registers_equal_batch(spark):
+    """r6: HLL registers maintained by the built-in streaming max over
+    two micro-batch drops equal batch hll_build over the union — the
+    cell-wise-max merge rule IS the streaming state."""
+    from gliner_spark.operators.sketches import hll_build
+    from gliner_spark.streaming.pipeline import stream_hll_registers
+
+    src = tempfile.mkdtemp(prefix="gs_hll_src_")
+    ckpt = tempfile.mkdtemp(prefix="gs_hll_ckpt_")
+    try:
+        rows = [
+            ("d0", "s", f"p{i % 3}", f"obj-{i}", "t", "t", 1.0)
+            for i in range(300)
+        ]
+        ddl = (
+            "doc_id string, subj string, pred string, obj string, "
+            "subj_type string, obj_type string, score double"
+        )
+        batch = spark.createDataFrame(rows, ddl)
+        batch.filter(F.col("obj") < "obj-2").write.mode("append").parquet(src)
+        batch.filter(F.col("obj") >= "obj-2").write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        got = _drain_updates(
+            stream_hll_registers(stream), ckpt, ["pred", "bucket"]
+        )
+        want = {
+            (r.pred, r.bucket): r.m for r in hll_build(batch).collect()
+        }
+        assert {k: v.m for k, v in got.items()} == want
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
