@@ -279,6 +279,47 @@ def q_kg_schema(spark, sf_dir):
     return schema_profile(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_negatives(spark, sf_dir):
+    """Type-consistent corruption negative sampling, filtered protocol
+    (r6, Bordes/TransE shape): one hash-selected corrupted tail per
+    distinct positive triple from a bounded per-type candidate pool,
+    anti-joined against the true triple set
+    (operators/kg_completion.negative_samples)."""
+    from gliner_spark.operators.kg_completion import negative_samples
+
+    return negative_samples(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_cooc(spark, sf_dir):
+    """Distant-supervision candidates (r6, Mintz shape): document
+    co-occurrence lift for entity pairs the extractor did NOT link —
+    capped in-doc pair join, support threshold, anti-join against the
+    edge set (operators/kg_completion.cooc_candidates)."""
+    from gliner_spark.operators.kg_completion import cooc_candidates
+
+    return cooc_candidates(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_constraints(spark, sf_dir):
+    """Per-predicate cardinality-constraint mining (r6, AMIE shape):
+    exact functional / inverse-functional permille and the 90%
+    quasi-constraint verdicts
+    (operators/graph_analytics.cardinality_constraints)."""
+    from gliner_spark.operators.graph_analytics import cardinality_constraints
+
+    return cardinality_constraints(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_provenance(spark, sf_dir):
+    """Per-entity provenance cards (r6, W3C-PROV flavor): distinct
+    supporting docs, role-split triple participation, first/last doc —
+    one union + one grouped aggregate
+    (operators/graph_analytics.entity_provenance)."""
+    from gliner_spark.operators.graph_analytics import entity_provenance
+
+    return entity_provenance(q_kg_triples(spark, sf_dir))
+
+
 def q_dd_winnow(spark, sf_dir):
     """Winnowing-overlap near-dup pairs (r6, the MOSS second half): doc
     pairs sharing >= WINNOW_MIN_SHARED selected fingerprints via a
@@ -1382,6 +1423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "dd_winnow": q_dd_winnow,
         "kg_schema": q_kg_schema,
+        "kg_negatives": q_kg_negatives,
+        "kg_cooc": q_kg_cooc,
+        "kg_constraints": q_kg_constraints,
+        "kg_provenance": q_kg_provenance,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3175,6 +3220,169 @@ ORDER BY n_triples DESC, subj_type, pred, obj_type
 """
 
 
+def _kg_negatives_oracle() -> str:
+    """negative_samples replay: hash-ranked bounded pool per obj_type,
+    sorted-list index pick with wrap-on-collision, filtered anti-join."""
+    from gliner_spark.operators.kg_completion import NEG_POOL_CAP
+
+    snap = _kg_snapshot()
+    fold_ent = _sql_fold("entity")
+    fold_spo = _sql_fold("p.subj || '|' || p.pred || '|' || p.obj")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+ngpos AS (SELECT DISTINCT subj, pred, obj, obj_type FROM ktriples),
+ngtrues AS (SELECT DISTINCT subj, pred, obj FROM ktriples),
+ngents AS (SELECT DISTINCT obj_type AS etype, obj AS entity FROM ngpos),
+ngranked AS (
+  SELECT etype, entity,
+    row_number() OVER (PARTITION BY etype ORDER BY {fold_ent}, entity) AS rn
+  FROM ngents
+),
+ngpool AS (
+  SELECT etype, list(entity ORDER BY entity) AS pents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ngranked WHERE rn <= {NEG_POOL_CAP} GROUP BY etype
+),
+nghashed AS (
+  SELECT p.subj, p.pred, p.obj, p.obj_type, pl.pents, pl.n,
+         {fold_spo} % pl.n AS idx
+  FROM ngpos p JOIN ngpool pl ON pl.etype = p.obj_type
+),
+ngcand AS (
+  SELECT subj, pred, obj AS pos_obj, obj_type,
+    CASE WHEN pents[CAST(idx + 1 AS INT)] = obj
+         THEN pents[CAST((idx + 1) % n + 1 AS INT)]
+         ELSE pents[CAST(idx + 1 AS INT)] END AS neg_obj
+  FROM nghashed
+)
+SELECT subj, pred, pos_obj, neg_obj, obj_type
+FROM ngcand c
+WHERE neg_obj != pos_obj
+  AND NOT EXISTS (SELECT 1 FROM ngtrues t
+                  WHERE t.subj = c.subj AND t.pred = c.pred
+                    AND t.obj = c.neg_obj)
+ORDER BY subj, pred, pos_obj, neg_obj
+"""
+
+
+def _kg_cooc_oracle() -> str:
+    """cooc_candidates replay: distinct (doc, entity) incidence, whole
+    over-cap docs excluded, in-doc pairs with support threshold,
+    anti-join vs the undirected edge set, lift as one rounded division."""
+    from gliner_spark.operators.kg_completion import (
+        COOC_DOC_CAP,
+        COOC_MIN_SUPPORT,
+    )
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+ed AS (
+  -- explicit DISTINCT over UNION ALL: under WITH RECURSIVE, DuckDB
+  -- parses a bare CTE-level UNION as the (non-deduplicating)
+  -- recursive-union operator
+  SELECT DISTINCT doc_id, entity FROM (
+    SELECT doc_id, subj AS entity FROM ktriples
+    UNION ALL
+    SELECT doc_id, obj FROM ktriples WHERE obj_type != 'media'
+  )
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ed),
+dsz AS (SELECT doc_id, count(*) AS sz FROM ed GROUP BY doc_id),
+edc AS (
+  SELECT e.doc_id, e.entity FROM ed e
+  JOIN dsz ON dsz.doc_id = e.doc_id WHERE dsz.sz <= {COOC_DOC_CAP}
+),
+pairs AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b,
+         CAST(count(*) AS BIGINT) AS n_docs_pair
+  FROM edc a JOIN edc b
+    ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2
+  HAVING count(*) >= {COOC_MIN_SUPPORT}
+),
+ce AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM ed GROUP BY entity),
+adj AS (
+  SELECT DISTINCT least(subj, obj) AS entity_a,
+                  greatest(subj, obj) AS entity_b
+  FROM ktriples WHERE subj != obj
+)
+SELECT p.entity_a, p.entity_b, p.n_docs_pair,
+       ca.n AS n_docs_a, cb.n AS n_docs_b,
+       round(CAST(nd.n_docs * p.n_docs_pair AS DOUBLE)
+             / (ca.n * cb.n), 6) AS lift
+FROM pairs p
+JOIN ce ca ON ca.entity = p.entity_a
+JOIN ce cb ON cb.entity = p.entity_b
+CROSS JOIN nd
+WHERE NOT EXISTS (SELECT 1 FROM adj
+                  WHERE adj.entity_a = p.entity_a
+                    AND adj.entity_b = p.entity_b)
+ORDER BY entity_a, entity_b
+"""
+
+
+def _kg_constraints_oracle() -> str:
+    """cardinality_constraints replay: two two-level aggregates merged
+    on pred, permille as integer floor-div, 900-permille verdicts."""
+    from gliner_spark.operators.graph_analytics import FUNCTIONAL_PERMILLE
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+so AS (SELECT pred, subj, count(DISTINCT obj) AS n_obj
+       FROM ktriples GROUP BY 1, 2),
+fwd AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects,
+    CAST(sum(CASE WHEN n_obj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_functional,
+    CAST(max(n_obj) AS BIGINT) AS max_objs
+  FROM so GROUP BY pred
+),
+os AS (SELECT pred, obj, count(DISTINCT subj) AS n_subj
+       FROM ktriples GROUP BY 1, 2),
+inv AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_objects,
+    CAST(sum(CASE WHEN n_subj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_inv_functional,
+    CAST(max(n_subj) AS BIGINT) AS max_subjs
+  FROM os GROUP BY pred
+)
+SELECT f.pred, n_subjects, n_functional, max_objs,
+  1000 * n_functional // n_subjects AS functional_permille,
+  (1000 * n_functional // n_subjects) >= {FUNCTIONAL_PERMILLE}
+    AS is_functional,
+  n_objects, n_inv_functional, max_subjs,
+  1000 * n_inv_functional // n_objects AS inverse_permille,
+  (1000 * n_inv_functional // n_objects) >= {FUNCTIONAL_PERMILLE}
+    AS is_inverse_functional
+FROM fwd f JOIN inv i ON i.pred = f.pred
+ORDER BY f.pred
+"""
+
+
+def _kg_provenance_oracle() -> str:
+    """entity_provenance replay: role-tagged UNION ALL, one grouped
+    aggregate per entity."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+sides AS (
+  SELECT doc_id, pred, subj AS entity, 1 AS as_subj FROM ktriples
+  UNION ALL
+  SELECT doc_id, pred, obj, 0 FROM ktriples
+)
+SELECT entity,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_triples,
+  CAST(sum(as_subj) AS BIGINT) AS n_as_subj,
+  CAST(count(*) - sum(as_subj) AS BIGINT) AS n_as_obj,
+  CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM sides GROUP BY entity ORDER BY entity
+"""
+
+
 def _kg_modularity_oracle() -> str:
     """partition_modularity replay: the LPA body, then intra-edge counts
     (both endpoints in the community), member degree sums, m as a 1-row
@@ -4298,6 +4506,10 @@ def _kg_oracles() -> dict[str, str]:
         "kg_modularity": _kg_modularity_oracle(),
         "dd_winnow": _dd_winnow_oracle(),
         "kg_schema": _kg_schema_oracle(),
+        "kg_negatives": _kg_negatives_oracle(),
+        "kg_cooc": _kg_cooc_oracle(),
+        "kg_constraints": _kg_constraints_oracle(),
+        "kg_provenance": _kg_provenance_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -108,6 +108,10 @@ EXTRA_QUERIES = [
     "kg_modularity",
     "dd_winnow",
     "kg_schema",
+    "kg_negatives",
+    "kg_cooc",
+    "kg_constraints",
+    "kg_provenance",
 ]
 
 
@@ -187,10 +191,16 @@ def main():
             lpa_communities,
             node_similarity,
             pagerank,
+            cardinality_constraints,
+            entity_provenance,
             partition_modularity,
             schema_profile,
             triangle_counts,
             two_hop_paths,
+        )
+        from gliner_spark.operators.kg_completion import (
+            cooc_candidates,
+            negative_samples,
         )
         from gliner_spark.operators.sketches import hll_distinct
 
@@ -219,6 +229,10 @@ def main():
             "hll": hll_distinct,
             "modularity": partition_modularity,
             "schema": schema_profile,
+            "constraints": cardinality_constraints,
+            "provenance": entity_provenance,
+            "negatives": negative_samples,
+            "cooc": cooc_candidates,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -1,0 +1,198 @@
+"""KG completion / training-data operators over the constructed graph.
+
+Two classic ops a KG-construction pipeline runs right after emitting
+triples:
+
+- negative_samples: type-consistent corruption sampling under the
+  FILTERED protocol (Bordes et al. 2013 TransE, Wang et al. 2014) — the
+  training-pair generator for any KG-embedding model.
+- cooc_candidates: document co-occurrence lift for NON-adjacent entity
+  pairs — the distant-supervision candidate generator (Mintz et al.
+  2009): pairs the corpus keeps putting together that the extractor
+  never linked.
+
+Reference scope note: urchade/GLiNER emits entities/relations
+(model.py predict_entities / GLiNERRelationExtractor); what a consumer
+does next — corrupt triples for training, mine unlinked co-occurring
+pairs — is the beyond-reference pipeline mandate (SURVEY.md §2.11).
+
+Determinism contract (shared with every oracle-gated operator): all
+randomness is the codepoint-fold hash, all selection is integer
+arithmetic over sorted arrays, so DuckDB replays bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gliner_spark.cache import forward_caches
+from gliner_spark.functions.text import fold_hash
+
+# Bounded deterministic candidate pool per entity type. At web scale the
+# per-type entity set is unbounded (millions of persons), so the sampler
+# never broadcasts it: it keeps the pool_cap entities with the smallest
+# (fold_hash(entity), entity) rank — a deterministic pseudo-random
+# sample — and corrupts against that. Sampling negatives from a capped
+# candidate pool is the standard trade (word2vec/TransE implementations
+# all sample from a table, not the full set); the pool is rebuilt per
+# run so it tracks the corpus.
+NEG_POOL_CAP = 256
+
+COOC_DOC_CAP = 64       # per-doc entity-count cap for the pair self-join
+COOC_MIN_SUPPORT = 2    # min co-occurring docs to emit a candidate pair
+
+
+def negative_samples(
+    triples: DataFrame, pool_cap: int = NEG_POOL_CAP
+) -> DataFrame:
+    """One type-consistent corrupted tail per distinct positive triple,
+    filtered against the true triple set.
+
+    Protocol (Bordes et al. 2013, "filtered" setting of Wang et al.
+    2014): for positive (s, p, o) pick a replacement o' of the SAME
+    object type — type-consistent corruption yields the hard negatives
+    that actually train a scorer — and drop corruptions that happen to
+    be true triples elsewhere in the KG. Selection is
+    fold_hash(s|p|o) mod pool_size over the type's sorted candidate
+    pool; if the pick equals the true object, take the next slot
+    (wraps), and a 1-entity pool yields no negative.
+
+    Shape at scale: the pool is ≤ pool_cap rows per type (window
+    row_number over the per-type hash rank), broadcast to the
+    corruption join; the corruption itself is a narrow projection; the
+    filtered check is one left-anti shuffle join on (s, p, o'). No
+    all-pairs work anywhere.
+    """
+    pos = triples.select("subj", "pred", "obj", "obj_type").distinct()
+    trues = triples.select(
+        "subj", "pred", F.col("obj").alias("neg_obj")
+    ).distinct()
+
+    ents = pos.select(
+        F.col("obj_type").alias("etype"), F.col("obj").alias("entity")
+    ).distinct()
+    w = Window.partitionBy("etype").orderBy("hrank", "entity")
+    pool = (
+        ents.withColumn("hrank", fold_hash(F.col("entity")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool_cap)
+        .groupBy("etype")
+        .agg(F.sort_array(F.collect_list("entity")).alias("ents"))
+        .withColumn("n", F.size("ents").cast("long"))
+    )
+
+    cand = (
+        pos.join(F.broadcast(pool), pos["obj_type"] == pool["etype"])
+        .withColumn(
+            "idx",
+            F.pmod(fold_hash(F.concat_ws("|", "subj", "pred", "obj")), F.col("n")),
+        )
+        .withColumn("c0", F.expr("element_at(ents, CAST(idx + 1 AS INT))"))
+        .withColumn(
+            "c1",
+            F.expr("element_at(ents, CAST((idx + 1) % n + 1 AS INT))"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("obj").alias("pos_obj"),
+            F.when(F.col("c0") == F.col("obj"), F.col("c1"))
+            .otherwise(F.col("c0"))
+            .alias("neg_obj"),
+            "obj_type",
+        )
+        .filter(F.col("neg_obj") != F.col("pos_obj"))
+    )
+    out = (
+        cand.join(trues, ["subj", "pred", "neg_obj"], "left_anti")
+        .select("subj", "pred", "pos_obj", "neg_obj", "obj_type")
+        .orderBy("subj", "pred", "pos_obj", "neg_obj")
+    )
+    return forward_caches(out, triples)
+
+
+def cooc_candidates(
+    triples: DataFrame,
+    doc_cap: int = COOC_DOC_CAP,
+    min_support: int = COOC_MIN_SUPPORT,
+) -> DataFrame:
+    """Document co-occurrence lift for entity pairs the extractor did
+    NOT link — the distant-supervision / missing-relation candidate list
+    (Mintz et al. 2009), complementary to the topological Resource
+    Allocation index (graph_analytics.link_prediction): this one scores
+    the corpus signal, that one the graph signal.
+
+    lift = N * c(a,b) / (c(a) * c(b)) over document frequencies — the
+    exponent-free monotone core of PMI (log is avoided deliberately:
+    integer cross-products and one final rounded division keep the
+    oracle bit-exact).
+
+    Shape at scale: per-doc entity lists are capped (audited, whole
+    over-cap docs excluded — same contract as the 2-hop hub cap) so the
+    in-doc pair self-join is bounded by |docs| * cap^2; support
+    filtering collapses the pair set before the two doc-frequency joins;
+    the non-adjacency check is one left-anti join against the distinct
+    edge set. Media objects are excluded (refs, not entities).
+    """
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    ed = (
+        triples.select("doc_id", F.col("subj").alias("entity"))
+        .union(
+            triples.filter(F.col("obj_type") != "media").select(
+                "doc_id", F.col("obj").alias("entity")
+            )
+        )
+        .distinct()
+    )
+    n_docs = ed.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+
+    w = Window.partitionBy("doc_id")
+    capped, audit = capped_filter(
+        ed.withColumn("sz", F.count(F.lit(1)).over(w)),
+        "sz", doc_cap, "cooc_doc_cap",
+    )
+    a = capped.select("doc_id", F.col("entity").alias("entity_a"))
+    b = capped.select("doc_id", F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_pair"))
+        .filter(F.col("n_docs_pair") >= min_support)
+    )
+
+    ce = ed.groupBy("entity").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    adj = (
+        triples.filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("entity_a"),
+            F.greatest("subj", "obj").alias("entity_b"),
+        )
+        .distinct()
+    )
+    out = (
+        pairs.join(adj, ["entity_a", "entity_b"], "left_anti")
+        .join(ce.withColumnRenamed("n", "n_docs_a"),
+              F.col("entity_a") == F.col("entity"))
+        .drop("entity")
+        .join(ce.withColumnRenamed("n", "n_docs_b"),
+              F.col("entity_b") == F.col("entity"))
+        .drop("entity")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_docs_pair",
+            "n_docs_a",
+            "n_docs_b",
+            F.round(
+                (F.col("n_docs") * F.col("n_docs_pair")).cast("double")
+                / (F.col("n_docs_a") * F.col("n_docs_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("entity_a", "entity_b")
+    )
+    return forward_caches(attach_audits(out, audit), triples)

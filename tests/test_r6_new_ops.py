@@ -383,3 +383,117 @@ def test_schema_profile_hand_checked(spark):
     assert top.n_triples == 3 and top.n_subjects == 2 and top.n_objects == 2
     assert top.functionality == 1.5
     assert out[1].functionality == 1.0
+
+
+# ------------------------------------------------- KG completion (r6b) --
+def test_negative_samples_protocol(spark):
+    """Each negative is type-consistent, differs from the positive, is
+    never a true triple (filtered), and matches the hash-pool brute
+    force exactly."""
+    from gliner_spark.operators.kg_completion import negative_samples
+
+    rows = [
+        ("d0", "a", "likes", "x", "person", "fruit", 1.0),
+        ("d0", "a", "likes", "y", "person", "fruit", 1.0),
+        ("d1", "b", "likes", "x", "person", "fruit", 1.0),
+        ("d1", "b", "visited", "p", "person", "place", 1.0),
+        ("d2", "c", "visited", "q", "person", "place", 1.0),
+        ("d2", "c", "born_in", "solo", "person", "star", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    out = negative_samples(t).collect()
+    trues = {(r[1], r[2], r[3]) for r in rows}
+    pools = {"fruit": sorted({"x", "y"}), "place": sorted({"p", "q"}),
+             "star": ["solo"]}
+    # brute force: hash index with wrap-on-collision, filtered
+    expect = set()
+    for _, s, p, o, _, ot, _ in rows:
+        ents = pools[ot]
+        idx = _fold(f"{s}|{p}|{o}") % len(ents)
+        neg = ents[idx]
+        if neg == o:
+            neg = ents[(idx + 1) % len(ents)]
+        if neg != o and (s, p, neg) not in trues:
+            expect.add((s, p, o, neg, ot))
+    got = {(r.subj, r.pred, r.pos_obj, r.neg_obj, r.obj_type) for r in out}
+    assert got == expect
+    # the 1-entity 'star' pool can never produce a negative
+    assert all(r.obj_type != "star" for r in out)
+    for r in out:
+        assert r.neg_obj != r.pos_obj
+        assert (r.subj, r.pred, r.neg_obj) not in trues
+
+
+def test_cooc_candidates_hand_checked(spark):
+    """a,b co-occur in 2 docs with no edge between them -> emitted with
+    lift N*c(ab)/(c(a)c(b)); the pair that IS an edge is suppressed."""
+    from gliner_spark.operators.kg_completion import cooc_candidates
+
+    rows = [
+        # doc d0 and d1: a and b co-occur (via separate triples to z)
+        ("d0", "a", "r", "z", "t", "t", 1.0),
+        ("d0", "b", "r", "z", "t", "t", 1.0),
+        ("d1", "a", "r", "z", "t", "t", 1.0),
+        ("d1", "b", "r", "z", "t", "t", 1.0),
+        # d2: only a
+        ("d2", "a", "r", "z", "t", "t", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    out = {(r.entity_a, r.entity_b): r for r in cooc_candidates(t).collect()}
+    # (a,z) and (b,z) are adjacent (edges) -> suppressed even though
+    # they co-occur in >= 2 docs; (a,b) is the non-adjacent candidate
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r.n_docs_pair, r.n_docs_a, r.n_docs_b) == (2, 3, 2)
+    assert r.lift == round(3 * 2 / (3 * 2), 6)  # N=3 docs
+
+
+def test_cardinality_constraints_hand_checked(spark):
+    from gliner_spark.operators.graph_analytics import cardinality_constraints
+
+    rows = [
+        # born_in: functional (each subj one obj), not inverse-functional
+        ("a", "born_in", "p"), ("b", "born_in", "p"), ("c", "born_in", "q"),
+        # likes: a has 2 objs -> 1/2 functional = 500 permille
+        ("a", "likes", "x"), ("a", "likes", "y"), ("b", "likes", "x"),
+    ]
+    out = {
+        r.pred: r
+        for r in cardinality_constraints(_triples(spark, rows)).collect()
+    }
+    b = out["born_in"]
+    assert (b.n_subjects, b.n_functional, b.max_objs) == (3, 3, 1)
+    assert b.functional_permille == 1000 and bool(b.is_functional)
+    assert (b.n_objects, b.n_inv_functional, b.max_subjs) == (2, 1, 2)
+    assert b.inverse_permille == 500 and not b.is_inverse_functional
+    lk = out["likes"]
+    assert (lk.n_subjects, lk.n_functional) == (2, 1)
+    assert lk.functional_permille == 500 and not lk.is_functional
+
+
+def test_entity_provenance_hand_checked(spark):
+    from gliner_spark.operators.graph_analytics import entity_provenance
+
+    rows = [
+        ("d0", "a", "r1", "b", "t", "t", 1.0),
+        ("d1", "a", "r2", "c", "t", "t", 1.0),
+        ("d1", "b", "r1", "a", "t", "t", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    out = {r.entity: r for r in entity_provenance(t).collect()}
+    a = out["a"]
+    assert (a.n_docs, a.n_triples, a.n_as_subj, a.n_as_obj) == (2, 3, 2, 1)
+    assert (a.n_preds, a.first_doc, a.last_doc) == (2, "d0", "d1")
+    assert (out["c"].n_as_subj, out["c"].n_as_obj) == (0, 1)
