@@ -320,6 +320,25 @@ def q_kg_provenance(spark, sf_dir):
     return entity_provenance(q_kg_triples(spark, sf_dir))
 
 
+def q_ev_transe(spark, sf_dir):
+    """TransE margin eval over (positive, corrupted-negative) pairs
+    (r6): per-predicate pairwise ranking accuracy and mean energy
+    margin with IEEE-exact dyadic hash embeddings
+    (operators/kg_completion.transe_margin_eval)."""
+    from gliner_spark.operators.kg_completion import transe_margin_eval
+
+    return transe_margin_eval(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_metapath(spark, sf_dir):
+    """Typed metapath instance counts founded -> based_in (r6): the
+    bounded regular-path query over the typed KG, per-step audited hub
+    caps (operators/graph_analytics.metapath_counts)."""
+    from gliner_spark.operators.graph_analytics import metapath_counts
+
+    return metapath_counts(q_kg_triples(spark, sf_dir))
+
+
 def q_dd_winnow(spark, sf_dir):
     """Winnowing-overlap near-dup pairs (r6, the MOSS second half): doc
     pairs sharing >= WINNOW_MIN_SHARED selected fingerprints via a
@@ -1427,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooc": q_kg_cooc,
         "kg_constraints": q_kg_constraints,
         "kg_provenance": q_kg_provenance,
+        "ev_transe": q_ev_transe,
+        "kg_metapath": q_kg_metapath,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3220,16 +3241,16 @@ ORDER BY n_triples DESC, subj_type, pred, obj_type
 """
 
 
-def _kg_negatives_oracle() -> str:
-    """negative_samples replay: hash-ranked bounded pool per obj_type,
-    sorted-list index pick with wrap-on-collision, filtered anti-join."""
+def _kg_negatives_cte(snap: str) -> str:
+    """WITH-body (requires WITH RECURSIVE) ending in `ngfinal` — the
+    negative_samples replay: hash-ranked bounded pool per obj_type,
+    sorted-list index pick with wrap-on-collision, filtered anti-join.
+    Shared by the kg_negatives gate and the ev_transe margin eval."""
     from gliner_spark.operators.kg_completion import NEG_POOL_CAP
 
-    snap = _kg_snapshot()
     fold_ent = _sql_fold("entity")
     fold_spo = _sql_fold("p.subj || '|' || p.pred || '|' || p.obj")
-    return f"""
-WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+    return f"""{_kg_canonical_triples_cte(snap)},
 ngpos AS (SELECT DISTINCT subj, pred, obj, obj_type FROM ktriples),
 ngtrues AS (SELECT DISTINCT subj, pred, obj FROM ktriples),
 ngents AS (SELECT DISTINCT obj_type AS etype, obj AS entity FROM ngpos),
@@ -3254,14 +3275,96 @@ ngcand AS (
          THEN pents[CAST((idx + 1) % n + 1 AS INT)]
          ELSE pents[CAST(idx + 1 AS INT)] END AS neg_obj
   FROM nghashed
-)
+),
+ngfinal AS (
+  SELECT subj, pred, pos_obj, neg_obj, obj_type
+  FROM ngcand c
+  WHERE neg_obj != pos_obj
+    AND NOT EXISTS (SELECT 1 FROM ngtrues t
+                    WHERE t.subj = c.subj AND t.pred = c.pred
+                      AND t.obj = c.neg_obj)
+)"""
+
+
+def _kg_negatives_oracle() -> str:
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_negatives_cte(snap)}
 SELECT subj, pred, pos_obj, neg_obj, obj_type
-FROM ngcand c
-WHERE neg_obj != pos_obj
-  AND NOT EXISTS (SELECT 1 FROM ngtrues t
-                  WHERE t.subj = c.subj AND t.pred = c.pred
-                    AND t.obj = c.neg_obj)
+FROM ngfinal
 ORDER BY subj, pred, pos_obj, neg_obj
+"""
+
+
+def _ev_transe_oracle() -> str:
+    """transe_margin_eval replay: dyadic hash embeddings over the shared
+    ngfinal pair set, unclamped L1 energies as ordered folds, one
+    grouped aggregate with the integer permille and rounded mean."""
+    from gliner_spark.operators.kg_completion import TRANSE_DIM
+
+    snap = _kg_snapshot()
+    D = TRANSE_DIM
+    e_pos = _sql_fold_sum(
+        f"list_transform(range(1, {D + 1}), i -> abs(h[i] + r[i] - tp[i]))"
+    )
+    e_neg = _sql_fold_sum(
+        f"list_transform(range(1, {D + 1}), i -> abs(h[i] + r[i] - tn[i]))"
+    )
+    return f"""
+WITH RECURSIVE {_kg_negatives_cte(snap)},
+ngfold AS (
+  SELECT pred, {_sql_fold("subj")} AS fs, {_sql_fold("pred")} AS fr,
+         {_sql_fold("pos_obj")} AS fp, {_sql_fold("neg_obj")} AS fn_
+  FROM ngfinal
+),
+ngemb AS (
+  SELECT pred,
+    {_sql_hash_emb("fs", D)} AS h, {_sql_hash_emb("fr", D)} AS r,
+    {_sql_hash_emb("fp", D)} AS tp, {_sql_hash_emb("fn_", D)} AS tn
+  FROM ngfold
+),
+ngsc AS (
+  SELECT pred, {e_pos} AS e_pos, {e_neg} AS e_neg FROM ngemb
+)
+SELECT pred,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN e_pos < e_neg THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ranked_correct,
+  CAST(1000 * sum(CASE WHEN e_pos < e_neg THEN 1 ELSE 0 END) // count(*)
+    AS BIGINT) AS accuracy_permille,
+  round(avg(e_neg - e_pos), 6) AS mean_margin
+FROM ngsc GROUP BY pred ORDER BY pred
+"""
+
+
+def _kg_metapath_oracle() -> str:
+    """metapath_counts replay over the default 2-step path: per-step
+    distinct predicate edges, step-2 join-key fan cap, self-loop-free
+    grouped count."""
+    from gliner_spark.operators.graph_analytics import (
+        METAPATH,
+        TWO_HOP_MAX_FANOUT,
+    )
+
+    snap = _kg_snapshot()
+    p1, p2 = METAPATH
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+mp1 AS (SELECT DISTINCT subj AS src, obj AS mid FROM ktriples
+        WHERE pred = '{p1}'),
+mp2 AS (SELECT DISTINCT subj AS mid, obj AS dst FROM ktriples
+        WHERE pred = '{p2}'),
+mpfan AS (SELECT mid, count(*) AS fan FROM mp2 GROUP BY mid),
+mpok AS (
+  SELECT mp2.mid, mp2.dst FROM mp2
+  JOIN mpfan ON mpfan.mid = mp2.mid
+  WHERE mpfan.fan <= {TWO_HOP_MAX_FANOUT}
+)
+SELECT a.src, b.dst, CAST(count(*) AS BIGINT) AS n_paths
+FROM mp1 a JOIN mpok b ON a.mid = b.mid
+WHERE a.src != b.dst
+GROUP BY a.src, b.dst
+ORDER BY a.src, b.dst
 """
 
 
@@ -4510,6 +4613,8 @@ def _kg_oracles() -> dict[str, str]:
         "kg_cooc": _kg_cooc_oracle(),
         "kg_constraints": _kg_constraints_oracle(),
         "kg_provenance": _kg_provenance_oracle(),
+        "ev_transe": _ev_transe_oracle(),
+        "kg_metapath": _kg_metapath_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -1035,3 +1035,59 @@ def entity_provenance(triples: DataFrame) -> DataFrame:
         .orderBy("entity")
     )
     return forward_caches(out, triples)
+
+
+# default fixture metapath: founders' companies' locations
+METAPATH = ("founded", "based_in")
+
+
+def metapath_counts(
+    triples: DataFrame,
+    preds: tuple = METAPATH,
+    max_fanout: int = TWO_HOP_MAX_FANOUT,
+) -> DataFrame:
+    """Typed metapath instance counts: (src, dst, n_paths) over walks
+    src -p1-> m1 -p2-> ... -pk-> dst following the GIVEN predicate
+    sequence — the bounded regular-path query (SPARQL property path /
+    heterogeneous-network metapath of Sun et al. 2011) that a typed KG
+    makes meaningful where the untyped two_hop_paths cannot.
+
+    Per-step distinct edge sets filtered to the step predicate; every
+    join step caps the join-key fan-out of its right side with the same
+    AUDITED contract as the 2-hop hub cap, so step i's output is
+    bounded by |frontier_i| * max_fanout and a hub entity can never
+    quadratically blow up the walk join. Self-loop walks (src == dst)
+    are excluded at the end."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    if len(preds) < 2:
+        raise ValueError("metapath needs at least 2 predicates")
+    steps = [
+        triples.filter(F.col("pred") == p)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        for p in preds
+    ]
+    frontier = steps[0]
+    audits = []
+    for k, step in enumerate(steps[1:], start=1):
+        w = Window.partitionBy("src")
+        ok, audit = capped_filter(
+            step.withColumn("fan", F.count(F.lit(1)).over(w)),
+            "fan", max_fanout, f"metapath_hub_cap_{k}",
+        )
+        audits.append(audit)
+        frontier = frontier.join(
+            ok.select(
+                F.col("src").alias("dst"), F.col("dst").alias("nxt")
+            ),
+            "dst",
+        ).select("src", F.col("nxt").alias("dst"))
+    out = (
+        frontier.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy("src", "dst")
+    )
+    return forward_caches(attach_audits(out, *audits), triples)

@@ -196,3 +196,80 @@ def cooc_candidates(
         .orderBy("entity_a", "entity_b")
     )
     return forward_caches(attach_audits(out, audit), triples)
+
+
+TRANSE_DIM = 8  # matches kg_scoring's default hash-embedding width
+
+
+def transe_margin_eval(
+    triples: DataFrame, dim: int = TRANSE_DIM
+) -> DataFrame:
+    """Pairwise ranking evaluation of a TransE energy over the
+    (positive, corrupted-negative) pairs from negative_samples — the
+    standard KG-embedding link-prediction eval loop (Bordes et al.
+    2013): per predicate, how often the true tail scores closer than
+    the corrupted one, plus the mean energy margin.
+
+    Energy is the UNCLAMPED L1 ||h + r - t|| over the deterministic
+    dyadic hash embeddings (kg_scoring.hash_embedding) — dyadic
+    rationals make every energy and margin IEEE-exact, so the
+    comparison and the mean replay bit-for-bit in the oracle. A real
+    trained embedding table joins in by name through the same seam.
+
+    Shape at scale: negative_samples' bounded-pool join, then one
+    narrow whole-stage-codegen projection (8-dim arrays built and
+    folded in-row) and one map-side-combined aggregate per predicate.
+    """
+    from gliner_spark.operators.kg_scoring import hash_embedding
+
+    idx = F.sequence(F.lit(1), F.lit(dim))
+
+    def l1(h, r, t):
+        return F.aggregate(
+            F.transform(
+                idx,
+                lambda i: F.abs(
+                    F.element_at(h, i) + F.element_at(r, i) - F.element_at(t, i)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    pairs = negative_samples(triples)
+    emb = pairs.select(
+        "pred",
+        hash_embedding("subj", dim).alias("h"),
+        hash_embedding("pred", dim).alias("r"),
+        hash_embedding("pos_obj", dim).alias("tp"),
+        hash_embedding("neg_obj", dim).alias("tn"),
+    )
+    sc = emb.select(
+        "pred",
+        l1(F.col("h"), F.col("r"), F.col("tp")).alias("e_pos"),
+        l1(F.col("h"), F.col("r"), F.col("tn")).alias("e_neg"),
+    )
+    out = (
+        sc.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("e_pos") < F.col("e_neg"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ranked_correct"),
+            F.round(F.avg(F.col("e_neg") - F.col("e_pos")), 6).alias(
+                "mean_margin"
+            ),
+        )
+        .withColumn(
+            "accuracy_permille",
+            F.expr("1000 * n_ranked_correct DIV n_pairs"),
+        )
+        .select(
+            "pred", "n_pairs", "n_ranked_correct",
+            "accuracy_permille", "mean_margin",
+        )
+        .orderBy("pred")
+    )
+    return forward_caches(out, triples)

@@ -497,3 +497,82 @@ def test_entity_provenance_hand_checked(spark):
     assert (a.n_docs, a.n_triples, a.n_as_subj, a.n_as_obj) == (2, 3, 2, 1)
     assert (a.n_preds, a.first_doc, a.last_doc) == (2, "d0", "d1")
     assert (out["c"].n_as_subj, out["c"].n_as_obj) == (0, 1)
+
+
+def test_transe_margin_eval_brute(spark):
+    """Energies, margins and per-pred accuracy match a pure-python
+    replay of hash_embedding + unclamped L1 over the negative pairs."""
+    from gliner_spark.operators.kg_completion import (
+        negative_samples,
+        transe_margin_eval,
+    )
+
+    rows = [
+        ("d0", "a", "likes", "x", "person", "fruit", 1.0),
+        ("d0", "a", "likes", "y", "person", "fruit", 1.0),
+        ("d1", "b", "likes", "x", "person", "fruit", 1.0),
+        ("d1", "b", "visited", "p", "person", "place", 1.0),
+        ("d2", "c", "visited", "q", "person", "place", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+    def emb(name, dim=8):
+        base = _fold(name)
+        return [
+            ((((base * (j * 2 + 5) + j) % P31) % 256) * 2 - 255) / 256.0
+            for j in range(dim)
+        ]
+
+    pairs = negative_samples(t).collect()
+    assert pairs  # fixture must produce pairs
+    stats = {}
+    for r in pairs:
+        h, rr = emb(r.subj), emb(r.pred)
+        tp, tn = emb(r.pos_obj), emb(r.neg_obj)
+        e_pos = sum(abs(h[i] + rr[i] - tp[i]) for i in range(8))
+        e_neg = sum(abs(h[i] + rr[i] - tn[i]) for i in range(8))
+        n, c, m = stats.get(r.pred, (0, 0, 0.0))
+        stats[r.pred] = (n + 1, c + (e_pos < e_neg), m + (e_neg - e_pos))
+    out = {r.pred: r for r in transe_margin_eval(t).collect()}
+    assert set(out) == set(stats)
+    for pred, (n, c, msum) in stats.items():
+        r = out[pred]
+        assert (r.n_pairs, r.n_ranked_correct) == (n, c)
+        assert r.accuracy_permille == 1000 * c // n
+        # Spark/DuckDB round() is HALF_UP; python round() is banker's —
+        # dyadic margins make exact .xxxxxx5 ties constructible, so
+        # replay with Decimal HALF_UP.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(msum / n).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r.mean_margin == want
+
+
+def test_metapath_counts_hand_checked(spark):
+    from gliner_spark.operators.graph_analytics import metapath_counts
+
+    rows = [
+        ("s1", "founded", "o1"), ("s1", "founded", "o2"),
+        ("s2", "founded", "o1"),
+        ("o1", "based_in", "l1"), ("o1", "based_in", "l2"),
+        ("o2", "based_in", "l1"),
+        # noise edges on other predicates must not contribute
+        ("s1", "visited", "l9"), ("o1", "acquired", "o2"),
+    ]
+    out = {
+        (r.src, r.dst): r.n_paths
+        for r in metapath_counts(_triples(spark, rows)).collect()
+    }
+    # s1: via o1 -> {l1, l2}, via o2 -> {l1}  => l1 x2, l2 x1
+    assert out == {
+        ("s1", "l1"): 2, ("s1", "l2"): 1,
+        ("s2", "l1"): 1, ("s2", "l2"): 1,
+    }
