@@ -112,6 +112,8 @@ EXTRA_QUERIES = [
     "kg_cooc",
     "kg_constraints",
     "kg_provenance",
+    "ev_transe",
+    "kg_metapath",
 ]
 
 
@@ -198,9 +200,11 @@ def main():
             triangle_counts,
             two_hop_paths,
         )
+        from gliner_spark.operators.graph_analytics import metapath_counts
         from gliner_spark.operators.kg_completion import (
             cooc_candidates,
             negative_samples,
+            transe_margin_eval,
         )
         from gliner_spark.operators.sketches import hll_distinct
 
@@ -233,6 +237,8 @@ def main():
             "provenance": entity_provenance,
             "negatives": negative_samples,
             "cooc": cooc_candidates,
+            "transe_eval": transe_margin_eval,
+            "metapath": metapath_counts,
         }
         for name, fn in graph_op_fns.items():
             reps = []
