@@ -339,6 +339,24 @@ def q_kg_metapath(spark, sf_dir):
     return metapath_counts(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_fusion(spark, sf_dir):
+    """Knowledge-fusion conflict resolution (r6): per contested
+    (subj, pred), the distinct-doc-vote winning object plus contest
+    profile (operators/kg_fusion.fuse_functional)."""
+    from gliner_spark.operators.kg_fusion import fuse_functional
+
+    return fuse_functional(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_factrank(spark, sf_dir):
+    """Entity-card fact ranking (r6): top-m facts per subject by
+    support x inverse predicate frequency
+    (operators/kg_fusion.fact_rank)."""
+    from gliner_spark.operators.kg_fusion import fact_rank
+
+    return fact_rank(q_kg_triples(spark, sf_dir))
+
+
 def q_dd_winnow(spark, sf_dir):
     """Winnowing-overlap near-dup pairs (r6, the MOSS second half): doc
     pairs sharing >= WINNOW_MIN_SHARED selected fingerprints via a
@@ -1448,6 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_provenance": q_kg_provenance,
         "ev_transe": q_ev_transe,
         "kg_metapath": q_kg_metapath,
+        "kg_fusion": q_kg_fusion,
+        "kg_factrank": q_kg_factrank,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3486,6 +3506,75 @@ FROM sides GROUP BY entity ORDER BY entity
 """
 
 
+def _kg_fusion_oracle() -> str:
+    """fuse_functional replay: distinct-doc votes per (subj, pred, obj)
+    excluding media objects, contest window with (votes DESC, obj) tie
+    rule, winner share as integer permille."""
+    from gliner_spark.operators.kg_fusion import FUSE_MIN_OBJECTS
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+fvotes AS (
+  SELECT subj, pred, obj,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_support
+  FROM ktriples WHERE obj_type != 'media'
+  GROUP BY subj, pred, obj
+),
+fwin AS (
+  SELECT subj, pred, obj, n_support,
+    CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT) AS n_objects,
+    CAST(sum(n_support) OVER (PARTITION BY subj, pred) AS BIGINT)
+      AS total_votes,
+    row_number() OVER (PARTITION BY subj, pred
+                       ORDER BY n_support DESC, obj) AS rn
+  FROM fvotes
+)
+SELECT subj, pred, obj AS obj_fused, n_support, n_objects, total_votes,
+  CAST(1000 * n_support // total_votes AS BIGINT) AS confidence_permille
+FROM fwin
+WHERE rn = 1 AND n_objects >= {FUSE_MIN_OBJECTS}
+ORDER BY subj, pred
+"""
+
+
+def _kg_factrank_oracle() -> str:
+    """fact_rank replay: distinct-doc votes per fact, per-predicate
+    distinct-fact counts, integer rarity floor-div, per-subject rank
+    window with the (score DESC, pred, obj) tie rule."""
+    from gliner_spark.operators.kg_fusion import FACT_TOP_M, FR_UNIT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+ffacts AS (
+  SELECT subj, pred, obj,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_support
+  FROM ktriples GROUP BY subj, pred, obj
+),
+fpred AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_facts_pred
+  FROM ffacts GROUP BY pred
+),
+fscored AS (
+  SELECT f.subj, f.pred, f.obj, f.n_support,
+    CAST(f.n_support * ({FR_UNIT} // p.n_facts_pred) AS BIGINT)
+      AS fact_score
+  FROM ffacts f JOIN fpred p ON p.pred = f.pred
+),
+franked AS (
+  SELECT subj, pred, obj, n_support, fact_score,
+    row_number() OVER (PARTITION BY subj
+                       ORDER BY fact_score DESC, pred, obj) AS rank
+  FROM fscored
+)
+SELECT subj AS entity, CAST(rank AS BIGINT) AS rank, pred, obj,
+       n_support, fact_score
+FROM franked WHERE rank <= {FACT_TOP_M}
+ORDER BY entity, rank
+"""
+
+
 def _kg_modularity_oracle() -> str:
     """partition_modularity replay: the LPA body, then intra-edge counts
     (both endpoints in the community), member degree sums, m as a 1-row
@@ -4615,6 +4704,8 @@ def _kg_oracles() -> dict[str, str]:
         "kg_provenance": _kg_provenance_oracle(),
         "ev_transe": _ev_transe_oracle(),
         "kg_metapath": _kg_metapath_oracle(),
+        "kg_fusion": _kg_fusion_oracle(),
+        "kg_factrank": _kg_factrank_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -114,6 +114,8 @@ EXTRA_QUERIES = [
     "kg_provenance",
     "ev_transe",
     "kg_metapath",
+    "kg_fusion",
+    "kg_factrank",
 ]
 
 
@@ -206,6 +208,7 @@ def main():
             negative_samples,
             transe_margin_eval,
         )
+        from gliner_spark.operators.kg_fusion import fact_rank, fuse_functional
         from gliner_spark.operators.sketches import hll_distinct
 
         tdir = tempfile.mkdtemp(prefix="gs_bench_triples_")
@@ -239,6 +242,8 @@ def main():
             "cooc": cooc_candidates,
             "transe_eval": transe_margin_eval,
             "metapath": metapath_counts,
+            "fusion": fuse_functional,
+            "factrank": fact_rank,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -576,3 +576,87 @@ def test_metapath_counts_hand_checked(spark):
         ("s1", "l1"): 2, ("s1", "l2"): 1,
         ("s2", "l1"): 1, ("s2", "l2"): 1,
     }
+
+
+# -------------------------------------------------------------- fusion --
+def test_fuse_functional_hand_checked(spark):
+    """Contested (subj, pred) groups resolve to the max-distinct-doc
+    object with lexicographic ties; uncontested groups and media objects
+    are excluded."""
+    from gliner_spark.operators.kg_fusion import fuse_functional
+
+    rows = [
+        # a based_in: x supported by d0,d1; y by d2 -> winner x 2/3
+        ("d0", "a", "based_in", "x", "org", "loc"),
+        ("d1", "a", "based_in", "x", "org", "loc"),
+        ("d1", "a", "based_in", "x", "org", "loc"),  # same doc, no extra vote
+        ("d2", "a", "based_in", "y", "org", "loc"),
+        # b ceo: tie 1-1 -> lexicographically smaller "p" wins
+        ("d0", "b", "ceo", "q", "org", "person"),
+        ("d1", "b", "ceo", "p", "org", "person"),
+        # c based_in: single object -> not contested, excluded
+        ("d0", "c", "based_in", "z", "org", "loc"),
+        # media objects never compete
+        ("d0", "a", "depicts", "media://1", "org", "media"),
+        ("d1", "a", "depicts", "media://2", "org", "media"),
+    ]
+    df = spark.createDataFrame(
+        [(d, s, p, o, st, ot, 1.0) for d, s, p, o, st, ot in rows],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    out = {(r.subj, r.pred): r for r in fuse_functional(df).collect()}
+    assert set(out) == {("a", "based_in"), ("b", "ceo")}
+    r = out[("a", "based_in")]
+    assert (r.obj_fused, r.n_support, r.n_objects, r.total_votes) == (
+        "x", 2, 2, 3,
+    )
+    assert r.confidence_permille == 666
+    r = out[("b", "ceo")]
+    assert (r.obj_fused, r.n_support, r.confidence_permille) == ("p", 1, 500)
+
+
+def test_fact_rank_brute(spark):
+    """Ranks match a pure-python replay of votes x floor-div rarity with
+    the (score DESC, pred, obj) tie rule."""
+    from gliner_spark.operators.kg_fusion import (
+        FACT_TOP_M,
+        FR_UNIT,
+        fact_rank,
+    )
+
+    rows = [
+        ("d0", "a", "likes", "x"), ("d1", "a", "likes", "x"),
+        ("d0", "a", "likes", "y"),
+        ("d0", "a", "founded", "o"),
+        ("d0", "a", "visited", "p"), ("d1", "a", "visited", "q"),
+        ("d0", "b", "likes", "x"), ("d1", "b", "founded", "o2"),
+    ]
+    df = spark.createDataFrame(
+        [(d, s, p, o, "t", "t", 1.0) for d, s, p, o in rows],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    votes = {}
+    for d, s, p, o in rows:
+        votes.setdefault((s, p, o), set()).add(d)
+    pf = {}
+    for (s, p, o) in votes:
+        pf[p] = pf.get(p, 0) + 1
+    scored = [
+        (s, p, o, len(ds), len(ds) * (FR_UNIT // pf[p]))
+        for (s, p, o), ds in votes.items()
+    ]
+    want = {}
+    for s in {t[0] for t in scored}:
+        mine = sorted(
+            (t for t in scored if t[0] == s),
+            key=lambda t: (-t[4], t[1], t[2]),
+        )[:FACT_TOP_M]
+        for rk, t in enumerate(mine, start=1):
+            want[(s, rk)] = t
+    out = {(r.entity, r.rank): r for r in fact_rank(df).collect()}
+    assert set(out) == set(want)
+    for key, (s, p, o, ns, sc) in want.items():
+        r = out[key]
+        assert (r.pred, r.obj, r.n_support, r.fact_score) == (p, o, ns, sc)
