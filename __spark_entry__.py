@@ -330,6 +330,15 @@ def q_ev_transe(spark, sf_dir):
     return transe_margin_eval(q_kg_triples(spark, sf_dir))
 
 
+def q_ev_distmult(spark, sf_dir):
+    """DistMult pairwise ranking eval (r6): the diagonal-bilinear
+    counterpart of ev_transe over the same corrupted pairs
+    (operators/kg_completion.transe_margin_eval(scorer='distmult'))."""
+    from gliner_spark.operators.kg_completion import transe_margin_eval
+
+    return transe_margin_eval(q_kg_triples(spark, sf_dir), scorer="distmult")
+
+
 def q_kg_metapath(spark, sf_dir):
     """Typed metapath instance counts founded -> based_in (r6): the
     bounded regular-path query over the typed KG, per-step audited hub
@@ -1465,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_constraints": q_kg_constraints,
         "kg_provenance": q_kg_provenance,
         "ev_transe": q_ev_transe,
+        "ev_distmult": q_ev_distmult,
         "kg_metapath": q_kg_metapath,
         "kg_fusion": q_kg_fusion,
         "kg_factrank": q_kg_factrank,
@@ -3357,6 +3367,47 @@ FROM ngsc GROUP BY pred ORDER BY pred
 """
 
 
+def _ev_distmult_oracle() -> str:
+    """transe_margin_eval(scorer='distmult') replay: same shared ngfinal
+    pair set and dyadic embeddings, diagonal-bilinear fold scores,
+    higher-is-better comparison and positive-advantage margin."""
+    from gliner_spark.operators.kg_completion import TRANSE_DIM
+
+    snap = _kg_snapshot()
+    D = TRANSE_DIM
+    s_pos = _sql_fold_sum(
+        f"list_transform(range(1, {D + 1}), i -> h[i] * r[i] * tp[i])"
+    )
+    s_neg = _sql_fold_sum(
+        f"list_transform(range(1, {D + 1}), i -> h[i] * r[i] * tn[i])"
+    )
+    return f"""
+WITH RECURSIVE {_kg_negatives_cte(snap)},
+ngfold AS (
+  SELECT pred, {_sql_fold("subj")} AS fs, {_sql_fold("pred")} AS fr,
+         {_sql_fold("pos_obj")} AS fp, {_sql_fold("neg_obj")} AS fn_
+  FROM ngfinal
+),
+ngemb AS (
+  SELECT pred,
+    {_sql_hash_emb("fs", D)} AS h, {_sql_hash_emb("fr", D)} AS r,
+    {_sql_hash_emb("fp", D)} AS tp, {_sql_hash_emb("fn_", D)} AS tn
+  FROM ngfold
+),
+ngsc AS (
+  SELECT pred, {s_pos} AS s_pos, {s_neg} AS s_neg FROM ngemb
+)
+SELECT pred,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN s_pos > s_neg THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ranked_correct,
+  CAST(1000 * sum(CASE WHEN s_pos > s_neg THEN 1 ELSE 0 END) // count(*)
+    AS BIGINT) AS accuracy_permille,
+  round(avg(s_pos - s_neg), 6) AS mean_margin
+FROM ngsc GROUP BY pred ORDER BY pred
+"""
+
+
 def _kg_metapath_oracle() -> str:
     """metapath_counts replay over the default 2-step path: per-step
     distinct predicate edges, step-2 join-key fan cap, self-loop-free
@@ -4703,6 +4754,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_constraints": _kg_constraints_oracle(),
         "kg_provenance": _kg_provenance_oracle(),
         "ev_transe": _ev_transe_oracle(),
+        "ev_distmult": _ev_distmult_oracle(),
         "kg_metapath": _kg_metapath_oracle(),
         "kg_fusion": _kg_fusion_oracle(),
         "kg_factrank": _kg_factrank_oracle(),

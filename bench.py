@@ -113,6 +113,7 @@ EXTRA_QUERIES = [
     "kg_constraints",
     "kg_provenance",
     "ev_transe",
+    "ev_distmult",
     "kg_metapath",
     "kg_fusion",
     "kg_factrank",
@@ -241,6 +242,9 @@ def main():
             "negatives": negative_samples,
             "cooc": cooc_candidates,
             "transe_eval": transe_margin_eval,
+            "distmult_eval": lambda t: transe_margin_eval(
+                t, scorer="distmult"
+            ),
             "metapath": metapath_counts,
             "fusion": fuse_functional,
             "factrank": fact_rank,

@@ -202,19 +202,25 @@ TRANSE_DIM = 8  # matches kg_scoring's default hash-embedding width
 
 
 def transe_margin_eval(
-    triples: DataFrame, dim: int = TRANSE_DIM
+    triples: DataFrame, dim: int = TRANSE_DIM, scorer: str = "transe"
 ) -> DataFrame:
-    """Pairwise ranking evaluation of a TransE energy over the
+    """Pairwise ranking evaluation of a KG-embedding scorer over the
     (positive, corrupted-negative) pairs from negative_samples — the
-    standard KG-embedding link-prediction eval loop (Bordes et al.
-    2013): per predicate, how often the true tail scores closer than
-    the corrupted one, plus the mean energy margin.
+    standard link-prediction eval loop (Bordes et al. 2013): per
+    predicate, how often the true tail outranks the corrupted one, plus
+    the mean ranking margin.
 
-    Energy is the UNCLAMPED L1 ||h + r - t|| over the deterministic
-    dyadic hash embeddings (kg_scoring.hash_embedding) — dyadic
-    rationals make every energy and margin IEEE-exact, so the
-    comparison and the mean replay bit-for-bit in the oracle. A real
-    trained embedding table joins in by name through the same seam.
+    scorer="transe" (default): UNCLAMPED L1 energy ||h + r - t||, lower
+    is better. scorer="distmult": the diagonal bilinear score
+    sum_i h_i * r_i * t_i (Yang et al. 2015), higher is better — the
+    multiplicative counterpart that ranks symmetric relations
+    differently from the translational model. Both run over the
+    deterministic dyadic hash embeddings (kg_scoring.hash_embedding) —
+    dyadic rationals with fixed fold order make every score and margin
+    IEEE-exact, so the comparison and the mean replay bit-for-bit in
+    the oracle. A real trained embedding table joins in by name through
+    the same seam. `mean_margin` is always the positive-minus-negative
+    advantage in the scorer's "better" direction.
 
     Shape at scale: negative_samples' bounded-pool join, then one
     narrow whole-stage-codegen projection (8-dim arrays built and
@@ -224,17 +230,37 @@ def transe_margin_eval(
 
     idx = F.sequence(F.lit(1), F.lit(dim))
 
+    def fold_sum(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+
     def l1(h, r, t):
-        return F.aggregate(
+        return fold_sum(
             F.transform(
                 idx,
                 lambda i: F.abs(
                     F.element_at(h, i) + F.element_at(r, i) - F.element_at(t, i)
                 ),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+            )
         )
+
+    def diag_bilinear(h, r, t):
+        return fold_sum(
+            F.transform(
+                idx,
+                lambda i: F.element_at(h, i)
+                * F.element_at(r, i)
+                * F.element_at(t, i),
+            )
+        )
+
+    if scorer == "transe":
+        # energies: lower is better -> "goodness" is the negated energy
+        def score(h, r, t):
+            return -l1(h, r, t)
+    elif scorer == "distmult":
+        score = diag_bilinear
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
 
     pairs = negative_samples(triples)
     emb = pairs.select(
@@ -246,8 +272,8 @@ def transe_margin_eval(
     )
     sc = emb.select(
         "pred",
-        l1(F.col("h"), F.col("r"), F.col("tp")).alias("e_pos"),
-        l1(F.col("h"), F.col("r"), F.col("tn")).alias("e_neg"),
+        (-score(F.col("h"), F.col("r"), F.col("tp"))).alias("e_pos"),
+        (-score(F.col("h"), F.col("r"), F.col("tn"))).alias("e_neg"),
     )
     out = (
         sc.groupBy("pred")

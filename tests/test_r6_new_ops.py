@@ -660,3 +660,58 @@ def test_fact_rank_brute(spark):
     for key, (s, p, o, ns, sc) in want.items():
         r = out[key]
         assert (r.pred, r.obj, r.n_support, r.fact_score) == (p, o, ns, sc)
+
+
+def test_distmult_margin_eval_brute(spark):
+    """DistMult variant: higher diagonal-bilinear score must win, margin
+    is the positive advantage s_pos - s_neg."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gliner_spark.operators.kg_completion import (
+        negative_samples,
+        transe_margin_eval,
+    )
+
+    rows = [
+        ("d0", "a", "likes", "x", "person", "fruit", 1.0),
+        ("d0", "a", "likes", "y", "person", "fruit", 1.0),
+        ("d1", "b", "likes", "x", "person", "fruit", 1.0),
+        ("d1", "b", "visited", "p", "person", "place", 1.0),
+        ("d2", "c", "visited", "q", "person", "place", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+    def emb(name, dim=8):
+        base = _fold(name)
+        return [
+            ((((base * (j * 2 + 5) + j) % P31) % 256) * 2 - 255) / 256.0
+            for j in range(dim)
+        ]
+
+    stats = {}
+    for r in negative_samples(t).collect():
+        h, rr = emb(r.subj), emb(r.pred)
+        tp, tn = emb(r.pos_obj), emb(r.neg_obj)
+        s_pos = sum(h[i] * rr[i] * tp[i] for i in range(8))
+        s_neg = sum(h[i] * rr[i] * tn[i] for i in range(8))
+        n, c, m = stats.get(r.pred, (0, 0, 0.0))
+        stats[r.pred] = (n + 1, c + (s_pos > s_neg), m + (s_pos - s_neg))
+    out = {
+        r.pred: r
+        for r in transe_margin_eval(t, scorer="distmult").collect()
+    }
+    assert set(out) == set(stats)
+    for pred, (n, c, msum) in stats.items():
+        r = out[pred]
+        assert (r.n_pairs, r.n_ranked_correct) == (n, c)
+        assert r.accuracy_permille == 1000 * c // n
+        want = float(
+            Decimal(msum / n).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r.mean_margin == want
