@@ -348,6 +348,15 @@ def q_kg_metapath(spark, sf_dir):
     return metapath_counts(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (r6): walks_per_node hash-driven
+    walks of WALK_LEN nodes per entity over bounded sorted neighbor
+    pools (operators/kg_completion.walk_corpus)."""
+    from gliner_spark.operators.kg_completion import walk_corpus
+
+    return walk_corpus(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_fusion(spark, sf_dir):
     """Knowledge-fusion conflict resolution (r6): per contested
     (subj, pred), the distinct-doc-vote winning object plus contest
@@ -1478,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapath": q_kg_metapath,
         "kg_fusion": q_kg_fusion,
         "kg_factrank": q_kg_factrank,
+        "kg_walks": q_kg_walks,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3557,6 +3567,62 @@ FROM sides GROUP BY entity ORDER BY entity
 """
 
 
+def _kg_walks_oracle() -> str:
+    """walk_corpus replay: hash-ranked bounded neighbor pools as sorted
+    lists, then WALK_LEN - 1 unrolled hop CTEs (each MATERIALIZED — the
+    recursive-CTE re-inline lesson), fold-hash index pick per hop."""
+    from gliner_spark.operators.kg_completion import (
+        WALK_LEN,
+        WALK_NBR_CAP,
+        WALKS_PER_NODE,
+    )
+
+    snap = _kg_snapshot()
+    steps = []
+    for k in range(1, WALK_LEN):
+        key = _sql_fold(
+            f"entity || '|' || CAST(walk_id AS VARCHAR) || '|{k}|' || cur"
+        )
+        steps.append(f"""
+wk{k} AS MATERIALIZED (
+  SELECT entity, walk_id, nxt AS cur, walk || '->' || nxt AS walk
+  FROM (
+    SELECT entity, walk_id, walk,
+           nbrs[CAST(({key} % n) + 1 AS INT)] AS nxt
+    FROM wk{k - 1} f JOIN wpool p ON p.node = f.cur
+  )
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+wund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+wsym AS (
+  SELECT a AS node, b AS nbr FROM wund
+  UNION ALL SELECT b, a FROM wund
+),
+wrank AS (
+  SELECT node, nbr,
+    row_number() OVER (PARTITION BY node
+                       ORDER BY {_sql_fold("nbr")}, nbr) AS rn
+  FROM wsym
+),
+wpool AS MATERIALIZED (
+  SELECT node, list(nbr ORDER BY nbr) AS nbrs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM wrank WHERE rn <= {WALK_NBR_CAP} GROUP BY node
+),
+wk0 AS MATERIALIZED (
+  SELECT node AS entity, wid AS walk_id, node AS cur, node AS walk
+  FROM wpool CROSS JOIN (SELECT unnest(range({WALKS_PER_NODE})) AS wid) t
+),
+{",".join(steps)}
+SELECT entity, walk_id, walk FROM wk{WALK_LEN - 1}
+ORDER BY entity, walk_id
+"""
+
+
 def _kg_fusion_oracle() -> str:
     """fuse_functional replay: distinct-doc votes per (subj, pred, obj)
     excluding media objects, contest window with (votes DESC, obj) tie
@@ -4758,6 +4824,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_metapath": _kg_metapath_oracle(),
         "kg_fusion": _kg_fusion_oracle(),
         "kg_factrank": _kg_factrank_oracle(),
+        "kg_walks": _kg_walks_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -117,6 +117,7 @@ EXTRA_QUERIES = [
     "kg_metapath",
     "kg_fusion",
     "kg_factrank",
+    "kg_walks",
 ]
 
 
@@ -208,6 +209,7 @@ def main():
             cooc_candidates,
             negative_samples,
             transe_margin_eval,
+            walk_corpus,
         )
         from gliner_spark.operators.kg_fusion import fact_rank, fuse_functional
         from gliner_spark.operators.sketches import hll_distinct
@@ -248,6 +250,7 @@ def main():
             "metapath": metapath_counts,
             "fusion": fuse_functional,
             "factrank": fact_rank,
+            "walks": walk_corpus,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -198,6 +198,98 @@ def cooc_candidates(
     return forward_caches(attach_audits(out, audit), triples)
 
 
+WALKS_PER_NODE = 2   # walks started from each node
+WALK_LEN = 4         # nodes per walk (WALK_LEN - 1 hops)
+WALK_NBR_CAP = 64    # bounded per-node neighbor pool (GraphSAGE sampling)
+
+
+def walk_corpus(
+    triples: DataFrame,
+    walks_per_node: int = WALKS_PER_NODE,
+    length: int = WALK_LEN,
+    nbr_cap: int = WALK_NBR_CAP,
+) -> DataFrame:
+    """Deterministic random-walk corpus over the undirected entity graph
+    — the DeepWalk / node2vec(p=q=1) training-data generator (Perozzi et
+    al. 2014): `walks_per_node` walks of `length` nodes from every
+    non-isolated entity, emitted as '->'-joined walk strings (the
+    "sentences" a skip-gram embedder consumes).
+
+    All randomness is the fold hash: step s of walk (start, wid) picks
+    neighbor index fold_hash(start|wid|s|cur) mod pool-size from the
+    node's SORTED neighbor pool, so the corpus is a pure function of the
+    graph — re-runs, retries and the DuckDB oracle all reproduce it
+    bit-for-bit.
+
+    Scale shape: per-node neighbor pools are bounded at `nbr_cap`
+    (keep the cap smallest (fold_hash(nbr), nbr) — the same
+    deterministic pseudo-random sample as negative_samples' pool, and
+    exactly GraphSAGE's bounded neighbor sampling, so a hub's row stays
+    O(cap) wide); the walk itself is length-1 equi-joins of the frontier
+    against the pooled adjacency table with narrow in-row index math.
+    No neighbor pool is ever collected or broadcast: frontier and
+    adjacency co-shuffle on the node key each hop. An undirected edge
+    guarantees every reached node has a non-empty pool, so walks never
+    dead-end."""
+    from gliner_spark.operators.graph_analytics import undirected_edges
+
+    und = undirected_edges(triples)
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    w = Window.partitionBy("node").orderBy("hrank", "nbr")
+    pool = (
+        sym.withColumn("hrank", fold_hash(F.col("nbr")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nbr_cap)
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+        .withColumn("n", F.size("nbrs").cast("long"))
+        .persist()
+    )
+
+    frontier = pool.select(
+        F.col("node").alias("entity"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("wid"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("walk"),
+    ).select(
+        "entity",
+        F.col("wid").cast("long").alias("walk_id"),
+        "cur",
+        "walk",
+    )
+    for step in range(1, length):
+        key = F.concat_ws(
+            "|",
+            F.col("entity"),
+            F.col("walk_id").cast("string"),
+            F.lit(str(step)),
+            F.col("cur"),
+        )
+        frontier = (
+            frontier.join(pool, frontier["cur"] == pool["node"])
+            .withColumn("idx", F.pmod(fold_hash(key), F.col("n")))
+            .withColumn(
+                "nxt", F.expr("element_at(nbrs, CAST(idx + 1 AS INT))")
+            )
+            .select(
+                "entity",
+                "walk_id",
+                F.col("nxt").alias("cur"),
+                F.concat_ws("->", "walk", "nxt").alias("walk"),
+            )
+        )
+    out = frontier.select("entity", "walk_id", "walk").orderBy(
+        "entity", "walk_id"
+    )
+    from gliner_spark.cache import attach_caches
+
+    return attach_caches(forward_caches(out, triples), pool)
+
+
 TRANSE_DIM = 8  # matches kg_scoring's default hash-embedding width
 
 

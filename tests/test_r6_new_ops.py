@@ -715,3 +715,68 @@ def test_distmult_margin_eval_brute(spark):
             )
         )
         assert r.mean_margin == want
+
+
+# --------------------------------------------------------------- walks --
+def test_walk_corpus_brute(spark):
+    """Walks match a pure-python replay of the hash-driven pool walk:
+    capped sorted neighbor pools, idx = fold(start|wid|step|cur) % n."""
+    from gliner_spark.operators.kg_completion import (
+        WALK_LEN,
+        WALKS_PER_NODE,
+        walk_corpus,
+    )
+
+    rng = random.Random(11)
+    names = [f"e{i:02d}" for i in range(20)]
+    rows = list(
+        {
+            (rng.choice(names), "r", rng.choice(names))
+            for _ in range(40)
+        }
+    )
+    und = sorted(
+        {(min(s, o), max(s, o)) for s, _, o in rows if s != o}
+    )
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    pools = {n: sorted(v) for n, v in nbrs.items()}  # all degs < cap
+
+    want = {}
+    for start in pools:
+        for wid in range(WALKS_PER_NODE):
+            cur, walk = start, start
+            for step in range(1, WALK_LEN):
+                p = pools[cur]
+                idx = _fold(f"{start}|{wid}|{step}|{cur}") % len(p)
+                cur = p[idx]
+                walk += "->" + cur
+            want[(start, wid)] = walk
+    got = {
+        (r.entity, r.walk_id): r.walk
+        for r in walk_corpus(_triples(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_walk_corpus_pool_cap(spark):
+    """A hub above the cap walks only within its hash-selected pool."""
+    from gliner_spark.functions.text import fold_hash as _fh  # noqa: F401
+    from gliner_spark.operators.kg_completion import walk_corpus
+
+    rows = [("hub", "r", f"s{i:02d}") for i in range(8)]
+    out = walk_corpus(_triples(spark, rows), nbr_cap=3).collect()
+    pool = sorted(
+        (f"s{i:02d}" for i in range(8)),
+        key=lambda s: (_fold(s), s),
+    )[:3]
+    hub_walks = [r.walk for r in out if r.entity == "hub"]
+    assert hub_walks  # hub still walks
+    for wk in hub_walks:
+        nodes = wk.split("->")
+        # every hop FROM the hub lands inside the capped pool
+        for a, b in zip(nodes, nodes[1:]):
+            if a == "hub":
+                assert b in pool
