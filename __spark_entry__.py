@@ -357,6 +357,15 @@ def q_kg_walks(spark, sf_dir):
     return walk_corpus(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_truss(spark, sf_dir):
+    """k-truss nucleus (r6): iterative edge peeling to the subgraph
+    where every edge sits in >= k-2 triangles
+    (operators/graph_analytics.ktruss)."""
+    from gliner_spark.operators.graph_analytics import ktruss
+
+    return ktruss(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_fusion(spark, sf_dir):
     """Knowledge-fusion conflict resolution (r6): per contested
     (subj, pred), the distinct-doc-vote winning object plus contest
@@ -1488,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fusion": q_kg_fusion,
         "kg_factrank": q_kg_factrank,
         "kg_walks": q_kg_walks,
+        "kg_truss": q_kg_truss,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3567,6 +3577,63 @@ FROM sides GROUP BY entity ORDER BY entity
 """
 
 
+def _kg_truss_oracle() -> str:
+    """ktruss replay: TRUSS_MAX_ROUNDS unrolled peel rounds (capped
+    wedge support count -> drop edges with support < k-2), idempotent
+    after convergence like the kcore unroll, plus one final support pass
+    over the fixpoint edge set. Every round CTE MATERIALIZED."""
+    from gliner_spark.operators.graph_analytics import (
+        TRUSS_K,
+        TRUSS_MAX_ROUNDS,
+        TWO_HOP_MAX_FANOUT,
+    )
+
+    snap = _kg_snapshot()
+    blocks = []
+    for r in range(TRUSS_MAX_ROUNDS + 1):
+        blocks.append(f"""
+tfan{r} AS MATERIALIZED (
+  SELECT a, count(*) AS fan FROM ts{r} GROUP BY a
+),
+tcap{r} AS MATERIALIZED (
+  SELECT s.a, s.b FROM ts{r} s JOIN tfan{r} f ON f.a = s.a
+  WHERE f.fan <= {TWO_HOP_MAX_FANOUT}
+),
+ttri{r} AS MATERIALIZED (
+  SELECT w.a, w.x, w.y FROM (
+    SELECT u1.a, u1.b AS x, u2.b AS y
+    FROM tcap{r} u1 JOIN tcap{r} u2 ON u1.a = u2.a AND u1.b < u2.b
+  ) w
+  WHERE EXISTS (SELECT 1 FROM ts{r} e WHERE e.a = w.x AND e.b = w.y)
+),
+tsup{r} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a, x AS b FROM ttri{r}
+    UNION ALL SELECT a, y FROM ttri{r}
+    UNION ALL SELECT x, y FROM ttri{r}
+  ) GROUP BY a, b
+)""")
+        if r < TRUSS_MAX_ROUNDS:
+            blocks.append(f"""
+ts{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM ts{r} e
+  LEFT JOIN tsup{r} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.support, 0) >= {TRUSS_K - 2}
+)""")
+    R = TRUSS_MAX_ROUNDS
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+ts0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+{",".join(blocks)}
+SELECT e.a, e.b, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+FROM ts{R} e LEFT JOIN tsup{R} s ON s.a = e.a AND s.b = e.b
+ORDER BY e.a, e.b
+"""
+
+
 def _kg_walks_oracle() -> str:
     """walk_corpus replay: hash-ranked bounded neighbor pools as sorted
     lists, then WALK_LEN - 1 unrolled hop CTEs (each MATERIALIZED — the
@@ -4825,6 +4892,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_fusion": _kg_fusion_oracle(),
         "kg_factrank": _kg_factrank_oracle(),
         "kg_walks": _kg_walks_oracle(),
+        "kg_truss": _kg_truss_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

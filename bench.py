@@ -118,6 +118,7 @@ EXTRA_QUERIES = [
     "kg_fusion",
     "kg_factrank",
     "kg_walks",
+    "kg_truss",
 ]
 
 
@@ -193,6 +194,7 @@ def main():
             entity_components,
             entity_degrees,
             kcore,
+            ktruss,
             link_prediction,
             lpa_communities,
             node_similarity,
@@ -251,6 +253,7 @@ def main():
             "fusion": fuse_functional,
             "factrank": fact_rank,
             "walks": walk_corpus,
+            "truss": ktruss,
         }
         for name, fn in graph_op_fns.items():
             reps = []

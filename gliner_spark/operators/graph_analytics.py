@@ -1037,6 +1037,98 @@ def entity_provenance(triples: DataFrame) -> DataFrame:
     return forward_caches(out, triples)
 
 
+TRUSS_K = 4            # every surviving edge sits in >= k-2 triangles
+TRUSS_MAX_ROUNDS = 8
+
+
+def ktruss(
+    triples: DataFrame,
+    k: int = TRUSS_K,
+    max_rounds: int = TRUSS_MAX_ROUNDS,
+    max_fanout: int = TWO_HOP_MAX_FANOUT,
+) -> DataFrame:
+    """k-truss of the undirected entity graph: the maximal subgraph in
+    which every EDGE participates in >= k-2 triangles within the
+    subgraph (Cohen 2008) — the edge-centric sibling of kcore and the
+    standard cohesive-community nucleus (a k-truss is always inside the
+    (k-1)-core but much denser). Returned as the surviving edges
+    (a, b, support) with support counted INSIDE the truss.
+
+    Computed by iterative edge peeling: count per-edge triangle support
+    with the compact-forward enumeration (wedges only from the smallest
+    node, AUDITED pivot cap, closure semi-join against the UNCAPPED
+    current edge set — triangle_counts' exact shape), drop edges with
+    support < k-2, repeat to fixpoint. Peeling is confluent (the
+    k-truss is unique), so the kg_truss oracle's fixed unroll of
+    max_rounds rounds (idempotent after convergence) replays the
+    early-exited fixpoint exactly; a graph with peel depth > max_rounds
+    raises rather than returning a non-fixpoint (kcore's contract).
+    When the pivot cap fires, support is a lower bound and peeling is
+    correspondingly more aggressive — deterministic either way, and the
+    per-round audits record it.
+
+    Scale shape per round: one windowed fan count, one wedge self-join
+    bounded by cap * |edges|, one closure semi-join, one grouped count,
+    one left join + filter; localCheckpoint per round with the previous
+    round unpersisted (CC loop hygiene)."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    def support(edges, tag):
+        w = Window.partitionBy("a")
+        capped, audit = capped_filter(
+            edges.withColumn("fan", F.count(F.lit(1)).over(w)),
+            "fan", max_fanout, tag,
+        )
+        u1 = capped.select("a", F.col("b").alias("x"))
+        u2 = capped.select("a", F.col("b").alias("y"))
+        wedges = u1.join(u2, "a").filter(F.col("x") < F.col("y"))
+        tris = wedges.join(
+            edges.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+        sup = (
+            tris.select("a", F.col("x").alias("b"))
+            .union(tris.select("a", F.col("y").alias("b")))
+            .union(tris.select(F.col("x").alias("a"), F.col("y").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        return sup, audit
+
+    edges = undirected_edges(triples).localCheckpoint()
+    prev = edges
+    audits = []
+    out = None
+    for r in range(max_rounds):
+        sup, audit = support(edges, f"truss_pivot_cap_{r}")
+        audits.append(audit)
+        joined = edges.join(sup, ["a", "b"], "left").select(
+            "a", "b",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        bad = joined.filter(F.col("support") < k - 2).localCheckpoint()
+        if bad.limit(1).count() == 0:
+            bad.unpersist()
+            out = joined.orderBy("a", "b")
+            break
+        edges = (
+            joined.join(bad.select("a", "b"), ["a", "b"], "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        bad.unpersist()
+        prev.unpersist()
+        prev = edges
+    if out is None:
+        raise RuntimeError(
+            f"ktruss(k={k}) did not converge within {max_rounds} rounds; "
+            "raise max_rounds (peel depth exceeds the bound)"
+        )
+    return forward_caches(attach_audits(out, *audits), triples)
+
+
 # default fixture metapath: founders' companies' locations
 METAPATH = ("founded", "based_in")
 

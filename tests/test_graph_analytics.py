@@ -424,6 +424,63 @@ def test_kcore_multi_round_peeling_matches_brute_force(spark):
         kcore(triples, k=2, max_rounds=2)
 
 
+def test_ktruss_edge_peeling_matches_brute_force(spark):
+    """r6: k-truss on a planted 4-clique + triangle fringe — at k=4 the
+    fringe peels in CASCADE (removing (c,e)/(d,f)/(e,f) drops (d,e)'s
+    support from 2 to 0, so it only falls in round 2), exercising
+    genuine multi-round edge peeling; plus the convergence raise on an
+    over-tight round bound."""
+    import pytest
+
+    from gliner_spark.operators.graph_analytics import ktruss
+
+    # 4-clique abcd; e adjacent to c,d; f adjacent to d,e; pendant f-g.
+    # k=4 peel: round 1 drops (c,e),(d,f),(e,f),(f,g) (support<=1) but
+    # (d,e) still closes 2 triangles {c,f}; round 2 drops (d,e).
+    clique = [
+        (x, y)
+        for i, x in enumerate("abcd")
+        for y in "abcd"[i + 1:]
+    ]
+    edges = clique + [
+        ("c", "e"), ("d", "e"), ("d", "f"), ("e", "f"), ("f", "g"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+    def brute(k):
+        und = {tuple(sorted(e)) for e in edges}
+        while True:
+            sup = {e: 0 for e in und}
+            for a, b in und:
+                for c in {x for e in und for x in e}:
+                    if tuple(sorted((a, c))) in und and \
+                            tuple(sorted((b, c))) in und:
+                        sup[(a, b)] += 1
+            bad = {e for e, s in sup.items() if s < k - 2}
+            if not bad:
+                return sup
+            und -= bad
+
+    for k in (3, 4, 5):
+        want = brute(k)
+        got = {(r.a, r.b): r.support for r in ktruss(triples, k=k).collect()}
+        assert got == want, (k, got, want)
+    # k=4 truss is exactly the clique (cascade removed the whole fringe)
+    assert set(brute(4)) == {tuple(sorted(e)) for e in clique}
+    # k=3 keeps the fringe triangles but peels the pendant f-g
+    assert ("d", "f") in brute(3) and ("f", "g") not in brute(3)
+    # k=5 peels everything (4-clique edges close only 2 triangles)
+    assert brute(5) == {} and ktruss(triples, k=5).count() == 0
+    # the k=4 cascade needs 2 peel rounds + 1 to observe convergence;
+    # a 2-round bound dies mid-cascade
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ktruss(triples, k=4, max_rounds=2)
+
+
 def test_link_prediction_matches_brute_force(spark):
     """r6: RA-scored non-edges on the planted graph vs a hand loop —
     integer micro-unit scores, non-adjacency, and the (score DESC, a, b)
