@@ -366,6 +366,15 @@ def q_kg_truss(spark, sf_dir):
     return ktruss(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_wl(spark, sf_dir):
+    """1-WL color refinement (r6): structural-role signatures after
+    WL_ROUNDS sorted-neighbor-multiset rehash rounds
+    (operators/graph_analytics.wl_colors)."""
+    from gliner_spark.operators.graph_analytics import wl_colors
+
+    return wl_colors(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_fusion(spark, sf_dir):
     """Knowledge-fusion conflict resolution (r6): per contested
     (subj, pred), the distinct-doc-vote winning object plus contest
@@ -1498,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_factrank": q_kg_factrank,
         "kg_walks": q_kg_walks,
         "kg_truss": q_kg_truss,
+        "kg_wl": q_kg_wl,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3634,6 +3644,57 @@ ORDER BY e.a, e.b
 """
 
 
+def _kg_wl_oracle() -> str:
+    """wl_colors replay: init color = fold_hash(type prefix), then
+    WL_ROUNDS unrolled rounds of (own * M + fold(sorted neighbor
+    colors)) % P31 — list_sort + list_reduce reproduce the Spark
+    array_sort + aggregate fold bit-exactly. Round CTEs MATERIALIZED
+    (each referenced twice by the next round)."""
+    from gliner_spark.functions.text import FOLD_M, P31
+    from gliner_spark.operators.graph_analytics import WL_ROUNDS
+
+    snap = _kg_snapshot()
+    rounds = []
+    for r in range(WL_ROUNDS):
+        rounds.append(f"""
+wc{r + 1} AS MATERIALIZED (
+  SELECT s.node AS entity,
+    CAST((own.color * {FOLD_M} + list_reduce(
+        list_prepend(CAST(0 AS BIGINT), list_sort(list(n.color))),
+        (acc, x) -> (acc * {FOLD_M} + x) % {P31})) % {P31} AS BIGINT)
+      AS color
+  FROM wsym s
+  JOIN wc{r} n ON n.entity = s.nbr
+  JOIN wc{r} own ON own.entity = s.node
+  GROUP BY s.node, own.color
+)""")
+    R = WL_ROUNDS
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+wund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+wsym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM wund UNION ALL SELECT b, a FROM wund
+),
+wc0 AS MATERIALIZED (
+  SELECT node AS entity,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(length(split_part(node, ':', 1))),
+          i -> CAST(ascii(substring(split_part(node, ':', 1),
+                                    CAST(i + 1 AS INT), 1)) AS BIGINT))),
+      (acc, cp) -> (acc * {FOLD_M} + cp) % {P31}) AS color
+  FROM (SELECT DISTINCT node FROM wsym)
+),
+{",".join(rounds)}
+SELECT entity, color AS wl_color,
+  CAST(count(*) OVER (PARTITION BY color) AS BIGINT) AS class_size
+FROM wc{R} ORDER BY entity
+"""
+
+
 def _kg_walks_oracle() -> str:
     """walk_corpus replay: hash-ranked bounded neighbor pools as sorted
     lists, then WALK_LEN - 1 unrolled hop CTEs (each MATERIALIZED — the
@@ -4893,6 +4954,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_factrank": _kg_factrank_oracle(),
         "kg_walks": _kg_walks_oracle(),
         "kg_truss": _kg_truss_oracle(),
+        "kg_wl": _kg_wl_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -119,6 +119,7 @@ EXTRA_QUERIES = [
     "kg_factrank",
     "kg_walks",
     "kg_truss",
+    "kg_wl",
 ]
 
 
@@ -205,6 +206,7 @@ def main():
             schema_profile,
             triangle_counts,
             two_hop_paths,
+            wl_colors,
         )
         from gliner_spark.operators.graph_analytics import metapath_counts
         from gliner_spark.operators.kg_completion import (
@@ -254,6 +256,7 @@ def main():
             "factrank": fact_rank,
             "walks": walk_corpus,
             "truss": ktruss,
+            "wl": wl_colors,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -1183,3 +1183,101 @@ def metapath_counts(
         .orderBy("src", "dst")
     )
     return forward_caches(attach_audits(out, *audits), triples)
+
+
+WL_ROUNDS = 3
+
+
+def wl_colors(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement over the
+    undirected entity graph (Weisfeiler & Leman 1968; the WL-kernel
+    relabeling of Shervashidze et al. 2011): every entity starts with a
+    color derived from its TYPE, then for a fixed number of rounds each
+    entity's color is re-hashed together with the SORTED multiset of its
+    neighbors' colors. After r rounds two entities share a color iff
+    their radius-r typed neighborhoods are indistinguishable — the
+    standard structural-role signature used for graph-kernel features,
+    role-equivalent entity grouping, and cheap candidate pruning before
+    expensive graph-isomorphism or entity-matching checks on a
+    constructed KG. Returns (entity, wl_color, class_size) with
+    class_size the number of entities sharing the final color.
+
+    Determinism + oracle: the refinement hash is pure bigint arithmetic
+    — init color = fold_hash(type prefix) (functions/text.fold_hash),
+    update = (own * FOLD_M + foldl((acc, c) -> (acc * FOLD_M + c) % P31,
+    0, sorted neighbor colors)) % P31 — so the kg_wl oracle replays it
+    exactly with list_sort + list_reduce over unrolled MATERIALIZED
+    round CTEs. Sorting the neighbor multiset removes the only
+    order-sensitivity; no floats, no tie-breaking.
+
+    Scale shape per round: one equi-join of the symmetrized edge list
+    against the current (entity, color) frame, one sorted-list
+    aggregate, one join for the entity's own color — all shuffles on
+    the entity key, state exactly |V| rows, localCheckpoint per round
+    with the previous round unpersisted (CC loop hygiene). Neighbor
+    lists are degree-sized; a 100 TB graph's hubs make the collect_list
+    large but it stays O(deg), the same bound every degree aggregate
+    here already carries."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.functions.text import FOLD_M, P31, fold_hash
+
+    und = undirected_edges(triples).localCheckpoint()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    colors = (
+        sym.select("node")
+        .distinct()
+        .select(
+            F.col("node").alias("entity"),
+            fold_hash(F.substring_index("node", ":", 1))
+            .cast("long")
+            .alias("color"),
+        )
+        .localCheckpoint()
+    )
+    prev = colors
+    for _ in range(rounds):
+        nb = (
+            sym.join(
+                colors.select(F.col("entity").alias("nbr"), "color"), "nbr"
+            )
+            .groupBy("node")
+            .agg(F.array_sort(F.collect_list("color")).alias("cs"))
+        )
+        colors = (
+            nb.join(
+                colors.select(
+                    F.col("entity").alias("node"),
+                    F.col("color").alias("own"),
+                ),
+                "node",
+            )
+            .select(
+                F.col("node").alias("entity"),
+                (
+                    (
+                        F.col("own") * F.lit(FOLD_M)
+                        + F.aggregate(
+                            "cs",
+                            F.lit(0).cast("long"),
+                            lambda acc, x: (acc * F.lit(FOLD_M) + x)
+                            % F.lit(P31),
+                        )
+                    )
+                    % F.lit(P31)
+                )
+                .cast("long")
+                .alias("color"),
+            )
+            .localCheckpoint()
+        )
+        prev.unpersist()
+        prev = colors
+    w = Window.partitionBy("color")
+    out = colors.select(
+        "entity",
+        F.col("color").alias("wl_color"),
+        F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
+    ).orderBy("entity")
+    return forward_caches(out, triples)

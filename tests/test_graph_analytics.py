@@ -576,3 +576,49 @@ def test_bfs_distances_match_brute_force(spark):
     assert brute(4)["org:z"] == 1
     # the island never appears; org:far needs 3 hops (w at 2 via b)
     assert "org:island" not in brute(4) and brute(4)["org:far"] == 3
+
+
+def test_wl_colors_matches_brute_force(spark):
+    """r6: 1-WL refinement on a path + star (same type prefix, so init
+    colors are equal) vs a hand loop with fold_hash_py — symmetric
+    positions converge to the same color, structurally distinct ones
+    split, and class sizes count the final partition."""
+    from gliner_spark.core.dense import fold_hash_py
+    from gliner_spark.functions.text import FOLD_M, P31
+    from gliner_spark.operators.graph_analytics import WL_ROUNDS, wl_colors
+
+    # path a-b-c-d-e and star x-(p,q,r), all entities typed "t:"
+    edges = [
+        ("t:a", "t:b"), ("t:b", "t:c"), ("t:c", "t:d"), ("t:d", "t:e"),
+        ("t:x", "t:p"), ("t:x", "t:q"), ("t:x", "t:r"),
+    ]
+    triples = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    und = {tuple(sorted(e)) for e in edges}
+    nbrs = {}
+    for s, o in und:
+        nbrs.setdefault(s, set()).add(o)
+        nbrs.setdefault(o, set()).add(s)
+    colors = {n: fold_hash_py(n.split(":")[0]) for n in nbrs}
+    for _ in range(WL_ROUNDS):
+        nxt = {}
+        for n in nbrs:
+            acc = 0
+            for c in sorted(colors[m] for m in nbrs[n]):
+                acc = (acc * FOLD_M + c) % P31
+            nxt[n] = (colors[n] * FOLD_M + acc) % P31
+        colors = nxt
+    rows = wl_colors(triples).collect()
+    got = {r.entity: r.wl_color for r in rows}
+    assert got == colors, (got, colors)
+    # symmetric positions share a color, distinct roles split
+    assert got["t:a"] == got["t:e"] and got["t:b"] == got["t:d"]
+    assert got["t:p"] == got["t:q"] == got["t:r"]
+    assert len({got["t:c"], got["t:x"], got["t:a"], got["t:b"],
+                got["t:p"]}) == 5
+    # class_size counts the final partition
+    sizes = {r.entity: r.class_size for r in rows}
+    assert sizes["t:p"] == 3 and sizes["t:a"] == 2 and sizes["t:c"] == 1
