@@ -375,6 +375,15 @@ def q_kg_wl(spark, sf_dir):
     return wl_colors(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_degree_hist(spark, sf_dir):
+    """Exact log2-bucket degree-distribution histogram (r6): the
+    scale-free profile + skew diagnostic, bit-length bucketing, two
+    shuffles (operators/graph_analytics.degree_histogram)."""
+    from gliner_spark.operators.graph_analytics import degree_histogram
+
+    return degree_histogram(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_fusion(spark, sf_dir):
     """Knowledge-fusion conflict resolution (r6): per contested
     (subj, pred), the distinct-doc-vote winning object plus contest
@@ -1508,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": q_kg_walks,
         "kg_truss": q_kg_truss,
         "kg_wl": q_kg_wl,
+        "kg_degree_hist": q_kg_degree_hist,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3695,6 +3705,35 @@ FROM wc{R} ORDER BY entity
 """
 
 
+def _kg_degree_hist_oracle() -> str:
+    """degree_histogram replay: undirected degree aggregate, bucket =
+    length(bin(degree)) - 1 (bit length, no float log2), per-bucket
+    min/max/count/sum with lo/hi bounds from integer shifts."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+hund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+hdeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM hund UNION ALL SELECT b FROM hund
+  ) GROUP BY node
+)
+SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+  CAST(2 ** (length(bin(degree)) - 1) AS BIGINT) AS lo,
+  CAST(2 ** (length(bin(degree))) - 1 AS BIGINT) AS hi,
+  CAST(min(degree) AS BIGINT) AS min_degree,
+  CAST(max(degree) AS BIGINT) AS max_degree,
+  CAST(count(*) AS BIGINT) AS n_entities,
+  CAST(sum(degree) AS BIGINT) AS sum_degree
+FROM hdeg
+GROUP BY length(bin(degree))
+ORDER BY bucket
+"""
+
+
 def _kg_walks_oracle() -> str:
     """walk_corpus replay: hash-ranked bounded neighbor pools as sorted
     lists, then WALK_LEN - 1 unrolled hop CTEs (each MATERIALIZED — the
@@ -4955,6 +4994,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_walks": _kg_walks_oracle(),
         "kg_truss": _kg_truss_oracle(),
         "kg_wl": _kg_wl_oracle(),
+        "kg_degree_hist": _kg_degree_hist_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

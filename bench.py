@@ -120,6 +120,7 @@ EXTRA_QUERIES = [
     "kg_walks",
     "kg_truss",
     "kg_wl",
+    "kg_degree_hist",
 ]
 
 
@@ -192,6 +193,7 @@ def main():
         from gliner_spark.operators.graph_analytics import (
             bfs_distances,
             clustering_coefficients,
+            degree_histogram,
             entity_components,
             entity_degrees,
             kcore,
@@ -257,6 +259,7 @@ def main():
             "walks": walk_corpus,
             "truss": ktruss,
             "wl": wl_colors,
+            "degree_hist": degree_histogram,
         }
         for name, fn in graph_op_fns.items():
             reps = []

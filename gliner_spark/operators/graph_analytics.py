@@ -1281,3 +1281,56 @@ def wl_colors(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
     ).orderBy("entity")
     return forward_caches(out, triples)
+
+
+def degree_histogram(triples: DataFrame) -> DataFrame:
+    """Exact log2-bucketed degree-distribution histogram of the
+    undirected entity graph — the first scale-free / power-law profile
+    read on a constructed KG (Barabasi-Albert style degree plots), and
+    the skew diagnostic that tells an operator where the hub caps and
+    salting thresholds should sit BEFORE running the expensive wedge
+    operators. One row per occupied bucket b = floor(log2(degree)):
+    (bucket, lo, hi, n_entities, sum_degree), exact integers only.
+
+    The bucket index is computed as length(bin(degree)) - 1 — the bit
+    length of the degree minus one — identically on the Spark side
+    (F.bin) and the DuckDB oracle (bin()), avoiding float log2 entirely.
+    Plan: one symmetrized map-side-combined degree aggregate, one
+    16-ish-row bucket aggregate — two shuffles total, output size
+    log2(max_degree) rows at ANY corpus scale."""
+    from gliner_spark.cache import forward_caches
+
+    und = undirected_edges(triples)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    b = (F.length(F.bin(F.col("degree"))) - F.lit(1)).cast("long")
+    out = (
+        deg.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("degree").cast("long").alias("sum_degree"),
+        )
+        .withColumn(
+            "lo",
+            F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)"),
+        )
+        .withColumn(
+            "hi",
+            F.expr(
+                "CAST(shiftleft(2L, CAST(bucket AS INT)) - 1 AS BIGINT)"
+            ),
+        )
+        .select(
+            "bucket", "lo", "hi", "min_degree", "max_degree",
+            "n_entities", "sum_degree",
+        )
+        .orderBy("bucket")
+    )
+    return forward_caches(out, triples)

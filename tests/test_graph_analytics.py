@@ -622,3 +622,28 @@ def test_wl_colors_matches_brute_force(spark):
     # class_size counts the final partition
     sizes = {r.entity: r.class_size for r in rows}
     assert sizes["t:p"] == 3 and sizes["t:a"] == 2 and sizes["t:c"] == 1
+
+
+def test_degree_histogram_hand_checked(spark):
+    """r6: log2 buckets on a star + path — bit-length bucketing, exact
+    per-bucket min/max/count/sum, and lo/hi bounds."""
+    from gliner_spark.operators.graph_analytics import degree_histogram
+
+    # star x-(p1..p5): x deg 5 (bucket 2), leaves deg 1 (bucket 0);
+    # path a-b-c: b deg 2 (bucket 1), a,c deg 1
+    edges = [("x", f"p{i}") for i in range(5)] + [("a", "b"), ("b", "c")]
+    t = spark.createDataFrame(
+        [("d0", s, "rel", o, "t", "t", 1.0) for s, o in edges],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    rows = {r.bucket: r for r in degree_histogram(t).collect()}
+    assert set(rows) == {0, 1, 2}
+    b0, b1, b2 = rows[0], rows[1], rows[2]
+    assert (b0.lo, b0.hi, b0.n_entities, b0.sum_degree) == (1, 1, 7, 7)
+    assert (b1.lo, b1.hi, b1.n_entities, b1.sum_degree) == (2, 3, 1, 2)
+    assert (b2.lo, b2.hi, b2.min_degree, b2.max_degree, b2.n_entities) == \
+        (4, 7, 5, 5, 1)
+    # histogram covers every node exactly once
+    assert sum(r.n_entities for r in rows.values()) == 9
+    assert sum(r.sum_degree for r in rows.values()) == 2 * len(edges)
