@@ -384,6 +384,15 @@ def q_kg_degree_hist(spark, sf_dir):
     return degree_histogram(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_harmonic(spark, sf_dir):
+    """Seed-sampled harmonic centrality (r6): HC_SEEDS hash-chosen
+    seeds, multi-source depth-bounded BFS, integer HC_UNIT DIV dist
+    sums (operators/graph_analytics.harmonic_centrality)."""
+    from gliner_spark.operators.graph_analytics import harmonic_centrality
+
+    return harmonic_centrality(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_fusion(spark, sf_dir):
     """Knowledge-fusion conflict resolution (r6): per contested
     (subj, pred), the distinct-doc-vote winning object plus contest
@@ -1518,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truss": q_kg_truss,
         "kg_wl": q_kg_wl,
         "kg_degree_hist": q_kg_degree_hist,
+        "kg_harmonic": q_kg_harmonic,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3734,6 +3744,67 @@ ORDER BY bucket
 """
 
 
+def _kg_harmonic_oracle() -> str:
+    """harmonic_centrality replay: fold-hash-ordered LIMIT seed pick,
+    HC_DEPTH unrolled multi-source BFS levels carrying (seed, node)
+    pairs (first reach = min dist, NOT EXISTS anti-join), then one
+    integer HC_UNIT // dist aggregate. Level CTEs MATERIALIZED (each
+    referenced by the next frontier and the union)."""
+    from gliner_spark.functions.text import FOLD_M, P31
+    from gliner_spark.operators.graph_analytics import (
+        HC_DEPTH,
+        HC_SEEDS,
+        HC_UNIT,
+    )
+
+    snap = _kg_snapshot()
+    levels = []
+    for d in range(1, HC_DEPTH + 1):
+        levels.append(f"""
+hf{d} AS MATERIALIZED (
+  SELECT DISTINCT b.seed, s.nbr AS node
+  FROM hs{d - 1} b JOIN hsym s ON s.node = b.node
+  WHERE b.dist = {d - 1}
+    AND NOT EXISTS (SELECT 1 FROM hs{d - 1} p
+                    WHERE p.seed = b.seed AND p.node = s.nbr)
+),
+hs{d} AS MATERIALIZED (
+  SELECT seed, node, dist FROM hs{d - 1}
+  UNION ALL SELECT seed, node, {d} AS dist FROM hf{d}
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+hund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+hsym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM hund UNION ALL SELECT b, a FROM hund
+),
+hseeds AS MATERIALIZED (
+  SELECT node AS seed FROM (
+    SELECT node,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(length(node)),
+            i -> CAST(ascii(substring(node, CAST(i + 1 AS INT), 1))
+                      AS BIGINT))),
+        (acc, cp) -> (acc * {FOLD_M} + cp) % {P31}) AS h
+    FROM (SELECT DISTINCT node FROM hsym)
+  ) ORDER BY h, node LIMIT {HC_SEEDS}
+),
+hs0 AS MATERIALIZED (
+  SELECT seed, seed AS node, 0 AS dist FROM hseeds
+),
+{",".join(levels)}
+SELECT node AS entity,
+  CAST(sum({HC_UNIT} // dist) AS BIGINT) AS harmonic,
+  CAST(count(*) AS BIGINT) AS n_seeds_reached
+FROM hs{HC_DEPTH} WHERE dist > 0
+GROUP BY node ORDER BY harmonic DESC, entity
+"""
+
+
 def _kg_walks_oracle() -> str:
     """walk_corpus replay: hash-ranked bounded neighbor pools as sorted
     lists, then WALK_LEN - 1 unrolled hop CTEs (each MATERIALIZED — the
@@ -4995,6 +5066,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_truss": _kg_truss_oracle(),
         "kg_wl": _kg_wl_oracle(),
         "kg_degree_hist": _kg_degree_hist_oracle(),
+        "kg_harmonic": _kg_harmonic_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

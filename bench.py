@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     "kg_truss",
     "kg_wl",
     "kg_degree_hist",
+    "kg_harmonic",
 ]
 
 
@@ -196,6 +197,7 @@ def main():
             degree_histogram,
             entity_components,
             entity_degrees,
+            harmonic_centrality,
             kcore,
             ktruss,
             link_prediction,
@@ -260,6 +262,7 @@ def main():
             "truss": ktruss,
             "wl": wl_colors,
             "degree_hist": degree_histogram,
+            "harmonic": harmonic_centrality,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -1334,3 +1334,95 @@ def degree_histogram(triples: DataFrame) -> DataFrame:
         .orderBy("bucket")
     )
     return forward_caches(out, triples)
+
+
+HC_SEEDS = 16
+HC_DEPTH = 4
+HC_UNIT = 1_000_000
+
+
+def harmonic_centrality(
+    triples: DataFrame,
+    n_seeds: int = HC_SEEDS,
+    depth: int = HC_DEPTH,
+) -> DataFrame:
+    """Seed-sampled harmonic centrality over the undirected entity graph
+    (Boldi & Vigna 2014's preferred centrality; estimated from a fixed
+    seed sample in the Eppstein & Wang 2004 style): centrality(v) =
+    sum over sampled seeds s reaching v within `depth` hops of
+    1/dist(s, v), here in exact integer micro-units (HC_UNIT DIV dist)
+    so the ranking is bit-deterministic. The "which entities sit at the
+    center of the graph" query that degree alone gets wrong (degree is
+    local; harmonic rewards being CLOSE to everything).
+
+    Seeds are the n_seeds entities with the smallest (fold_hash(id), id)
+    — a deterministic hash-scrambled sample, no RNG — and distances come
+    from one multi-source level-synchronous BFS carrying (seed, node)
+    pairs: each round expands the frontier one undirected hop, distinct,
+    anti-joined against already-distanced pairs (first reach = min
+    dist), exactly bfs_distances' loop lifted to a seed column. Entities
+    no seed reaches within `depth` are absent (estimated centrality 0).
+
+    Scale shape: BFS state is at most n_seeds x |V| rows with n_seeds a
+    small constant — linear in the graph, never quadratic; one
+    equi-join + distinct + anti-join per round over the
+    localCheckpointed symmetric edge list, then one grouped integer
+    aggregate. The seed pick is a TakeOrdered top-k (no global sort
+    materialized)."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.functions.text import fold_hash
+
+    und = undirected_edges(triples).localCheckpoint()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    seeds = (
+        sym.select("node")
+        .distinct()
+        .withColumn("h", fold_hash("node"))
+        .orderBy("h", "node")
+        .limit(n_seeds)
+        .select(F.col("node").alias("seed"))
+        .localCheckpoint()
+    )
+    dist = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    frontier = dist.select("seed", "node")
+    prev_frontier = None
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(sym, "node")
+            .select("seed", F.col("nbr").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        prev = dist
+        dist = dist.union(nxt).localCheckpoint()
+        prev.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_frontier = nxt
+        frontier = nxt.select("seed", "node")
+    if prev_frontier is not None:
+        prev_frontier.unpersist()
+    out = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.expr(f"CAST(sum({HC_UNIT} DIV dist) AS BIGINT)").alias(
+                "harmonic"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_seeds_reached"),
+        )
+        .select(F.col("node").alias("entity"), "harmonic", "n_seeds_reached")
+        .orderBy(F.desc("harmonic"), "entity")
+    )
+    return forward_caches(out, triples)

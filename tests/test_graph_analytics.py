@@ -647,3 +647,59 @@ def test_degree_histogram_hand_checked(spark):
     # histogram covers every node exactly once
     assert sum(r.n_entities for r in rows.values()) == 9
     assert sum(r.sum_degree for r in rows.values()) == 2 * len(edges)
+
+
+def test_harmonic_centrality_matches_brute_force(spark):
+    """r6: seed-sampled harmonic centrality on a random graph vs a hand
+    BFS loop — deterministic hash-ordered seed pick, min-hop distances,
+    integer HC_UNIT DIV dist sums, (harmonic DESC, entity) ordering."""
+    import random
+    from collections import deque
+
+    from gliner_spark.core.dense import fold_hash_py
+    from gliner_spark.operators.graph_analytics import (
+        HC_UNIT,
+        harmonic_centrality,
+    )
+
+    rng = random.Random(7)
+    names = [f"e{i:03d}" for i in range(40)]
+    triples = list({
+        (rng.choice(names), "r", rng.choice(names)) for _ in range(70)
+    })
+    t = spark.createDataFrame(
+        [("d0", s, p, o, "t", "t", 1.0) for s, p, o in triples],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    und = {tuple(sorted((s, o))) for s, _, o in triples if s != o}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    n_seeds, depth = 5, 3
+    seeds = sorted(nbrs, key=lambda n: (fold_hash_py(n), n))[:n_seeds]
+    want = {}
+    reached = {}
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= depth:
+                continue
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                want[v] = want.get(v, 0) + HC_UNIT // d
+                reached[v] = reached.get(v, 0) + 1
+    rows = harmonic_centrality(t, n_seeds=n_seeds, depth=depth).collect()
+    assert {r.entity: r.harmonic for r in rows} == want
+    assert {r.entity: r.n_seeds_reached for r in rows} == reached
+    keys = [(-r.harmonic, r.entity) for r in rows]
+    assert keys == sorted(keys)
+    # seeds themselves are scored by the OTHER seeds that reach them
+    assert any(s in want for s in seeds)
