@@ -339,6 +339,37 @@ def q_ev_distmult(spark, sf_dir):
     return transe_margin_eval(q_kg_triples(spark, sf_dir), scorer="distmult")
 
 
+def q_ev_complex(spark, sf_dir):
+    """ComplEx pairwise ranking eval (r6): the asymmetric complex-
+    bilinear member of the scorer family over the same corrupted pairs
+    — real/imaginary halves of the dyadic hash embedding, the exact
+    fold from kg_scoring.interaction_expr
+    (operators/kg_completion.transe_margin_eval(scorer='complex'))."""
+    from gliner_spark.operators.kg_completion import transe_margin_eval
+
+    return transe_margin_eval(q_kg_triples(spark, sf_dir), scorer="complex")
+
+
+def q_kg_rules(spark, sf_dir):
+    """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
+    body => head rules over the constructed KG with exact support /
+    confidence / head-coverage permilles — one pair-key self-join +
+    broadcast predicate counts (operators/kg_completion.mine_rules)."""
+    from gliner_spark.operators.kg_completion import mine_rules
+
+    return mine_rules(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_inference(spark, sf_dir):
+    """Rule-based KG completion (r6): triples implied by the
+    high-confidence mined rules but absent from the graph, with rule
+    provenance — broadcast rule join + one anti-join
+    (operators/kg_completion.apply_rules)."""
+    from gliner_spark.operators.kg_completion import apply_rules
+
+    return apply_rules(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_metapath(spark, sf_dir):
     """Typed metapath instance counts founded -> based_in (r6): the
     bounded regular-path query over the typed KG, per-step audited hub
@@ -1528,6 +1559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl": q_kg_wl,
         "kg_degree_hist": q_kg_degree_hist,
         "kg_harmonic": q_kg_harmonic,
+        "ev_complex": q_ev_complex,
+        "kg_rules": q_kg_rules,
+        "kg_inference": q_kg_inference,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3458,6 +3492,132 @@ FROM ngsc GROUP BY pred ORDER BY pred
 """
 
 
+def _ev_complex_oracle() -> str:
+    """transe_margin_eval(scorer='complex') replay: same shared ngfinal
+    pair set and dyadic embeddings, the Re(<h, r, conj(t)>) fold over
+    real/imaginary halves, higher-is-better comparison."""
+    from gliner_spark.operators.kg_completion import TRANSE_DIM
+
+    snap = _kg_snapshot()
+    D = TRANSE_DIM
+    d2 = D // 2
+
+    def cx(t):
+        return (
+            f"list_transform(range(1, {d2 + 1}), i -> "
+            f"h[i] * r[i] * {t}[i] + h[i] * r[i + {d2}] * {t}[i + {d2}] "
+            f"+ h[i + {d2}] * r[i] * {t}[i + {d2}] "
+            f"- h[i + {d2}] * r[i + {d2}] * {t}[i])"
+        )
+
+    s_pos = _sql_fold_sum(cx("tp"))
+    s_neg = _sql_fold_sum(cx("tn"))
+    return f"""
+WITH RECURSIVE {_kg_negatives_cte(snap)},
+ngfold AS (
+  SELECT pred, {_sql_fold("subj")} AS fs, {_sql_fold("pred")} AS fr,
+         {_sql_fold("pos_obj")} AS fp, {_sql_fold("neg_obj")} AS fn_
+  FROM ngfinal
+),
+ngemb AS (
+  SELECT pred,
+    {_sql_hash_emb("fs", D)} AS h, {_sql_hash_emb("fr", D)} AS r,
+    {_sql_hash_emb("fp", D)} AS tp, {_sql_hash_emb("fn_", D)} AS tn
+  FROM ngfold
+),
+ngsc AS (
+  SELECT pred, {s_pos} AS s_pos, {s_neg} AS s_neg FROM ngemb
+)
+SELECT pred,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN s_pos > s_neg THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ranked_correct,
+  CAST(1000 * sum(CASE WHEN s_pos > s_neg THEN 1 ELSE 0 END) // count(*)
+    AS BIGINT) AS accuracy_permille,
+  round(avg(s_pos - s_neg), 6) AS mean_margin
+FROM ngsc GROUP BY pred ORDER BY pred
+"""
+
+
+def _kg_rules_cte(snap: str) -> str:
+    """WITH-body (requires WITH RECURSIVE) ending in `rall` + `rnp` —
+    the mine_rules replay: distinct self-loop-free triple set, the
+    direct and inverse pair-key self-joins, per-predicate pair counts.
+    Shared by the kg_rules gate and the kg_inference application."""
+    return f"""{_kg_canonical_triples_cte(snap)},
+rd AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM ktriples WHERE subj != obj
+),
+rnp AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n FROM rd GROUP BY pred
+),
+rall AS (
+  SELECT b.pred AS body_pred, h.pred AS head_pred,
+         CAST(0 AS BIGINT) AS inverse, CAST(count(*) AS BIGINT) AS support
+  FROM rd b JOIN rd h
+    ON h.subj = b.subj AND h.obj = b.obj AND h.pred != b.pred
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT b.pred, h.pred, CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM rd b JOIN rd h ON h.subj = b.obj AND h.obj = b.subj
+  GROUP BY 1, 2
+)"""
+
+
+def _kg_rules_oracle() -> str:
+    """mine_rules replay: rall support counts joined to broadcast-side
+    predicate pair counts, permilles as nonneg floor divisions."""
+    from gliner_spark.operators.kg_completion import RULE_MIN_SUPPORT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_rules_cte(snap)}
+SELECT r.body_pred, r.head_pred, r.inverse, r.support,
+       nb.n AS n_body, nh.n AS n_head,
+       CAST(1000 * r.support // nb.n AS BIGINT) AS conf_permille,
+       CAST(1000 * r.support // nh.n AS BIGINT) AS hc_permille
+FROM rall r
+JOIN rnp nb ON nb.pred = r.body_pred
+JOIN rnp nh ON nh.pred = r.head_pred
+WHERE r.support >= {RULE_MIN_SUPPORT}
+ORDER BY body_pred, head_pred, inverse
+"""
+
+
+def _kg_inference_oracle() -> str:
+    """apply_rules replay: confidence-filtered rules applied to their
+    body edges, known triples removed by NOT EXISTS."""
+    from gliner_spark.operators.kg_completion import (
+        RULE_MIN_CONF_PERMILLE,
+        RULE_MIN_SUPPORT,
+    )
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_rules_cte(snap)},
+rrules AS (
+  SELECT r.body_pred, r.head_pred, r.inverse,
+         CAST(1000 * r.support // nb.n AS BIGINT) AS conf_permille
+  FROM rall r JOIN rnp nb ON nb.pred = r.body_pred
+  WHERE r.support >= {RULE_MIN_SUPPORT}
+    AND 1000 * r.support // nb.n >= {RULE_MIN_CONF_PERMILLE}
+),
+rcand AS (
+  SELECT CASE WHEN ru.inverse = 1 THEN d.obj ELSE d.subj END AS subj,
+         ru.head_pred AS pred,
+         CASE WHEN ru.inverse = 1 THEN d.subj ELSE d.obj END AS obj,
+         d.pred AS rule_body, ru.inverse, ru.conf_permille
+  FROM rd d JOIN rrules ru ON ru.body_pred = d.pred
+)
+SELECT c.subj, c.pred, c.obj, c.rule_body, c.inverse, c.conf_permille
+FROM rcand c
+WHERE NOT EXISTS (SELECT 1 FROM rd t
+                  WHERE t.subj = c.subj AND t.pred = c.pred
+                    AND t.obj = c.obj)
+ORDER BY subj, pred, obj, rule_body, inverse
+"""
+
+
 def _kg_metapath_oracle() -> str:
     """metapath_counts replay over the default 2-step path: per-step
     distinct predicate edges, step-2 join-key fan cap, self-loop-free
@@ -5067,6 +5227,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_wl": _kg_wl_oracle(),
         "kg_degree_hist": _kg_degree_hist_oracle(),
         "kg_harmonic": _kg_harmonic_oracle(),
+        "ev_complex": _ev_complex_oracle(),
+        "kg_rules": _kg_rules_oracle(),
+        "kg_inference": _kg_inference_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -290,6 +290,184 @@ def walk_corpus(
     return attach_caches(forward_caches(out, triples), pool)
 
 
+RULE_MIN_SUPPORT = 2          # min # shared (x, y) pairs to emit a rule
+RULE_MIN_CONF_PERMILLE = 500  # inference threshold: conf >= 50.0%
+
+
+def mine_rules(
+    triples: DataFrame, min_support: int = RULE_MIN_SUPPORT
+) -> DataFrame:
+    """AMIE-style mining of 2-atom horn rules over the constructed KG
+    (Galarraga et al. 2013): `body(x, y) => head(x, y)` (direct) and
+    `body(y, x) => head(x, y)` (inverse — body == head detects symmetric
+    predicates). Per rule: support = #distinct (x, y) pairs satisfying
+    body AND head, n_body / n_head = the predicates' distinct pair
+    counts, standard confidence = support / n_body and head coverage =
+    support / n_head — both emitted as exact permille integers
+    (1000 * support DIV n, nonneg so Spark `DIV` == DuckDB `//`).
+
+    This is THE schema-discovery / completion-candidate step a pipeline
+    runs on freshly constructed triples: high-confidence rules feed
+    apply_rules (materialize implied-but-missing triples) and double as
+    redundancy/ontology findings (subproperty, inverse-of, symmetry).
+
+    Shape at scale: one self-equi-join of the distinct edge set on the
+    COMPOSITE (x, y) pair key — multiplicity per key is the number of
+    predicates linking that pair (tiny; no hub blowup possible because
+    the key is the full pair), aggregate output is <= |P|^2 rows, and
+    the per-predicate count table joins back broadcast. No UDFs, no
+    windows, two shuffles."""
+    d = (
+        triples.filter(F.col("subj") != F.col("obj"))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    n_pred = d.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+    def rules_for(body, inverse: int):
+        joined = body.join(
+            d.select(
+                F.col("subj").alias("bs"),
+                F.col("pred").alias("head_pred"),
+                F.col("obj").alias("bo"),
+            ),
+            ["bs", "bo"],
+        )
+        if not inverse:
+            joined = joined.filter(F.col("body_pred") != F.col("head_pred"))
+        return (
+            joined.groupBy("body_pred", "head_pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .withColumn("inverse", F.lit(inverse).cast("long"))
+        )
+
+    direct = rules_for(
+        d.select(
+            F.col("subj").alias("bs"),
+            F.col("pred").alias("body_pred"),
+            F.col("obj").alias("bo"),
+        ),
+        0,
+    )
+    inv = rules_for(
+        d.select(
+            F.col("obj").alias("bs"),
+            F.col("pred").alias("body_pred"),
+            F.col("subj").alias("bo"),
+        ),
+        1,
+    )
+    out = (
+        direct.unionByName(inv)
+        .filter(F.col("support") >= min_support)
+        .join(
+            F.broadcast(
+                n_pred.select(
+                    F.col("pred").alias("body_pred"),
+                    F.col("n").alias("n_body"),
+                )
+            ),
+            "body_pred",
+        )
+        .join(
+            F.broadcast(
+                n_pred.select(
+                    F.col("pred").alias("head_pred"),
+                    F.col("n").alias("n_head"),
+                )
+            ),
+            "head_pred",
+        )
+        .withColumn(
+            "conf_permille", F.expr("1000 * support DIV n_body")
+        )
+        .withColumn(
+            "hc_permille", F.expr("1000 * support DIV n_head")
+        )
+        .select(
+            "body_pred", "head_pred", "inverse", "support",
+            "n_body", "n_head", "conf_permille", "hc_permille",
+        )
+        .orderBy("body_pred", "head_pred", "inverse")
+    )
+    return forward_caches(out, triples)
+
+
+def apply_rules(
+    triples: DataFrame,
+    min_conf_permille: int = RULE_MIN_CONF_PERMILLE,
+    min_support: int = RULE_MIN_SUPPORT,
+) -> DataFrame:
+    """Rule-based KG completion: materialize the triples IMPLIED by the
+    high-confidence mined rules but absent from the graph — the
+    inference step that turns mine_rules' output into new edges
+    (AMIE's prediction protocol, Galarraga et al. 2013 §7).
+
+    For every rule body(x, y) => head(x, y) with confidence >=
+    `min_conf_permille`, each body edge whose head counterpart is
+    missing yields one inferred row (subj, pred, obj) carrying its
+    provenance: the rule's body predicate, direction, and confidence.
+    A triple implied by several rules appears once per rule — the
+    consumer picks max-confidence or aggregates support, and keeping
+    the provenance is what makes the inference auditable.
+
+    Shape at scale: the rule table is <= |P|^2 rows -> broadcast to the
+    body-edge join (narrow); the "already known" check is one left-anti
+    shuffle join against the distinct triple set. Nothing widens beyond
+    |body edges| * |rules per body predicate|."""
+    rules = mine_rules(triples, min_support=min_support).filter(
+        F.col("conf_permille") >= min_conf_permille
+    )
+    d = (
+        triples.filter(F.col("subj") != F.col("obj"))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    cand = d.join(
+        F.broadcast(
+            rules.select(
+                F.col("body_pred").alias("pred"),
+                F.col("head_pred"),
+                "inverse",
+                "conf_permille",
+            )
+        ),
+        "pred",
+    ).select(
+        F.when(F.col("inverse") == 1, F.col("obj"))
+        .otherwise(F.col("subj"))
+        .alias("subj_i"),
+        F.col("head_pred").alias("pred_i"),
+        F.when(F.col("inverse") == 1, F.col("subj"))
+        .otherwise(F.col("obj"))
+        .alias("obj_i"),
+        F.col("pred").alias("rule_body"),
+        "inverse",
+        "conf_permille",
+    )
+    out = (
+        cand.join(
+            d.select(
+                F.col("subj").alias("subj_i"),
+                F.col("pred").alias("pred_i"),
+                F.col("obj").alias("obj_i"),
+            ),
+            ["subj_i", "pred_i", "obj_i"],
+            "left_anti",
+        )
+        .select(
+            F.col("subj_i").alias("subj"),
+            F.col("pred_i").alias("pred"),
+            F.col("obj_i").alias("obj"),
+            "rule_body", "inverse", "conf_permille",
+        )
+        .orderBy("subj", "pred", "obj", "rule_body", "inverse")
+    )
+    return forward_caches(out, triples)
+
+
 TRANSE_DIM = 8  # matches kg_scoring's default hash-embedding width
 
 
@@ -306,7 +484,12 @@ def transe_margin_eval(
     is better. scorer="distmult": the diagonal bilinear score
     sum_i h_i * r_i * t_i (Yang et al. 2015), higher is better — the
     multiplicative counterpart that ranks symmetric relations
-    differently from the translational model. Both run over the
+    differently from the translational model. scorer="complex":
+    Re(<h, r, conj(t)>) over the first/second embedding halves as
+    real/imaginary parts (Trouillon et al. 2016, via
+    kg_scoring.interaction_expr — the same fold the 18-scorer set
+    uses), higher is better — the asymmetric bilinear model that can
+    rank anti-symmetric relations DistMult cannot. All run over the
     deterministic dyadic hash embeddings (kg_scoring.hash_embedding) —
     dyadic rationals with fixed fold order make every score and margin
     IEEE-exact, so the comparison and the mean replay bit-for-bit in
@@ -351,6 +534,11 @@ def transe_margin_eval(
             return -l1(h, r, t)
     elif scorer == "distmult":
         score = diag_bilinear
+    elif scorer == "complex":
+        from gliner_spark.operators.kg_scoring import interaction_expr
+
+        def score(h, r, t):
+            return interaction_expr("complex", h, r, t, dim)
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
 

@@ -780,3 +780,151 @@ def test_walk_corpus_pool_cap(spark):
         for a, b in zip(nodes, nodes[1:]):
             if a == "hub":
                 assert b in pool
+
+
+# ------------------------------------------------------------- complex --
+def test_complex_margin_eval_brute(spark):
+    """ComplEx variant: Re(<h, r, conj(t)>) over real/imag halves must
+    win when higher; margin is the positive advantage."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gliner_spark.operators.kg_completion import (
+        negative_samples,
+        transe_margin_eval,
+    )
+
+    rows = [
+        ("d0", "a", "likes", "x", "person", "fruit", 1.0),
+        ("d0", "a", "likes", "y", "person", "fruit", 1.0),
+        ("d1", "b", "likes", "x", "person", "fruit", 1.0),
+        ("d1", "b", "visited", "p", "person", "place", 1.0),
+        ("d2", "c", "visited", "q", "person", "place", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+    def emb(name, dim=8):
+        base = _fold(name)
+        return [
+            ((((base * (j * 2 + 5) + j) % P31) % 256) * 2 - 255) / 256.0
+            for j in range(dim)
+        ]
+
+    def cx(h, rr, tt, d2=4):
+        return sum(
+            h[i] * rr[i] * tt[i]
+            + h[i] * rr[i + d2] * tt[i + d2]
+            + h[i + d2] * rr[i] * tt[i + d2]
+            - h[i + d2] * rr[i + d2] * tt[i]
+            for i in range(d2)
+        )
+
+    stats = {}
+    for r in negative_samples(t).collect():
+        h, rr = emb(r.subj), emb(r.pred)
+        tp, tn = emb(r.pos_obj), emb(r.neg_obj)
+        s_pos, s_neg = cx(h, rr, tp), cx(h, rr, tn)
+        n, c, m = stats.get(r.pred, (0, 0, 0.0))
+        stats[r.pred] = (n + 1, c + (s_pos > s_neg), m + (s_pos - s_neg))
+    out = {
+        r.pred: r
+        for r in transe_margin_eval(t, scorer="complex").collect()
+    }
+    assert set(out) == set(stats)
+    for pred, (n, c, msum) in stats.items():
+        r = out[pred]
+        assert (r.n_pairs, r.n_ranked_correct) == (n, c)
+        assert r.accuracy_permille == 1000 * c // n
+        want = float(
+            Decimal(msum / n).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r.mean_margin == want
+
+
+# --------------------------------------------------------------- rules --
+def _rules_brute(edges, min_support):
+    """Pure-python AMIE 2-atom miner over distinct (s, p, o) edges."""
+    d = sorted({(s, p, o) for s, p, o in edges if s != o})
+    n_pred = {}
+    for s, p, o in d:
+        n_pred[p] = n_pred.get(p, 0) + 1
+    pairs = {}
+    for s, p, o in d:
+        pairs.setdefault((s, o), set()).add(p)
+    sup = {}
+    for (s, o), preds in pairs.items():
+        rev = pairs.get((o, s), set())
+        for bp in preds:
+            for hp in preds:
+                if bp != hp:
+                    k = (bp, hp, 0)
+                    sup[k] = sup.get(k, 0) + 1
+        for bp in rev:
+            for hp in preds:
+                k = (bp, hp, 1)
+                sup[k] = sup.get(k, 0) + 1
+    out = {}
+    for (bp, hp, inv), s in sup.items():
+        if s >= min_support:
+            out[(bp, hp, inv)] = (
+                s,
+                n_pred[bp],
+                n_pred[hp],
+                1000 * s // n_pred[bp],
+                1000 * s // n_pred[hp],
+            )
+    return out
+
+
+_RULE_ROWS = [
+    # symmetric on 2 of 3 married pairs -> inverse rule conf 800
+    ("a", "married_to", "b"), ("b", "married_to", "a"),
+    ("c", "married_to", "d"), ("d", "married_to", "c"),
+    ("e", "married_to", "f"),
+    # ceo_of => works_for on 2 of 3 -> direct rule conf 666
+    ("a", "ceo_of", "X"), ("a", "works_for", "X"),
+    ("c", "ceo_of", "Y"), ("c", "works_for", "Y"),
+    ("e", "ceo_of", "Z"),
+]
+
+
+def test_mine_rules_brute(spark):
+    from gliner_spark.operators.kg_completion import mine_rules
+
+    got = {
+        (r.body_pred, r.head_pred, r.inverse): (
+            r.support, r.n_body, r.n_head, r.conf_permille, r.hc_permille
+        )
+        for r in mine_rules(_triples(spark, _RULE_ROWS)).collect()
+    }
+    want = _rules_brute(_RULE_ROWS, 2)
+    assert got == want
+    # the planted rules surface with the planted confidences
+    assert got[("married_to", "married_to", 1)][3] == 800
+    assert got[("ceo_of", "works_for", 0)][3] == 666
+
+
+def test_apply_rules_infers_missing_closure(spark):
+    """The two planted >=50%-confidence rules materialize exactly the
+    missing counterpart edges, with provenance; known triples are
+    never re-emitted."""
+    from gliner_spark.operators.kg_completion import apply_rules
+
+    got = [
+        (r.subj, r.pred, r.obj, r.rule_body, r.inverse, r.conf_permille)
+        for r in apply_rules(_triples(spark, _RULE_ROWS)).collect()
+    ]
+    existing = {(s, p, o) for s, p, o in _RULE_ROWS}
+    for s, p, o, _, _, conf in got:
+        assert (s, p, o) not in existing
+        assert conf >= 500
+    assert ("f", "married_to", "e", "married_to", 1, 800) in got
+    assert ("e", "works_for", "Z", "ceo_of", 0, 666) in got
+    # works_for => ceo_of (conf 1000) has no missing head edge
+    assert not [g for g in got if g[1] == "ceo_of"]
+    assert len(got) == 2

@@ -63,7 +63,8 @@ def main():
         # oracle compare is only meaningful at the driver's sf0.01
         for k in list(oracles):
             if k.startswith("kg_") or k in (
-                "ev_docred", "ev_squad", "ev_transe", "ev_distmult"
+                "ev_docred", "ev_squad", "ev_transe", "ev_distmult",
+                "ev_complex",
             ):
                 oracles.pop(k, None)
     failures = []
