@@ -370,6 +370,33 @@ def q_kg_inference(spark, sf_dir):
     return apply_rules(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_hits(spark, sf_dir):
+    """Integer HITS hubs and authorities (r6): fixed-round mutual
+    reinforcement over the directed edge set, max-normalized bigint
+    micro-units (operators/graph_analytics.hits)."""
+    from gliner_spark.operators.graph_analytics import hits
+
+    return hits(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_reciprocity(spark, sf_dir):
+    """Per-predicate edge reciprocity (r6): exact reversed-edge counts
+    and permille — the symmetric-vs-hierarchical predicate profile
+    (operators/graph_analytics.reciprocity)."""
+    from gliner_spark.operators.graph_analytics import reciprocity
+
+    return reciprocity(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_squares(spark, sf_dir):
+    """Per-entity 4-cycle counts (r6): common-neighbor wedges grouped
+    by the diagonal with an audited pivot cap, C(w,2) attributed to
+    both endpoints (operators/graph_analytics.square_counts)."""
+    from gliner_spark.operators.graph_analytics import square_counts
+
+    return square_counts(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_metapath(spark, sf_dir):
     """Typed metapath instance counts founded -> based_in (r6): the
     bounded regular-path query over the typed KG, per-step audited hub
@@ -1562,6 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_complex": q_ev_complex,
         "kg_rules": q_kg_rules,
         "kg_inference": q_kg_inference,
+        "kg_hits": q_kg_hits,
+        "kg_reciprocity": q_kg_reciprocity,
+        "kg_squares": q_kg_squares,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3618,6 +3648,125 @@ ORDER BY subj, pred, obj, rule_body, inverse
 """
 
 
+def _kg_hits_oracle() -> str:
+    """hits replay: unrolled MATERIALIZED rounds — per half-round a
+    grouped sum over the edge join, a full-node left join, and the
+    (UNIT * s) // max(s) renormalization via a 1-row cross join."""
+    from gliner_spark.operators.graph_analytics import (
+        HITS_ROUNDS,
+        HITS_UNIT,
+    )
+
+    snap = _kg_snapshot()
+    rounds = []
+    for r in range(1, HITS_ROUNDS + 1):
+        rounds.append(f"""
+ha{r}raw AS (
+  SELECT e.dst AS node, sum(h.score) AS s
+  FROM kedges e JOIN hub{r - 1} h ON h.node = e.src GROUP BY e.dst
+),
+ha{r}full AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS s
+  FROM hnodes n LEFT JOIN ha{r}raw r ON r.node = n.node
+),
+ha{r}mx AS (SELECT greatest(max(s), 1) AS mx FROM ha{r}full),
+auth{r} AS MATERIALIZED (
+  SELECT node, CAST(({HITS_UNIT} * s) // mx AS BIGINT) AS score
+  FROM ha{r}full CROSS JOIN ha{r}mx
+),
+hh{r}raw AS (
+  SELECT e.src AS node, sum(a.score) AS s
+  FROM kedges e JOIN auth{r} a ON a.node = e.dst GROUP BY e.src
+),
+hh{r}full AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS s
+  FROM hnodes n LEFT JOIN hh{r}raw r ON r.node = n.node
+),
+hh{r}mx AS (SELECT greatest(max(s), 1) AS mx FROM hh{r}full),
+hub{r} AS MATERIALIZED (
+  SELECT node, CAST(({HITS_UNIT} * s) // mx AS BIGINT) AS score
+  FROM hh{r}full CROSS JOIN hh{r}mx
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+hnodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM kedges UNION ALL SELECT dst FROM kedges
+  )
+),
+hub0 AS MATERIALIZED (
+  SELECT node, CAST({HITS_UNIT} AS BIGINT) AS score FROM hnodes
+),
+{",".join(rounds)}
+SELECT a.node AS entity, a.score AS authority, h.score AS hub
+FROM auth{HITS_ROUNDS} a JOIN hub{HITS_ROUNDS} h ON h.node = a.node
+ORDER BY authority DESC, entity
+"""
+
+
+def _kg_reciprocity_oracle() -> str:
+    """reciprocity replay: distinct per-pred edges, reversed-key EXISTS
+    count, permille as a nonneg floor division."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+rcd AS MATERIALIZED (
+  SELECT DISTINCT pred, subj, obj FROM ktriples WHERE subj != obj
+),
+rcn AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_edges FROM rcd GROUP BY pred
+),
+rcr AS (
+  SELECT d.pred, CAST(count(*) AS BIGINT) AS n_recip
+  FROM rcd d
+  WHERE EXISTS (SELECT 1 FROM rcd r WHERE r.pred = d.pred
+                  AND r.subj = d.obj AND r.obj = d.subj)
+  GROUP BY d.pred
+)
+SELECT n.pred, n.n_edges,
+       CAST(coalesce(rcr.n_recip, 0) AS BIGINT) AS n_recip,
+       CAST(1000 * coalesce(rcr.n_recip, 0) // n.n_edges AS BIGINT)
+         AS recip_permille
+FROM rcn n LEFT JOIN rcr ON rcr.pred = n.pred
+ORDER BY n.pred
+"""
+
+
+def _kg_squares_oracle() -> str:
+    """square_counts replay: symmetric adjacency with the pivot fan
+    cap, common-neighbor wedges grouped by the diagonal, C(w, 2)
+    attributed to both endpoints."""
+    from gliner_spark.operators.graph_analytics import TWO_HOP_MAX_FANOUT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+sqund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+sqsym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM sqund UNION ALL SELECT b, a FROM sqund
+),
+sqfan AS (SELECT node, count(*) AS fan FROM sqsym GROUP BY node),
+sqok AS MATERIALIZED (
+  SELECT s.node, s.nbr FROM sqsym s
+  JOIN sqfan f ON f.node = s.node WHERE f.fan <= {TWO_HOP_MAX_FANOUT}
+),
+sqdiag AS (
+  SELECT u1.nbr AS x, u2.nbr AS y, CAST(count(*) AS BIGINT) AS w
+  FROM sqok u1 JOIN sqok u2 ON u1.node = u2.node AND u1.nbr < u2.nbr
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sqc AS (SELECT x, y, (w * (w - 1)) // 2 AS sq FROM sqdiag),
+sqm AS (SELECT x AS entity, sq FROM sqc UNION ALL SELECT y, sq FROM sqc)
+SELECT entity, CAST(sum(sq) AS BIGINT) AS n_squares
+FROM sqm GROUP BY entity ORDER BY entity
+"""
+
+
 def _kg_metapath_oracle() -> str:
     """metapath_counts replay over the default 2-step path: per-step
     distinct predicate edges, step-2 join-key fan cap, self-loop-free
@@ -5230,6 +5379,9 @@ def _kg_oracles() -> dict[str, str]:
         "ev_complex": _ev_complex_oracle(),
         "kg_rules": _kg_rules_oracle(),
         "kg_inference": _kg_inference_oracle(),
+        "kg_hits": _kg_hits_oracle(),
+        "kg_reciprocity": _kg_reciprocity_oracle(),
+        "kg_squares": _kg_squares_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -1426,3 +1426,184 @@ def harmonic_centrality(
         .orderBy(F.desc("harmonic"), "entity")
     )
     return forward_caches(out, triples)
+
+
+HITS_ROUNDS = 2
+HITS_UNIT = 1_000_000
+
+
+def hits(triples: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
+    """Integer HITS hubs-and-authorities over the distinct directed edge
+    set (Kleinberg 1999): fixed `rounds` of mutual reinforcement —
+    authority(v) = sum of hub over in-neighbors, hub(v) = sum of the new
+    authority over out-neighbors — with each side renormalized to
+    HITS_UNIT micro-units via a DIV by the round's maximum instead of
+    the usual L2 norm. The directed counterpart of PageRank the KG
+    cares about when edges mean citation/attribution: authorities are
+    the heavily-pointed-at entities, hubs the heavy pointers.
+
+    Integer contract (same as pagerank): all sums are bigint, the
+    normalization is (HITS_UNIT * s) DIV max(s) with nonneg operands —
+    order-independent under any partitioning and bit-replayed by the
+    kg_hits oracle (unrolled MATERIALIZED rounds, max via a 1-row cross
+    join). Since scores are capped at HITS_UNIT after every half-round,
+    the headroom bound is max weighted in/out degree <= 2^63 / HITS_UNIT
+    (~9.2e12) — lower HITS_UNIT for graphs with hotter hubs.
+
+    Scale shape: per half-round one equi-join of the checkpointed edge
+    list against the |V|-row score frame + one grouped sum + one 1-row
+    max aggregate broadcast back; score frames are localCheckpointed per
+    round with the previous round unpersisted (dangling-PR hygiene), so
+    the logical plan stays flat."""
+    from gliner_spark.cache import forward_caches
+
+    e = graph_edges(triples).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select(
+        "node", F.lit(HITS_UNIT).cast("long").alias("score")
+    )
+    auth = None
+    prev = []
+
+    def _normalized(raw):
+        """nodes left-joined to raw sums, renormalized to HITS_UNIT."""
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+        )
+        mx = full.agg(F.greatest(F.max("s"), F.lit(1)).alias("_mx"))
+        return full.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"({HITS_UNIT} * s) DIV _mx").cast("long").alias("score"),
+        )
+
+    for _ in range(rounds):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        auth = _normalized(a_raw).localCheckpoint()
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        hub = _normalized(h_raw).localCheckpoint()
+        for p in prev:
+            p.unpersist()
+        prev = [auth, hub]
+    out = (
+        auth.withColumnRenamed("score", "authority")
+        .join(hub.withColumnRenamed("score", "hub"), "node")
+        .select(F.col("node").alias("entity"), "authority", "hub")
+        .orderBy(F.desc("authority"), "entity")
+    )
+    return forward_caches(out, triples)
+
+
+def reciprocity(triples: DataFrame) -> DataFrame:
+    """Per-predicate edge reciprocity over the distinct directed edge
+    set: of the predicate's (s, o) edges, how many have the reverse
+    (o, s) edge under the SAME predicate — emitted as exact counts plus
+    an integer permille. The directed-structure profile that separates
+    symmetric predicates (married_to) from hierarchical ones (ceo_of)
+    — the cheap complement to mine_rules' inverse rules (this one is
+    per-predicate aggregate truth, that one emits the rule).
+
+    Shape at scale: one distinct projection, one self left-semi join on
+    the reversed composite key (pred, o, s) — full-pair keys, no hub
+    blowup — and one grouped count each; two shuffles total."""
+    from gliner_spark.cache import forward_caches
+
+    d = (
+        triples.filter(F.col("subj") != F.col("obj"))
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    n = d.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    recip = (
+        d.join(
+            d.select(
+                "pred",
+                F.col("obj").alias("subj"),
+                F.col("subj").alias("obj"),
+            ),
+            ["pred", "subj", "obj"],
+            "left_semi",
+        )
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    )
+    out = (
+        n.join(recip, "pred", "left")
+        .select(
+            "pred",
+            "n_edges",
+            F.coalesce(F.col("n_recip"), F.lit(0)).cast("long")
+            .alias("n_recip"),
+        )
+        .withColumn(
+            "recip_permille", F.expr("1000 * n_recip DIV n_edges")
+        )
+        .orderBy("pred")
+    )
+    return forward_caches(out, triples)
+
+
+def square_counts(
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+) -> DataFrame:
+    """Per-entity 4-cycle (square) participation counts over the
+    undirected distinct entity graph — the bipartite-ish clustering
+    signal (rectangle counting, Wang et al. 2005 / the C4 analog of
+    triangle counting): co-purchase, co-mention and affiliation
+    structures show up as squares long before triangles.
+
+    Enumeration: every 4-cycle x-m1-y-m2-x is two common-neighbor
+    wedges over its diagonal (x, y), so squares-through-a-diagonal-
+    endpoint = C(w(x, y), 2) with w the common-neighbor count. Wedges
+    are generated from each pivot's full neighborhood (x < y kills the
+    mirror; C(deg, 2) pairs per pivot, so pivots over `max_fanout` are
+    excluded and AUDITED — the triangle_counts cap contract: emitted
+    counts are LOWER BOUNDS when the cap fires), grouped by the
+    diagonal, then C(w, 2) = w*(w-1) DIV 2 is attributed to both
+    diagonal endpoints. Every node of a square is an endpoint of
+    exactly one of its two diagonals, so each square contributes
+    exactly once per member node. Pure integer counts, replayed
+    relationally by the kg_squares oracle."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    und = undirected_edges(triples)
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    w = Window.partitionBy("node")
+    capped, audit = capped_filter(
+        sym.withColumn("fan", F.count(F.lit(1)).over(w)),
+        "fan", max_fanout, "square_pivot_cap",
+    )
+    u1 = capped.select("node", F.col("nbr").alias("x"))
+    u2 = capped.select("node", F.col("nbr").alias("y"))
+    diag = (
+        u1.join(u2, "node")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= 2)
+        .withColumn("sq", F.expr("(w * (w - 1)) DIV 2"))
+    )
+    members = diag.select(F.col("x").alias("entity"), "sq").union(
+        diag.select(F.col("y").alias("entity"), "sq")
+    )
+    out = (
+        members.groupBy("entity")
+        .agg(F.sum("sq").cast("long").alias("n_squares"))
+        .orderBy("entity")
+    )
+    return forward_caches(attach_audits(out, audit), triples)

@@ -928,3 +928,129 @@ def test_apply_rules_infers_missing_closure(spark):
     # works_for => ceo_of (conf 1000) has no missing head edge
     assert not [g for g in got if g[1] == "ceo_of"]
     assert len(got) == 2
+
+
+# ---------------------------------------------------------------- hits --
+def test_hits_brute(spark):
+    """Integer HITS matches a pure-python replay of the max-normalized
+    mutual-reinforcement rounds; citation star ranks as expected."""
+    from gliner_spark.operators.graph_analytics import (
+        HITS_ROUNDS,
+        HITS_UNIT,
+        hits,
+    )
+
+    # star: many nodes point at 'pop'; 'hubby' points at everything
+    edges = [
+        ("a", "pop"), ("b", "pop"), ("c", "pop"),
+        ("hubby", "pop"), ("hubby", "a"), ("hubby", "b"), ("pop", "a"),
+    ]
+    rows = [(s, "cites", o) for s, o in edges]
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: HITS_UNIT for n in nodes}
+    auth = {}
+    for _ in range(HITS_ROUNDS):
+        auth = {n: 0 for n in nodes}
+        for s, o in set(edges):
+            auth[o] += hub[s]
+        mx = max(max(auth.values()), 1)
+        auth = {n: HITS_UNIT * v // mx for n, v in auth.items()}
+        hub = {n: 0 for n in nodes}
+        for s, o in set(edges):
+            hub[s] += auth[o]
+        mx = max(max(hub.values()), 1)
+        hub = {n: HITS_UNIT * v // mx for n, v in hub.items()}
+    got = {
+        r.entity: (r.authority, r.hub)
+        for r in hits(_triples(spark, rows)).collect()
+    }
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+    assert max(got, key=lambda n: got[n][0]) == "pop"
+    assert max(got, key=lambda n: got[n][1]) == "hubby"
+
+
+# --------------------------------------------------------- reciprocity --
+def test_reciprocity_hand_checked(spark):
+    from gliner_spark.operators.graph_analytics import reciprocity
+
+    rows = [
+        ("a", "married_to", "b"), ("b", "married_to", "a"),
+        ("c", "married_to", "d"),
+        ("a", "ceo_of", "X"), ("c", "ceo_of", "Y"),
+        # duplicate mention must not double-count
+        ("a", "married_to", "b"),
+    ]
+    got = {
+        r.pred: (r.n_edges, r.n_recip, r.recip_permille)
+        for r in reciprocity(_triples(spark, rows)).collect()
+    }
+    assert got == {
+        "married_to": (3, 2, 666),
+        "ceo_of": (2, 0, 0),
+    }
+
+
+# ------------------------------------------------------------- squares --
+def test_square_counts_brute(spark):
+    """Square counts match an independent brute force enumerating every
+    4-node cyclic arrangement (K4 yields 3 squares per node)."""
+    from itertools import combinations
+
+    from gliner_spark.operators.graph_analytics import square_counts
+
+    # one plain square a-b-c-d, one K4 {p,q,r,s}, a bridge edge
+    und = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+        ("p", "q"), ("p", "r"), ("p", "s"),
+        ("q", "r"), ("q", "s"), ("r", "s"),
+        ("a", "p"),
+    ]
+    adj = set()
+    for x, y in und:
+        adj |= {(x, y), (y, x)}
+    nodes = sorted({n for e in und for n in e})
+    want = {n: 0 for n in nodes}
+    for quad in combinations(nodes, 4):
+        w, x, y, z = quad
+        # 3 distinct cyclic arrangements of 4 nodes
+        for cyc in ((w, x, y, z), (w, x, z, y), (w, y, x, z)):
+            ok = all(
+                (cyc[i], cyc[(i + 1) % 4]) in adj for i in range(4)
+            )
+            if ok:
+                for n in quad:
+                    want[n] += 1
+    want = {n: c for n, c in want.items() if c}
+    rows = [(s, "linked", o) for s, o in und]
+    got = {
+        r.entity: r.n_squares
+        for r in square_counts(_triples(spark, rows)).collect()
+    }
+    assert got == want
+    assert got["p"] == 3  # K4 member: 3 squares
+    assert got["a"] == 1  # plain square member: 1
+
+
+def test_square_counts_pivot_cap_lower_bound(spark):
+    """A hub pivot over the cap is excluded: squares THROUGH the hub
+    vanish (lower-bound contract), the audit records the drop."""
+    from gliner_spark.metrics import skew_metrics
+    from gliner_spark.operators.graph_analytics import square_counts
+
+    # square a-hub-b-c-a where hub also fans to many leaves
+    und = [("a", "hub"), ("hub", "b"), ("b", "c"), ("c", "a")]
+    und += [("hub", f"leaf{i}") for i in range(10)]
+    rows = [(s, "linked", o) for s, o in und]
+    t = _triples(spark, rows)
+    full = {
+        r.entity: r.n_squares for r in square_counts(t).collect()
+    }
+    assert full == {"a": 1, "hub": 1, "b": 1, "c": 1}
+    capped_df = square_counts(t, max_fanout=4)
+    capped = {r.entity: r.n_squares for r in capped_df.collect()}
+    # hub (fan 12) excluded as pivot: the a-hub-b wedge is gone, so
+    # diagonal (a, b) loses the square (a and b undercounted to 0);
+    # diagonal (hub, c) still closes through the small pivots a and b
+    assert capped == {"hub": 1, "c": 1}
+    audit = skew_metrics(capped_df)
+    assert audit["square_pivot_cap"]["n_dropped_rows"] > 0
