@@ -397,6 +397,15 @@ def q_kg_squares(spark, sf_dir):
     return square_counts(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_stress(spark, sf_dir):
+    """Seed-sampled stress centrality (r6): integer Brandes — forward
+    BFS with shortest-path counts, backward DAG accumulation, all
+    bigint (operators/graph_analytics.stress_centrality)."""
+    from gliner_spark.operators.graph_analytics import stress_centrality
+
+    return stress_centrality(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_metapath(spark, sf_dir):
     """Typed metapath instance counts founded -> based_in (r6): the
     bounded regular-path query over the typed KG, per-step audited hub
@@ -1592,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_reciprocity": q_kg_reciprocity,
         "kg_squares": q_kg_squares,
+        "kg_stress": q_kg_stress,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3767,6 +3777,90 @@ FROM sqm GROUP BY entity ORDER BY entity
 """
 
 
+def _kg_stress_oracle() -> str:
+    """stress_centrality replay: fold-hash seed pick, unrolled forward
+    levels carrying sigma (sum of predecessor sigmas, NOT EXISTS
+    anti-join = first reach), unrolled backward g accumulation over the
+    shortest-path DAG (edge + one level deeper), final integer
+    sigma * (g - 1) aggregate."""
+    from gliner_spark.functions.text import FOLD_M, P31
+    from gliner_spark.operators.graph_analytics import (
+        STRESS_DEPTH,
+        STRESS_SEEDS,
+    )
+
+    snap = _kg_snapshot()
+    D = STRESS_DEPTH
+    fwd = []
+    for d in range(1, D + 1):
+        fwd.append(f"""
+st{d} AS MATERIALIZED (
+  SELECT p.seed, s.nbr AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM st{d - 1} p JOIN stsym s ON s.node = p.node
+  WHERE NOT EXISTS (SELECT 1 FROM sv{d - 1} v
+                    WHERE v.seed = p.seed AND v.node = s.nbr)
+  GROUP BY p.seed, s.nbr
+),
+sv{d} AS MATERIALIZED (
+  SELECT seed, node FROM sv{d - 1}
+  UNION ALL SELECT seed, node FROM st{d}
+)""")
+    bwd = [f"""
+sg{D} AS MATERIALIZED (
+  SELECT seed, node, CAST(1 AS BIGINT) AS g FROM st{D}
+)"""]
+    for li in range(D - 1, 0, -1):
+        bwd.append(f"""
+sg{li} AS MATERIALIZED (
+  SELECT t.seed, t.node, CAST(1 + coalesce(x.s, 0) AS BIGINT) AS g
+  FROM st{li} t LEFT JOIN (
+    SELECT t2.seed, t2.node, sum(g2.g) AS s
+    FROM st{li} t2 JOIN stsym s2 ON s2.node = t2.node
+    JOIN sg{li + 1} g2 ON g2.seed = t2.seed AND g2.node = s2.nbr
+    GROUP BY t2.seed, t2.node
+  ) x ON x.seed = t.seed AND x.node = t.node
+)""")
+    thr = "\n  UNION ALL ".join(
+        f"""SELECT t.node, t.sigma * (g.g - 1) AS thr
+  FROM st{li} t JOIN sg{li} g ON g.seed = t.seed AND g.node = t.node"""
+        for li in range(1, D + 1)
+    )
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+stund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+stsym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM stund UNION ALL SELECT b, a FROM stund
+),
+stseeds AS MATERIALIZED (
+  SELECT node AS seed FROM (
+    SELECT node,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(length(node)),
+            i -> CAST(ascii(substring(node, CAST(i + 1 AS INT), 1))
+                      AS BIGINT))),
+        (acc, cp) -> (acc * {FOLD_M} + cp) % {P31}) AS h
+    FROM (SELECT DISTINCT node FROM stsym)
+  ) ORDER BY h, node LIMIT {STRESS_SEEDS}
+),
+st0 AS MATERIALIZED (
+  SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM stseeds
+),
+sv0 AS MATERIALIZED (SELECT seed, node FROM st0),
+{",".join(fwd)},
+{",".join(bwd)},
+stall AS (
+  {thr}
+)
+SELECT node AS entity, CAST(sum(thr) AS BIGINT) AS stress,
+       CAST(count(*) AS BIGINT) AS n_seeds_reached
+FROM stall GROUP BY node ORDER BY stress DESC, entity
+"""
+
+
 def _kg_metapath_oracle() -> str:
     """metapath_counts replay over the default 2-step path: per-step
     distinct predicate edges, step-2 join-key fan cap, self-loop-free
@@ -5382,6 +5476,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_hits": _kg_hits_oracle(),
         "kg_reciprocity": _kg_reciprocity_oracle(),
         "kg_squares": _kg_squares_oracle(),
+        "kg_stress": _kg_stress_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

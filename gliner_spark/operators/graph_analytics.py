@@ -1607,3 +1607,144 @@ def square_counts(
         .orderBy("entity")
     )
     return forward_caches(attach_audits(out, audit), triples)
+
+
+STRESS_SEEDS = 8
+STRESS_DEPTH = 4
+
+
+def stress_centrality(
+    triples: DataFrame,
+    n_seeds: int = STRESS_SEEDS,
+    depth: int = STRESS_DEPTH,
+) -> DataFrame:
+    """Seed-sampled stress centrality over the undirected entity graph —
+    the INTEGER member of the betweenness family (Shimbel 1953;
+    Brandes 2001 §6 lists it next to betweenness): stress(v) = number
+    of shortest paths that pass THROUGH v, here summed over shortest
+    paths that start at a fixed hash-chosen seed sample and are at most
+    `depth` hops long (the same Eppstein-Wang-style estimation contract
+    as harmonic_centrality). Betweenness proper divides per-pair
+    dependencies (sigma_st(v)/sigma_st — IEEE fractions whose
+    accumulation order varies per shuffle); stress keeps the raw path
+    COUNTS, so the whole computation stays in bigint and replays
+    bit-for-bit in the kg_stress oracle. The "broker / chokepoint"
+    signal degree and harmonic both miss: a bridge node between two
+    communities has modest degree but enormous through-traffic.
+
+    Two-phase Brandes shape, all joins + grouped integer sums:
+    - forward: level-synchronous multi-source BFS carrying sigma =
+      #shortest paths from the seed (per level: expand the previous
+      frontier, SUM predecessor sigmas per (seed, node), anti-join
+      against already-reached pairs — first reach = shortest, and
+      summing across the whole previous level before the anti-join
+      counts every shortest predecessor exactly once);
+    - backward: g(v) = 1 + sum of g over the seed's shortest-path-DAG
+      successors (a node w one level deeper with an edge v-w), computed
+      deepest-level-up — g counts the shortest continuations below v,
+      so sigma(v) * (g(v) - 1) is exactly the number of seed-rooted
+      shortest paths through v to some strictly-deeper target.
+
+    Magnitudes: sigma <= Delta^depth and g <= (1+Delta)^depth, so the
+    per-row product is bounded by ~Delta^(2*depth) — with the default
+    depth 4 that keeps bigint headroom up to average shortest-DAG
+    branching ~180; graphs hotter than that should drop `depth` (the
+    estimate is depth-bounded by contract, same as harmonic/BFS).
+
+    Scale shape: state is at most n_seeds x |V| rows per direction
+    (n_seeds a small constant); per round one equi-join against the
+    localCheckpointed symmetric edge list + one grouped sum; level
+    frames are checkpointed (the backward pass re-reads each exactly
+    once, and the loop stays flat)."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.functions.text import fold_hash
+
+    und = undirected_edges(triples).localCheckpoint()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    seeds = (
+        sym.select("node")
+        .distinct()
+        .withColumn("h", fold_hash("node"))
+        .orderBy("h", "node")
+        .limit(n_seeds)
+        .select(F.col("node").alias("seed"))
+    )
+    lev0 = seeds.select(
+        "seed", F.col("seed").alias("node"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    levels = [lev0]
+    visited = lev0.select("seed", "node").localCheckpoint()
+    for _ in range(depth):
+        cand = (
+            levels[-1].join(sym, "node")
+            .groupBy("seed", F.col("nbr").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        nxt = cand.join(
+            visited, ["seed", "node"], "left_anti"
+        ).localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        prev_visited = visited
+        visited = visited.union(nxt.select("seed", "node")).localCheckpoint()
+        prev_visited.unpersist()
+        levels.append(nxt)
+    # backward accumulation, deepest level up: g = 1 + sum of
+    # successor g along the shortest-path DAG (edge + one level deeper)
+    g = levels[-1].select("seed", "node", F.lit(1).cast("long").alias("g"))
+    per_level_g = {len(levels) - 1: g}
+    for li in range(len(levels) - 2, -1, -1):
+        succ = (
+            levels[li].select("seed", "node")
+            .join(sym, "node")
+            .join(
+                per_level_g[li + 1].select(
+                    "seed", F.col("node").alias("nbr"),
+                    F.col("g").alias("gn"),
+                ),
+                ["seed", "nbr"],
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("gn").alias("sg"))
+        )
+        per_level_g[li] = (
+            levels[li].select("seed", "node")
+            .join(succ, ["seed", "node"], "left")
+            .select(
+                "seed", "node",
+                (F.lit(1) + F.coalesce(F.col("sg"), F.lit(0)))
+                .cast("long").alias("g"),
+            )
+            .localCheckpoint()
+        )
+    through = None
+    for li in range(1, len(levels)):
+        part = levels[li].join(
+            per_level_g[li], ["seed", "node"]
+        ).select(
+            "seed", "node",
+            (F.col("sigma") * (F.col("g") - F.lit(1))).alias("thr"),
+        )
+        through = part if through is None else through.union(part)
+    if through is None:  # no seed reached anything
+        spark = triples.sparkSession
+        return forward_caches(
+            spark.createDataFrame(
+                [], "entity string, stress long, n_seeds_reached long"
+            ),
+            triples,
+        )
+    out = (
+        through.groupBy("node")
+        .agg(
+            F.sum("thr").cast("long").alias("stress"),
+            F.count(F.lit(1)).cast("long").alias("n_seeds_reached"),
+        )
+        .select(F.col("node").alias("entity"), "stress", "n_seeds_reached")
+        .orderBy(F.desc("stress"), "entity")
+    )
+    return forward_caches(out, triples)

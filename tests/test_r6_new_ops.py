@@ -1054,3 +1054,79 @@ def test_square_counts_pivot_cap_lower_bound(spark):
     assert capped == {"hub": 1, "c": 1}
     audit = skew_metrics(capped_df)
     assert audit["square_pivot_cap"]["n_dropped_rows"] > 0
+
+
+# -------------------------------------------------------------- stress --
+def test_stress_centrality_brute(spark):
+    """Seed-sampled integer stress matches an independent brute force
+    that enumerates every shortest path (within depth) and counts
+    interior-node occurrences; the barbell bridge is the chokepoint."""
+    from gliner_spark.operators.graph_analytics import (
+        STRESS_DEPTH,
+        stress_centrality,
+    )
+
+    # two triangles joined through bridge node 'x'
+    und = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "x"), ("x", "d"),
+        ("d", "e"), ("e", "f"), ("f", "d"),
+    ]
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+
+    def bfs_dist(s):
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier and d < STRESS_DEPTH:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        return dist
+
+    stress = {n: 0 for n in nodes}
+    reached = {n: 0 for n in nodes}
+    for s in nodes:  # n_seeds >= |V| makes the sample exhaustive
+        dist = bfs_dist(s)
+        for v in dist:
+            if dist[v] > 0:
+                reached[v] += 1
+
+        def paths(t):
+            if t == s:
+                return [[s]]
+            return [
+                p + [t]
+                for u in adj[t]
+                if u in dist and dist[u] == dist[t] - 1
+                for p in paths(u)
+            ]
+
+        for t, dt in dist.items():
+            if 0 < dt <= STRESS_DEPTH:
+                for p in paths(t):
+                    for v in p[1:-1]:
+                        stress[v] += 1
+    want = {
+        n: (stress[n], reached[n]) for n in nodes if reached[n] > 0
+    }
+    rows = [(u, "linked", v) for u, v in und]
+    got = {
+        r.entity: (r.stress, r.n_seeds_reached)
+        for r in stress_centrality(
+            _triples(spark, rows), n_seeds=100
+        ).collect()
+    }
+    assert got == want
+    assert max(got, key=lambda n: got[n][0]) in ("x", "c", "d")
+    # the bridge carries strictly more traffic than triangle leaves
+    assert got["x"][0] > got["a"][0]
