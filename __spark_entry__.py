@@ -397,6 +397,32 @@ def q_kg_squares(spark, sf_dir):
     return square_counts(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_components_incremental(spark, sf_dir):
+    """Incremental connected components (r6): the canonical triples are
+    deterministically split by fold_hash(doc_id) parity, the even half
+    gets a full entity_components assignment, and the odd half's edges
+    are folded in via incremental_components — which must EQUAL the
+    full recompute, so the oracle is the same recursive CC fixpoint the
+    kg_components gate uses over ALL edges. This is the finalize-time
+    maintenance path for a streamed edge sink: fold the delta, never
+    re-read the graph (operators/graph_analytics.incremental_components)."""
+    from gliner_spark.cache import attach_caches
+    from gliner_spark.functions.text import fold_hash
+    from gliner_spark.operators.graph_analytics import (
+        entity_components,
+        graph_edges,
+        incremental_components,
+    )
+
+    t = q_kg_triples(spark, sf_dir).persist()
+    parity = F.pmod(fold_hash(F.col("doc_id")), F.lit(2))
+    base = entity_components(t.filter(parity == 0)).select(
+        "entity", "component"
+    )
+    out = incremental_components(base, graph_edges(t.filter(parity == 1)))
+    return attach_caches(out, t)
+
+
 def q_kg_stress(spark, sf_dir):
     """Seed-sampled stress centrality (r6): integer Brandes — forward
     BFS with shortest-path counts, backward DAG accumulation, all
@@ -1602,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocity": q_kg_reciprocity,
         "kg_squares": q_kg_squares,
         "kg_stress": q_kg_stress,
+        "kg_components_incremental": q_kg_components_incremental,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -5477,6 +5504,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_reciprocity": _kg_reciprocity_oracle(),
         "kg_squares": _kg_squares_oracle(),
         "kg_stress": _kg_stress_oracle(),
+        # incremental fold must equal the full recompute — same oracle
+        # as kg_components by design
+        "kg_components_incremental": _kg_components_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -1130,3 +1130,47 @@ def test_stress_centrality_brute(spark):
     assert max(got, key=lambda n: got[n][0]) in ("x", "c", "d")
     # the bridge carries strictly more traffic than triangle leaves
     assert got["x"][0] > got["a"][0]
+
+
+# ----------------------------------------------------- incremental CC --
+def test_incremental_components_equals_full_recompute(spark):
+    """Folding delta edge batches into a running assignment equals the
+    full entity_components recompute after EVERY fold — merges across
+    old components, brand-new components, and new-entity attachments."""
+    from gliner_spark.operators.graph_analytics import (
+        entity_components,
+        graph_edges,
+        incremental_components,
+    )
+
+    rng = random.Random(11)
+    names = [f"n{i:02d}" for i in range(30)]
+    batches = [
+        sorted({
+            (rng.choice(names), rng.choice(names)) for _ in range(12)
+        })
+        for _ in range(3)
+    ]
+    # make batch 2 bridge two earlier components explicitly
+    batches[2].append(("n00", "n29"))
+
+    def tri(rows):
+        return _triples(spark, [(s, "r", o) for s, o in rows])
+
+    seen = list(batches[0])
+    assign = entity_components(tri(seen)).select("entity", "component")
+    for delta in batches[1:]:
+        assign = incremental_components(
+            assign, graph_edges(tri(delta))
+        )
+        seen += delta
+        want = {
+            (r.entity, r.component, r.component_size)
+            for r in entity_components(tri(seen)).collect()
+        }
+        got = {
+            (r.entity, r.component, r.component_size)
+            for r in assign.collect()
+        }
+        assert got == want
+        assign = assign.select("entity", "component")
