@@ -423,6 +423,16 @@ def q_kg_components_incremental(spark, sf_dir):
     return attach_caches(out, t)
 
 
+def q_kg_distances(spark, sf_dir):
+    """Seed-sampled shortest-distance distribution / effective diameter
+    (r6): exact per-hop pair counts, cumulative, and reached-permille
+    over the multi-source BFS sample
+    (operators/graph_analytics.distance_profile)."""
+    from gliner_spark.operators.graph_analytics import distance_profile
+
+    return distance_profile(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_stress(spark, sf_dir):
     """Seed-sampled stress centrality (r6): integer Brandes — forward
     BFS with shortest-path counts, backward DAG accumulation, all
@@ -1629,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_squares": q_kg_squares,
         "kg_stress": q_kg_stress,
         "kg_components_incremental": q_kg_components_incremental,
+        "kg_distances": q_kg_distances,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3804,6 +3815,66 @@ FROM sqm GROUP BY entity ORDER BY entity
 """
 
 
+def _kg_distances_oracle() -> str:
+    """distance_profile replay: harmonic's fold-hash seed pick and
+    unrolled multi-source BFS levels, then a per-dist grouped count
+    with cumulative window and permille division."""
+    from gliner_spark.functions.text import FOLD_M, P31
+    from gliner_spark.operators.graph_analytics import HC_DEPTH, HC_SEEDS
+
+    snap = _kg_snapshot()
+    levels = []
+    for d in range(1, HC_DEPTH + 1):
+        levels.append(f"""
+df{d} AS MATERIALIZED (
+  SELECT DISTINCT b.seed, s.nbr AS node
+  FROM ds{d - 1} b JOIN dsym s ON s.node = b.node
+  WHERE b.dist = {d - 1}
+    AND NOT EXISTS (SELECT 1 FROM ds{d - 1} p
+                    WHERE p.seed = b.seed AND p.node = s.nbr)
+),
+ds{d} AS MATERIALIZED (
+  SELECT seed, node, dist FROM ds{d - 1}
+  UNION ALL SELECT seed, node, {d} AS dist FROM df{d}
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+dund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+dsym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM dund UNION ALL SELECT b, a FROM dund
+),
+dseeds AS MATERIALIZED (
+  SELECT node AS seed FROM (
+    SELECT node,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(length(node)),
+            i -> CAST(ascii(substring(node, CAST(i + 1 AS INT), 1))
+                      AS BIGINT))),
+        (acc, cp) -> (acc * {FOLD_M} + cp) % {P31}) AS h
+    FROM (SELECT DISTINCT node FROM dsym)
+  ) ORDER BY h, node LIMIT {HC_SEEDS}
+),
+ds0 AS MATERIALIZED (
+  SELECT seed, seed AS node, 0 AS dist FROM dseeds
+),
+{",".join(levels)},
+dp AS (
+  SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM ds{HC_DEPTH} WHERE dist > 0 GROUP BY dist
+),
+dtot AS (SELECT sum(n_pairs) AS t FROM dp)
+SELECT CAST(dist AS BIGINT) AS dist, n_pairs,
+  CAST(sum(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs,
+  CAST(1000 * (sum(n_pairs) OVER (ORDER BY dist)) // t AS BIGINT)
+    AS reached_permille
+FROM dp CROSS JOIN dtot ORDER BY dist
+"""
+
+
 def _kg_stress_oracle() -> str:
     """stress_centrality replay: fold-hash seed pick, unrolled forward
     levels carrying sigma (sum of predecessor sigmas, NOT EXISTS
@@ -5507,6 +5578,7 @@ def _kg_oracles() -> dict[str, str]:
         # incremental fold must equal the full recompute — same oracle
         # as kg_components by design
         "kg_components_incremental": _kg_components_oracle(),
+        "kg_distances": _kg_distances_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -212,9 +212,18 @@ def main():
             two_hop_paths,
             wl_colors,
         )
-        from gliner_spark.operators.graph_analytics import metapath_counts
+        from gliner_spark.operators.graph_analytics import (
+            distance_profile,
+            hits,
+            metapath_counts,
+            reciprocity,
+            square_counts,
+            stress_centrality,
+        )
         from gliner_spark.operators.kg_completion import (
+            apply_rules,
             cooc_candidates,
+            mine_rules,
             negative_samples,
             transe_margin_eval,
             walk_corpus,
@@ -263,6 +272,16 @@ def main():
             "wl": wl_colors,
             "degree_hist": degree_histogram,
             "harmonic": harmonic_centrality,
+            "complex_eval": lambda t: transe_margin_eval(
+                t, scorer="complex"
+            ),
+            "rules": mine_rules,
+            "inference": apply_rules,
+            "hits": hits,
+            "reciprocity": reciprocity,
+            "squares": square_counts,
+            "stress": stress_centrality,
+            "distances": distance_profile,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -1841,3 +1841,92 @@ def stress_centrality(
         .orderBy(F.desc("stress"), "entity")
     )
     return forward_caches(out, triples)
+
+
+def distance_profile(
+    triples: DataFrame,
+    n_seeds: int = HC_SEEDS,
+    depth: int = HC_DEPTH,
+) -> DataFrame:
+    """Seed-sampled shortest-distance distribution of the undirected
+    entity graph — the effective-diameter readout (the d50/d90 "six
+    degrees" profile of Leskovec et al.'s graph-evolution work,
+    estimated from a fixed hash-chosen seed sample exactly like
+    harmonic_centrality): one row per hop distance d in 1..depth with
+    the exact number of sampled (seed, node) pairs first reached at d,
+    the running cumulative, and the cumulative share in permille of all
+    reached pairs. The d value where reached_permille crosses 900 is
+    the standard effective diameter; a rising tail at d == depth says
+    the horizon clipped the profile (increase depth).
+
+    Same multi-source BFS state and bounds as harmonic_centrality
+    (n_seeds x |V| rows, one join + distinct + anti-join per round);
+    the profile itself is one grouped count + a cumulative window over
+    <= depth rows. All integers — the kg_distances oracle replays the
+    unrolled levels and the permille division exactly."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.functions.text import fold_hash
+
+    und = undirected_edges(triples).localCheckpoint()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    seeds = (
+        sym.select("node")
+        .distinct()
+        .withColumn("h", fold_hash("node"))
+        .orderBy("h", "node")
+        .limit(n_seeds)
+        .select(F.col("node").alias("seed"))
+        .localCheckpoint()
+    )
+    dist = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    frontier = dist.select("seed", "node")
+    prev_frontier = None
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(sym, "node")
+            .select("seed", F.col("nbr").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        prev = dist
+        dist = dist.union(nxt).localCheckpoint()
+        prev.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_frontier = nxt
+        frontier = nxt.select("seed", "node")
+    if prev_frontier is not None:
+        prev_frontier.unpersist()
+    hist = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        hist.withColumn("cum_pairs", F.sum("n_pairs").over(w).cast("long"))
+        .withColumn("_total", F.sum("n_pairs").over(total).cast("long"))
+        .withColumn(
+            "reached_permille",
+            F.expr("1000 * cum_pairs DIV _total"),
+        )
+        .select("dist", "n_pairs", "cum_pairs", "reached_permille")
+        .orderBy("dist")
+    )
+    return forward_caches(out, triples)

@@ -1174,3 +1174,33 @@ def test_incremental_components_equals_full_recompute(spark):
         }
         assert got == want
         assign = assign.select("entity", "component")
+
+
+# ---------------------------------------------------- distance profile --
+def test_distance_profile_brute(spark):
+    """Per-hop pair counts on a path graph match the closed form, the
+    cumulative is monotone, and the last row reaches 1000 permille."""
+    from gliner_spark.operators.graph_analytics import (
+        HC_DEPTH,
+        distance_profile,
+    )
+
+    n = 8  # path p0-p1-...-p7
+    rows = [(f"p{i}", "next", f"p{i+1}") for i in range(n - 1)]
+    # seeds = all nodes (n_seeds >= |V|): pairs at distance d on a path
+    # of n nodes = 2 * (n - d), capped at HC_DEPTH
+    got = {
+        r.dist: (r.n_pairs, r.cum_pairs, r.reached_permille)
+        for r in distance_profile(
+            _triples(spark, rows), n_seeds=100
+        ).collect()
+    }
+    want_counts = {d: 2 * (n - d) for d in range(1, HC_DEPTH + 1)}
+    total = sum(want_counts.values())
+    cum = 0
+    want = {}
+    for d in sorted(want_counts):
+        cum += want_counts[d]
+        want[d] = (want_counts[d], cum, 1000 * cum // total)
+    assert got == want
+    assert got[max(got)][2] == 1000
