@@ -433,6 +433,15 @@ def q_kg_distances(spark, sf_dir):
     return distance_profile(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity (r6): Newman's edge-degree Pearson r from
+    exact bigint edge moments, one final rounded division
+    (operators/graph_analytics.assortativity)."""
+    from gliner_spark.operators.graph_analytics import assortativity
+
+    return assortativity(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_stress(spark, sf_dir):
     """Seed-sampled stress centrality (r6): integer Brandes — forward
     BFS with shortest-path counts, backward DAG accumulation, all
@@ -1640,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stress": q_kg_stress,
         "kg_components_incremental": q_kg_components_incremental,
         "kg_distances": q_kg_distances,
+        "kg_assortativity": q_kg_assortativity,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3875,6 +3885,40 @@ FROM dp CROSS JOIN dtot ORDER BY dist
 """
 
 
+def _kg_assortativity_oracle() -> str:
+    """assortativity replay: canonical undirected edges, symmetric
+    degree counts, exact integer edge moments, one rounded division."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+asund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+assym AS (
+  SELECT a AS node, b AS nbr FROM asund UNION ALL SELECT b, a FROM asund
+),
+asdeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM assym GROUP BY node
+),
+asmom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(da.deg * db.deg) AS BIGINT) AS s_jk,
+         CAST(sum(da.deg + db.deg) AS BIGINT) AS s_sum,
+         CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS s_sq
+  FROM asund e
+  JOIN asdeg da ON da.node = e.a
+  JOIN asdeg db ON db.node = e.b
+)
+SELECT n_edges, s_jk, s_sum, s_sq,
+  CASE WHEN 2 * n_edges * s_sq - s_sum * s_sum = 0 THEN NULL
+       ELSE round(CAST(4 * n_edges * s_jk - s_sum * s_sum AS DOUBLE)
+                  / (2 * n_edges * s_sq - s_sum * s_sum), 6)
+  END AS assortativity
+FROM asmom
+"""
+
+
 def _kg_stress_oracle() -> str:
     """stress_centrality replay: fold-hash seed pick, unrolled forward
     levels carrying sigma (sum of predecessor sigmas, NOT EXISTS
@@ -5579,6 +5623,7 @@ def _kg_oracles() -> dict[str, str]:
         # as kg_components by design
         "kg_components_incremental": _kg_components_oracle(),
         "kg_distances": _kg_distances_oracle(),
+        "kg_assortativity": _kg_assortativity_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -213,6 +213,7 @@ def main():
             wl_colors,
         )
         from gliner_spark.operators.graph_analytics import (
+            assortativity,
             distance_profile,
             hits,
             metapath_counts,
@@ -282,6 +283,7 @@ def main():
             "squares": square_counts,
             "stress": stress_centrality,
             "distances": distance_profile,
+            "assortativity": assortativity,
         }
         for name, fn in graph_op_fns.items():
             reps = []

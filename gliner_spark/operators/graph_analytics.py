@@ -1930,3 +1930,70 @@ def distance_profile(
         .orderBy("dist")
     )
     return forward_caches(out, triples)
+
+
+def assortativity(triples: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected entity graph (Newman 2002
+    Phys. Rev. Lett. 89, 208701): the Pearson correlation of the degrees
+    at either end of an edge — positive means hubs attach to hubs
+    (social-network shape), negative means hubs attach to leaves
+    (star/hub-and-spoke shape, the usual KG outcome). One row:
+    (n_edges, s_jk, s_sum, s_sq, assortativity) where the first four
+    are EXACT bigint edge-moment sums over each undirected edge's
+    endpoint degrees (j, k) — s_jk = sum(j*k), s_sum = sum(j+k),
+    s_sq = sum(j^2 + k^2) — and the coefficient is the single IEEE op
+    round((4*M*s_jk - s_sum^2) / (2*M*s_sq - s_sum^2), 6) (NULL for a
+    degree-regular graph where the denominator is 0). The integer
+    moments are also the mergeable partial state: shard them, sum them,
+    divide once.
+
+    Shape at scale: the canonical undirected edge set, one symmetric
+    degree aggregate, two broadcast-able joins to tag edge endpoints,
+    one map-side-combined 1-row aggregate."""
+    from gliner_spark.cache import forward_caches
+
+    und = undirected_edges(triples).localCheckpoint()
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    tagged = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("j")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("k")),
+            "b",
+        )
+    )
+    out = (
+        tagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.col("j") * F.col("k")).cast("long").alias("s_jk"),
+            F.sum(F.col("j") + F.col("k")).cast("long").alias("s_sum"),
+            F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+            .cast("long").alias("s_sq"),
+        )
+        .select(
+            "n_edges", "s_jk", "s_sum", "s_sq",
+            F.when(
+                (2 * F.col("n_edges") * F.col("s_sq")
+                 - F.col("s_sum") * F.col("s_sum")) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    (4 * F.col("n_edges") * F.col("s_jk")
+                     - F.col("s_sum") * F.col("s_sum")).cast("double")
+                    / (2 * F.col("n_edges") * F.col("s_sq")
+                       - F.col("s_sum") * F.col("s_sum")),
+                    6,
+                )
+            )
+            .alias("assortativity"),
+        )
+    )
+    return forward_caches(out, triples)

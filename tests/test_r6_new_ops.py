@@ -1204,3 +1204,42 @@ def test_distance_profile_brute(spark):
         want[d] = (want_counts[d], cum, 1000 * cum // total)
     assert got == want
     assert got[max(got)][2] == 1000
+
+
+# ------------------------------------------------------- assortativity --
+def test_assortativity_brute(spark):
+    """Exact edge moments and the coefficient match a pure-python
+    Newman r on a star (disassortative) and on a near-regular graph."""
+    from gliner_spark.operators.graph_analytics import assortativity
+
+    def brute(und):
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        m = len(und)
+        s_jk = sum(deg[a] * deg[b] for a, b in und)
+        s_sum = sum(deg[a] + deg[b] for a, b in und)
+        s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+        den = 2 * m * s_sq - s_sum * s_sum
+        r = (
+            None if den == 0
+            else round((4 * m * s_jk - s_sum * s_sum) / den, 6)
+        )
+        return m, s_jk, s_sum, s_sq, r
+
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    mixed = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    for und in (star, mixed):
+        rows = [(u, "r", v) for u, v in und]
+        got = assortativity(_triples(spark, rows)).collect()[0]
+        m, s_jk, s_sum, s_sq, r = brute(und)
+        assert (got.n_edges, got.s_jk, got.s_sum, got.s_sq) == (
+            m, s_jk, s_sum, s_sq,
+        )
+        assert got.assortativity == r
+    # a pure star is maximally disassortative
+    got = assortativity(
+        _triples(spark, [(u, "r", v) for u, v in star])
+    ).collect()[0]
+    assert got.assortativity == -1.0
