@@ -368,3 +368,41 @@ def test_lpa_round_has_no_cartesian_or_global_window(spark):
     p = _plan(df)
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_mine_rules_broadcasts_pred_counts(spark):
+    """r6: the per-predicate count table joins back BROADCAST (it is
+    |P|-sized), and the pair-key self-join is an equi-join — no
+    cartesian / nested-loop anywhere in the rule miner."""
+    from gliner_spark.operators.kg_completion import mine_rules
+
+    triples = spark.createDataFrame(
+        [("d0", f"s{i % 7}", f"p{i % 3}", f"o{i % 5}", "t", "t", 1.0)
+         for i in range(60)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    p = _plan(mine_rules(triples))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_incremental_components_never_rebuilds_old_graph(spark):
+    """r6: the incremental fold's plan touches the assignment and the
+    delta — label mapping is equi-joins, the remap join is by component
+    key; no cartesian/nested-loop, no window."""
+    from gliner_spark.operators.graph_analytics import (
+        incremental_components,
+    )
+
+    assign = spark.createDataFrame(
+        [(f"n{i}", "n0") for i in range(6)], "entity string, component string"
+    )
+    delta = spark.createDataFrame(
+        [("n1", "x9"), ("x9", "x8")], "src string, dst string"
+    )
+    p = _plan(incremental_components(assign, delta))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "Window" not in p, p[:2000]
