@@ -433,6 +433,16 @@ def q_kg_distances(spark, sf_dir):
     return distance_profile(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_pred_assoc(spark, sf_dir):
+    """Subject-level predicate association (r6): co-occurring predicate
+    pairs with exact counts and lift — the attribute-association
+    complement to rule mining
+    (operators/graph_analytics.pred_association)."""
+    from gliner_spark.operators.graph_analytics import pred_association
+
+    return pred_association(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_assortativity(spark, sf_dir):
     """Degree assortativity (r6): Newman's edge-degree Pearson r from
     exact bigint edge moments, one final rounded division
@@ -1650,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components_incremental": q_kg_components_incremental,
         "kg_distances": q_kg_distances,
         "kg_assortativity": q_kg_assortativity,
+        "kg_pred_assoc": q_kg_pred_assoc,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3885,6 +3896,39 @@ FROM dp CROSS JOIN dtot ORDER BY dist
 """
 
 
+def _kg_pred_assoc_oracle() -> str:
+    """pred_association replay: distinct (subj, pred) incidence, pair
+    self-join on subj, support filter, frequency joins, one rounded
+    lift division."""
+    from gliner_spark.operators.graph_analytics import (
+        PRED_ASSOC_MIN_SUPPORT,
+    )
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+pasp AS MATERIALIZED (SELECT DISTINCT subj, pred FROM ktriples),
+pans AS (SELECT CAST(count(DISTINCT subj) AS BIGINT) AS n_subj FROM pasp),
+pafreq AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n FROM pasp GROUP BY pred
+),
+papairs AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM pasp a JOIN pasp b ON a.subj = b.subj AND a.pred < b.pred
+  GROUP BY 1, 2
+  HAVING count(*) >= {PRED_ASSOC_MIN_SUPPORT}
+)
+SELECT p.pred_a, p.pred_b, p.n_pair, fa.n AS n_a, fb.n AS n_b,
+  round(CAST(ns.n_subj * p.n_pair AS DOUBLE) / (fa.n * fb.n), 6) AS lift
+FROM papairs p
+JOIN pafreq fa ON fa.pred = p.pred_a
+JOIN pafreq fb ON fb.pred = p.pred_b
+CROSS JOIN pans ns
+ORDER BY pred_a, pred_b
+"""
+
+
 def _kg_assortativity_oracle() -> str:
     """assortativity replay: canonical undirected edges, symmetric
     degree counts, exact integer edge moments, one rounded division."""
@@ -5624,6 +5668,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_components_incremental": _kg_components_oracle(),
         "kg_distances": _kg_distances_oracle(),
         "kg_assortativity": _kg_assortativity_oracle(),
+        "kg_pred_assoc": _kg_pred_assoc_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -216,6 +216,7 @@ def main():
             assortativity,
             distance_profile,
             hits,
+            pred_association,
             metapath_counts,
             reciprocity,
             square_counts,
@@ -284,6 +285,7 @@ def main():
             "stress": stress_centrality,
             "distances": distance_profile,
             "assortativity": assortativity,
+            "pred_assoc": pred_association,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -1997,3 +1997,70 @@ def assortativity(triples: DataFrame) -> DataFrame:
         )
     )
     return forward_caches(out, triples)
+
+
+PRED_ASSOC_MIN_SUPPORT = 2
+
+
+def pred_association(
+    triples: DataFrame, min_support: int = PRED_ASSOC_MIN_SUPPORT
+) -> DataFrame:
+    """Subject-level predicate association — which predicates co-occur
+    on the same subject more than chance (the attribute-association
+    complement to mine_rules: rules need the same (x, y) PAIR under two
+    predicates, this only needs the same SUBJECT, so it surfaces schema
+    co-occurrence like founded+based_in on organizations even when the
+    objects differ). lift = N * n_pair / (n_a * n_b) over subject
+    frequencies — integer cross-products, one rounded division (the
+    cooc_candidates contract).
+
+    Shape at scale: distinct (subj, pred) incidence, a pair self-join
+    keyed on subj whose per-key width is the subject's DISTINCT
+    PREDICATE count (bounded by the ontology's predicate vocabulary,
+    not by corpus size — hub subjects add rows, not predicates),
+    support filter, two broadcast-able frequency joins."""
+    from gliner_spark.cache import forward_caches
+
+    sp = triples.select("subj", "pred").distinct()
+    n_subj = sp.agg(F.countDistinct("subj").cast("long").alias("n_subj"))
+    freq = sp.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = sp.select("subj", F.col("pred").alias("pred_a"))
+    b = sp.select("subj", F.col("pred").alias("pred_b"))
+    pairs = (
+        a.join(b, "subj")
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                freq.select(
+                    F.col("pred").alias("pred_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "pred_a",
+        )
+        .join(
+            F.broadcast(
+                freq.select(
+                    F.col("pred").alias("pred_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "pred_b",
+        )
+        .crossJoin(F.broadcast(n_subj))
+        .select(
+            "pred_a", "pred_b", "n_pair", "n_a", "n_b",
+            F.round(
+                (F.col("n_subj") * F.col("n_pair")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("pred_a", "pred_b")
+    )
+    return forward_caches(out, triples)

@@ -1243,3 +1243,44 @@ def test_assortativity_brute(spark):
         _triples(spark, [(u, "r", v) for u, v in star])
     ).collect()[0]
     assert got.assortativity == -1.0
+
+
+# ---------------------------------------------------- pred association --
+def test_pred_association_brute(spark):
+    from gliner_spark.operators.graph_analytics import pred_association
+
+    rows = [
+        # founded + based_in co-occur on 2 of 3 orgs
+        ("o1", "founded", "p1"), ("o1", "based_in", "c1"),
+        ("o2", "founded", "p2"), ("o2", "based_in", "c2"),
+        ("o3", "founded", "p3"),
+        ("p1", "visited", "c1"),
+        # duplicate mention must not double count
+        ("o1", "founded", "p1"),
+    ]
+    sp = sorted({(s, p) for s, p, _ in rows})
+    n_subj = len({s for s, _ in sp})
+    freq = {}
+    for _, p in sp:
+        freq[p] = freq.get(p, 0) + 1
+    pair_n = {}
+    by_subj = {}
+    for s, p in sp:
+        by_subj.setdefault(s, []).append(p)
+    for s, preds in by_subj.items():
+        for i, a in enumerate(sorted(preds)):
+            for b in sorted(preds)[i + 1:]:
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = {
+        (a, b): (
+            n, freq[a], freq[b],
+            round(n_subj * n / (freq[a] * freq[b]), 6),
+        )
+        for (a, b), n in pair_n.items() if n >= 2
+    }
+    got = {
+        (r.pred_a, r.pred_b): (r.n_pair, r.n_a, r.n_b, r.lift)
+        for r in pred_association(_triples(spark, rows)).collect()
+    }
+    assert got == want
+    assert got[("based_in", "founded")][0] == 2
