@@ -443,6 +443,25 @@ def q_kg_pred_assoc(spark, sf_dir):
     return pred_association(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_triads(spark, sf_dir):
+    """Collapsed directed triad census (r6): triangle classes by
+    reciprocal-pair count with the cyclic/transitive split —
+    hierarchy-vs-feedback motif profile
+    (operators/graph_analytics.triad_census)."""
+    from gliner_spark.operators.graph_analytics import triad_census
+
+    return triad_census(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """Support-weighted integer PageRank (r6): edge weight = distinct
+    docs asserting the edge, contributions (rank*w) DIV out_w — noise-
+    robust centrality (operators/graph_analytics.pagerank_weighted)."""
+    from gliner_spark.operators.graph_analytics import pagerank_weighted
+
+    return pagerank_weighted(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_assortativity(spark, sf_dir):
     """Degree assortativity (r6): Newman's edge-degree Pearson r from
     exact bigint edge moments, one final rounded division
@@ -1661,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distances": q_kg_distances,
         "kg_assortativity": q_kg_assortativity,
         "kg_pred_assoc": q_kg_pred_assoc,
+        "kg_triads": q_kg_triads,
+        "kg_pagerank_weighted": q_kg_pagerank_weighted,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -3929,6 +3950,114 @@ ORDER BY pred_a, pred_b
 """
 
 
+def _kg_triads_oracle() -> str:
+    """triad_census replay: per-side direction flags via EXISTS CASEs,
+    capped compact-forward triangles, the same CASE classification."""
+    from gliner_spark.operators.graph_analytics import TWO_HOP_MAX_FANOUT
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+tdund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
+),
+tdflags AS MATERIALIZED (
+  SELECT u.a, u.b,
+    (CASE WHEN EXISTS (SELECT 1 FROM kedges e
+                       WHERE e.src = u.a AND e.dst = u.b) THEN 1 ELSE 0 END
+     + CASE WHEN EXISTS (SELECT 1 FROM kedges e
+                         WHERE e.src = u.b AND e.dst = u.a) THEN 2 ELSE 0 END
+    ) AS flag
+  FROM tdund u
+),
+tdfan AS (SELECT a, count(*) AS fan FROM tdund GROUP BY a),
+tdok AS MATERIALIZED (
+  SELECT u.a, u.b FROM tdund u
+  JOIN tdfan f ON f.a = u.a WHERE f.fan <= {TWO_HOP_MAX_FANOUT}
+),
+tdtris AS (
+  SELECT w.a, w.x, w.y FROM (
+    SELECT u1.a, u1.b AS x, u2.b AS y
+    FROM tdok u1 JOIN tdok u2 ON u1.a = u2.a AND u1.b < u2.b
+  ) w
+  WHERE EXISTS (SELECT 1 FROM tdund u WHERE u.a = w.x AND u.b = w.y)
+),
+tdtag AS (
+  SELECT f1.flag AS f1, f2.flag AS f2, f3.flag AS f3
+  FROM tdtris t
+  JOIN tdflags f1 ON f1.a = t.a AND f1.b = t.x
+  JOIN tdflags f2 ON f2.a = t.a AND f2.b = t.y
+  JOIN tdflags f3 ON f3.a = t.x AND f3.b = t.y
+)
+SELECT CASE
+    WHEN (CASE WHEN f1 = 3 THEN 1 ELSE 0 END
+          + CASE WHEN f2 = 3 THEN 1 ELSE 0 END
+          + CASE WHEN f3 = 3 THEN 1 ELSE 0 END) = 3 THEN '300'
+    WHEN (CASE WHEN f1 = 3 THEN 1 ELSE 0 END
+          + CASE WHEN f2 = 3 THEN 1 ELSE 0 END
+          + CASE WHEN f3 = 3 THEN 1 ELSE 0 END) = 2 THEN '210'
+    WHEN (CASE WHEN f1 = 3 THEN 1 ELSE 0 END
+          + CASE WHEN f2 = 3 THEN 1 ELSE 0 END
+          + CASE WHEN f3 = 3 THEN 1 ELSE 0 END) = 1 THEN '120'
+    WHEN (f1 = 1 AND f3 = 1 AND f2 = 2)
+      OR (f1 = 2 AND f3 = 2 AND f2 = 1) THEN '030C'
+    ELSE '030T'
+  END AS triad_type,
+  CAST(count(*) AS BIGINT) AS n_triangles
+FROM tdtag GROUP BY 1 ORDER BY triad_type
+"""
+
+
+def _kg_pagerank_weighted_oracle() -> str:
+    """pagerank_weighted replay: distinct-doc edge weights, unrolled
+    rounds of (rank * w) // out_w contributions."""
+    from gliner_spark.operators.graph_analytics import (
+        PR_DAMP,
+        PR_UNIT,
+        WPR_ITERS,
+    )
+
+    snap = _kg_snapshot()
+    base = PR_UNIT * (1000 - PR_DAMP) // 1000
+    ctes = [
+        f"w0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS rank FROM wnodes)"
+    ]
+    for it in range(WPR_ITERS):
+        ctes.append(f"""
+wc{it + 1} AS (
+  SELECT e.dst AS node, sum((r.rank * e.w) // o.out_w) AS s
+  FROM wedges e
+  JOIN w{it} r ON r.node = e.src
+  JOIN wow o ON o.node = e.src
+  GROUP BY e.dst
+),
+w{it + 1} AS MATERIALIZED (
+  SELECT n.node,
+    CAST({base} + ({PR_DAMP} * coalesce(c.s, 0)) // 1000 AS BIGINT) AS rank
+  FROM wnodes n LEFT JOIN wc{it + 1} c ON c.node = n.node
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+wedges AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst, CAST(count(DISTINCT doc_id) AS BIGINT) AS w
+  FROM ktriples WHERE subj != obj GROUP BY subj, obj
+),
+wnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM wedges UNION ALL SELECT dst FROM wedges
+  )
+),
+wow AS (
+  SELECT src AS node, CAST(sum(w) AS BIGINT) AS out_w
+  FROM wedges GROUP BY src
+),
+{",".join(ctes)}
+SELECT node, rank FROM w{WPR_ITERS}
+ORDER BY rank DESC, node ASC
+"""
+
+
 def _kg_assortativity_oracle() -> str:
     """assortativity replay: canonical undirected edges, symmetric
     degree counts, exact integer edge moments, one rounded division."""
@@ -5669,6 +5798,8 @@ def _kg_oracles() -> dict[str, str]:
         "kg_distances": _kg_distances_oracle(),
         "kg_assortativity": _kg_assortativity_oracle(),
         "kg_pred_assoc": _kg_pred_assoc_oracle(),
+        "kg_triads": _kg_triads_oracle(),
+        "kg_pagerank_weighted": _kg_pagerank_weighted_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

@@ -216,7 +216,9 @@ def main():
             assortativity,
             distance_profile,
             hits,
+            pagerank_weighted,
             pred_association,
+            triad_census,
             metapath_counts,
             reciprocity,
             square_counts,
@@ -286,6 +288,8 @@ def main():
             "distances": distance_profile,
             "assortativity": assortativity,
             "pred_assoc": pred_association,
+            "triads": triad_census,
+            "pagerank_weighted": pagerank_weighted,
         }
         for name, fn in graph_op_fns.items():
             reps = []

@@ -2064,3 +2064,175 @@ def pred_association(
         .orderBy("pred_a", "pred_b")
     )
     return forward_caches(out, triples)
+
+
+def triad_census(
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+) -> DataFrame:
+    """Collapsed Davis-Leinhardt triad census of the DIRECTED entity
+    graph, restricted to closed triads (triangles): one row per class
+    with exact counts. Classes: reciprocal-pair count 0/1/2/3 with the
+    classic cyclic-vs-transitive split at zero reciprocity —
+    '030T' (transitive: a feed-forward hierarchy motif), '030C' (cyclic:
+    the feedback loop), '120' (one mutual pair), '210' (two), '300'
+    (complete mutual). The motif profile that separates hierarchical
+    extraction graphs (ceo_of chains — 030T-heavy) from social/symmetric
+    ones (married_to clusters — 300-heavy); the directed refinement of
+    triangle_counts.
+
+    Enumeration: compact-forward over the canonical UNDIRECTED edge set
+    with the audited pivot cap (identical contract to triangle_counts —
+    counts are lower bounds when the cap fires), then each triangle's
+    three undirected sides join their direction flag (1 = low->high
+    only, 2 = high->low only, 3 = both) from one broadcast-able
+    distinct-edge projection, and a CASE expression classifies. Joins +
+    one tiny aggregate; the kg_triads oracle replays the same flags and
+    CASE bit-for-bit."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.metrics import attach_audits, capped_filter
+
+    e = graph_edges(triples)
+    und = undirected_edges(triples)
+    flags = (
+        und.join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .withColumn("fwd", F.lit(1)),
+            ["a", "b"], "left",
+        )
+        .join(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+            .withColumn("bwd", F.lit(2)),
+            ["a", "b"], "left",
+        )
+        .select(
+            "a", "b",
+            (F.coalesce("fwd", F.lit(0)) + F.coalesce("bwd", F.lit(0)))
+            .alias("flag"),
+        )
+    )
+    w = Window.partitionBy("a")
+    capped, audit = capped_filter(
+        und.withColumn("fan", F.count(F.lit(1)).over(w)),
+        "fan", max_fanout, "triad_pivot_cap",
+    )
+    u1 = capped.select("a", F.col("b").alias("x"))
+    u2 = capped.select("a", F.col("b").alias("y"))
+    tris = (
+        u1.join(u2, "a")
+        .filter(F.col("x") < F.col("y"))
+        .join(
+            und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"], "left_semi",
+        )
+    )
+    # sides (a<x<y): f1 = a-x, f2 = a-y, f3 = x-y (flag on least->greatest)
+    tagged = (
+        tris.join(
+            flags.select(
+                F.col("a"), F.col("b").alias("x"), F.col("flag").alias("f1")
+            ),
+            ["a", "x"],
+        )
+        .join(
+            flags.select(
+                F.col("a"), F.col("b").alias("y"), F.col("flag").alias("f2")
+            ),
+            ["a", "y"],
+        )
+        .join(
+            flags.select(
+                F.col("a").alias("x"), F.col("b").alias("y"),
+                F.col("flag").alias("f3"),
+            ),
+            ["x", "y"],
+        )
+    )
+    n_recip = (
+        F.when(F.col("f1") == 3, 1).otherwise(0)
+        + F.when(F.col("f2") == 3, 1).otherwise(0)
+        + F.when(F.col("f3") == 3, 1).otherwise(0)
+    )
+    # zero-reciprocity orientation: cyclic iff the three single arcs
+    # rotate — a->x, x->y, y->a  (1,1,2)  or  a->y, y->x, x->a (2,2,1)
+    cyclic = (
+        (F.col("f1") == 1) & (F.col("f3") == 1) & (F.col("f2") == 2)
+    ) | ((F.col("f1") == 2) & (F.col("f3") == 2) & (F.col("f2") == 1))
+    cls = (
+        F.when(n_recip == 3, F.lit("300"))
+        .when(n_recip == 2, F.lit("210"))
+        .when(n_recip == 1, F.lit("120"))
+        .when(cyclic, F.lit("030C"))
+        .otherwise(F.lit("030T"))
+    )
+    out = (
+        tagged.select(cls.alias("triad_type"))
+        .groupBy("triad_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("triad_type")
+    )
+    return forward_caches(attach_audits(out, audit), triples)
+
+
+WPR_ITERS = PR_ITERS
+
+
+def pagerank_weighted(
+    triples: DataFrame, iters: int = WPR_ITERS, damping: int = PR_DAMP
+) -> DataFrame:
+    """Support-weighted integer PageRank: edge weight = number of
+    DISTINCT documents asserting any triple on that (src, dst) edge, so
+    rank flows along well-evidenced edges — the centrality a KG consumer
+    actually wants when extraction noise is in play (a single
+    hallucinated triple moves negligible mass; a fact asserted by a
+    thousand docs dominates its source's out-flow). Same fixed-round
+    bigint contract as `pagerank`: contribution over edge e =
+    (rank(src) * w(e)) DIV sum_out_w(src) — integer, order-independent,
+    bit-replayed by the kg_pagerank_weighted oracle; dangling mass
+    dropped exactly like the default unweighted gate.
+
+    Shape: one distinct-doc edge-weight aggregate up front (map-side
+    combined), then per round one join + grouped sum over the
+    localCheckpointed weighted edge table — identical economics to the
+    unweighted loop."""
+    from gliner_spark.cache import forward_caches
+
+    ew = (
+        triples.filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "doc_id"
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("doc_id").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ow = ew.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("long").alias("out_w")
+    )
+    base = PR_UNIT * (1000 - damping) // 1000
+    ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(ow.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) DIV out_w").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping} * coalesce(s, 0)) DIV 1000")
+            ).cast("long").alias("rank"),
+        )
+    out = ranks.orderBy(F.desc("rank"), F.asc("node"))
+    return forward_caches(out, triples)

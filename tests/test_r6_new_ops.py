@@ -1284,3 +1284,117 @@ def test_pred_association_brute(spark):
     }
     assert got == want
     assert got[("based_in", "founded")][0] == 2
+
+
+# --------------------------------------------------------- triad census --
+def test_triad_census_brute(spark):
+    """All five collapsed classes planted and recovered exactly."""
+    from gliner_spark.operators.graph_analytics import triad_census
+
+    rows = [
+        # 030T transitive: a->b, a->c, b->c
+        ("ta", "r", "tb"), ("ta", "r", "tc"), ("tb", "r", "tc"),
+        # 030C cyclic: ca->cb->cc->ca
+        ("ca", "r", "cb"), ("cb", "r", "cc"), ("cc", "r", "ca"),
+        # 120: one mutual pair (ma<->mb) + single arcs closing on mc
+        ("ma", "r", "mb"), ("mb", "r", "ma"),
+        ("ma", "r", "mc"), ("mb", "r", "mc"),
+        # 210: two mutual pairs
+        ("pa", "r", "pb"), ("pb", "r", "pa"),
+        ("pa", "r", "pc"), ("pc", "r", "pa"), ("pb", "r", "pc"),
+        # 300: all mutual
+        ("xa", "r", "xb"), ("xb", "r", "xa"),
+        ("xa", "r", "xc"), ("xc", "r", "xa"),
+        ("xb", "r", "xc"), ("xc", "r", "xb"),
+    ]
+    got = {
+        r.triad_type: r.n_triangles
+        for r in triad_census(_triples(spark, rows)).collect()
+    }
+    assert got == {"030T": 1, "030C": 1, "120": 1, "210": 1, "300": 1}
+
+
+def test_triad_census_brute_random(spark):
+    """Census matches an independent per-triangle classification on a
+    random directed graph."""
+    from itertools import combinations
+
+    from gliner_spark.operators.graph_analytics import triad_census
+
+    rng = random.Random(5)
+    names = [f"v{i}" for i in range(12)]
+    edges = sorted({
+        (rng.choice(names), rng.choice(names)) for _ in range(40)
+    })
+    edges = [(s, o) for s, o in edges if s != o]
+    eset = set(edges)
+    und = {tuple(sorted(e)) for e in edges}
+    want = {}
+    for a, x, y in combinations(sorted(names), 3):
+        if {(a, x) if a < x else (x, a),
+            tuple(sorted((a, y))),
+            tuple(sorted((x, y)))} <= und:
+            def flag(lo, hi):
+                return ((lo, hi) in eset) + 2 * ((hi, lo) in eset)
+            f1, f2, f3 = flag(a, x), flag(a, y), flag(x, y)
+            nr = sum(f == 3 for f in (f1, f2, f3))
+            if nr == 3:
+                t = "300"
+            elif nr == 2:
+                t = "210"
+            elif nr == 1:
+                t = "120"
+            elif (f1, f3, f2) in ((1, 1, 2), (2, 2, 1)):
+                t = "030C"
+            else:
+                t = "030T"
+            want[t] = want.get(t, 0) + 1
+    got = {
+        r.triad_type: r.n_triangles
+        for r in triad_census(
+            _triples(spark, [(s, "r", o) for s, o in edges])
+        ).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------- weighted pagerank --
+def test_pagerank_weighted_brute(spark):
+    """Weighted ranks match a pure-python bigint replay; a heavily
+    multi-doc-supported edge out-pulls a singleton edge."""
+    from gliner_spark.operators.graph_analytics import (
+        PR_DAMP,
+        PR_UNIT,
+        WPR_ITERS,
+        pagerank_weighted,
+    )
+
+    rows = [
+        ("d0", "s", "r", "heavy", "t", "t", 1.0),
+        ("d1", "s", "r", "heavy", "t", "t", 1.0),
+        ("d2", "s", "r", "heavy", "t", "t", 1.0),
+        ("d3", "s", "r", "light", "t", "t", 1.0),
+        ("d0", "heavy", "r", "s", "t", "t", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    w = {("s", "heavy"): 3, ("s", "light"): 1, ("heavy", "s"): 1}
+    nodes = {"s", "heavy", "light"}
+    ow = {}
+    for (a, _), ww in w.items():
+        ow[a] = ow.get(a, 0) + ww
+    base = PR_UNIT * (1000 - PR_DAMP) // 1000
+    rank = {n: PR_UNIT for n in nodes}
+    for _ in range(WPR_ITERS):
+        s = {n: 0 for n in nodes}
+        for (a, b), ww in w.items():
+            s[b] += rank[a] * ww // ow[a]
+        rank = {n: base + PR_DAMP * s[n] // 1000 for n in nodes}
+    got = {
+        r.node: r.rank for r in pagerank_weighted(t).collect()
+    }
+    assert got == rank
+    assert got["heavy"] > got["light"]
