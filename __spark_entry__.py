@@ -562,6 +562,16 @@ def q_dd_winnow(spark, sf_dir):
     return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dd_containment(spark, sf_dir):
+    """Asymmetric containment / near-superset pairs (r6): winnowing
+    candidates + exact distinct-k-gram verification both ways (Broder
+    containment — the inclusion-dedup signal whole-doc minhash misses)
+    (operators/dedup.containment_pairs)."""
+    from gliner_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-round integer PageRank in bigint micro-units — contributions
     are rank DIV out_deg, so per-node sums are order-independent and the
@@ -1682,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_assoc": q_kg_pred_assoc,
         "kg_triads": q_kg_triads,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
+        "dd_containment": q_dd_containment,
         # KG construction (driver-gated r5; correctness also tests/test_pipeline.py)
         "kg_mentions": q_kg_mentions,
         "kg_triples_raw": q_kg_triples_raw,
@@ -4838,6 +4849,58 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _dd_containment_oracle() -> str:
+    """containment_pairs replay: dd_winnow's candidate CTEs + distinct
+    gram postings, exact intersection counts, both permilles, the
+    either-direction threshold."""
+    from gliner_spark.operators.dedup import (
+        CONTAIN_MIN_PERMILLE,
+        WINNOW_BUCKET_CAP,
+        WINNOW_MIN_SHARED,
+    )
+
+    return f"""
+WITH {_winnow_body()},
+winv AS (
+  SELECT DISTINCT doc_id, fp FROM wfps
+),
+wfan AS (
+  SELECT fp, count(*) AS n_docs FROM winv GROUP BY fp
+),
+wcap AS (
+  SELECT i.doc_id, i.fp FROM winv i JOIN wfan f ON f.fp = i.fp
+  WHERE f.n_docs <= {WINNOW_BUCKET_CAP}
+),
+cpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wcap a JOIN wcap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+),
+cpost AS MATERIALIZED (SELECT DISTINCT doc_id, gh FROM wgrams),
+csz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cpost GROUP BY doc_id
+),
+csh AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_shared_grams
+  FROM cpairs p
+  JOIN cpost ga ON ga.doc_id = p.doc_a
+  JOIN cpost gb ON gb.doc_id = p.doc_b AND gb.gh = ga.gh
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.n_shared_grams,
+  za.n AS n_grams_a, zb.n AS n_grams_b,
+  CAST(1000 * s.n_shared_grams // za.n AS BIGINT) AS contain_a_permille,
+  CAST(1000 * s.n_shared_grams // zb.n AS BIGINT) AS contain_b_permille
+FROM csh s
+JOIN csz za ON za.doc_id = s.doc_a
+JOIN csz zb ON zb.doc_id = s.doc_b
+WHERE greatest(1000 * s.n_shared_grams // za.n,
+               1000 * s.n_shared_grams // zb.n) >= {CONTAIN_MIN_PERMILLE}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _kg_clustering_oracle() -> str:
     """clustering_coefficients replay: the kg_triangles enumeration CTEs
     plus the symmetrized undirected degree, one exact division."""
@@ -5800,6 +5863,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_pred_assoc": _kg_pred_assoc_oracle(),
         "kg_triads": _kg_triads_oracle(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_oracle(),
+        "dd_containment": _dd_containment_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_pagerank_dangling": _kg_pagerank_oracle(dangling=True),
         "kg_ppr": _kg_pagerank_oracle(seed_prefix="person:"),

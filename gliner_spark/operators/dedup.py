@@ -333,3 +333,81 @@ def winnow_overlap_pairs(
         .orderBy("doc_a", "doc_b")
     )
     return attach_audits(pairs, audit)
+
+
+CONTAIN_MIN_PERMILLE = 500  # emit pairs where either direction >= 50.0%
+
+
+def containment_pairs(
+    docs: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    bucket_cap: int = WINNOW_BUCKET_CAP,
+    min_permille: int = CONTAIN_MIN_PERMILLE,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT detection — quotation / near-superset
+    pairs (Broder 1997's containment c(A,B) = |S(A) ∩ S(B)| / |S(A)|
+    over k-gram shingle sets): a short doc quoted whole inside a long
+    one has low Jaccard (minhash misses it) but containment ≈ 1. The
+    training-data use is inclusion dedup: drop documents that are
+    near-subsets of another document.
+
+    Two-stage MOSS-style plan: candidates come from the winnowing
+    inverted index (winnow_overlap_pairs — capped + audited, so the
+    candidate set is Zipf-collapsed and never all-pairs), then the
+    verifier computes EXACT distinct-k-gram intersection counts for
+    candidate pairs only and emits both directions as integer
+    permilles, keeping pairs where either direction >= `min_permille`.
+    Verification cost is bounded by |pairs| x grams(doc), never
+    corpus x corpus. The dd_containment oracle replays candidates and
+    verifier bit-for-bit."""
+    from gliner_spark.cache import attach_caches
+    from gliner_spark.metrics import attach_audits, audits_of
+    from gliner_spark.operators.text_analysis import gram_postings
+
+    cand = winnow_overlap_pairs(docs, min_shared, bucket_cap)
+    pairs = cand.select("doc_a", "doc_b")
+    post = gram_postings(docs).select("doc_id", "gh").distinct().persist()
+    sizes = post.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    shared = (
+        pairs.join(
+            post.select(F.col("doc_id").alias("doc_a"), "gh"), "doc_a"
+        )
+        .join(
+            post.select(F.col("doc_id").alias("doc_b"), "gh"),
+            ["doc_b", "gh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("n_grams_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("n_grams_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "contain_a_permille",
+            F.expr("1000 * n_shared_grams DIV n_grams_a"),
+        )
+        .withColumn(
+            "contain_b_permille",
+            F.expr("1000 * n_shared_grams DIV n_grams_b"),
+        )
+        .filter(
+            F.greatest("contain_a_permille", "contain_b_permille")
+            >= min_permille
+        )
+        .select(
+            "doc_a", "doc_b", "n_shared_grams", "n_grams_a", "n_grams_b",
+            "contain_a_permille", "contain_b_permille",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return attach_caches(attach_audits(out, *audits_of(cand)), post)

@@ -583,6 +583,29 @@ WINNOW_W = 4   # k-gram hashes per winnowing window
 WINNOW_POS_BITS = 20  # position packing for the rightmost-tie min key
 
 
+def gram_postings(docs: DataFrame, k: int = WINNOW_K) -> DataFrame:
+    """(doc_id, pos, gh) k-token-gram rolling-hash postings — the shared
+    in-row (zero-shuffle) gram stage behind winnow_fingerprints and the
+    containment verifier (dedup.containment_pairs). gh = left fold
+    (acc*131 + token_id) % P31 over each k-token window."""
+    ids = F.col("_ids")
+    n = F.size(ids)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.aggregate(
+                F.slice(ids, i + 1, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(131) + x) % F.lit(P31),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        "doc_id", token_id_array("text").alias("_ids")
+    ).select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+
+
 def winnow_fingerprints(
     docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
     sort: bool = True,
@@ -610,22 +633,7 @@ def winnow_fingerprints(
     partition-by-doc window — the same single-shuffle shape as
     sessionization. Fingerprints per doc are ~n/w·2/(w+1), so output is
     a constant fraction of the corpus regardless of scale."""
-    ids = F.col("_ids")
-    n = F.size(ids)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.aggregate(
-                F.slice(ids, i + 1, k),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * F.lit(131) + x) % F.lit(P31),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    staged = docs.select(
-        "doc_id", token_id_array("text").alias("_ids")
-    ).select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+    staged = gram_postings(docs, k)
     from pyspark.sql import Window
 
     pos_cap = 1 << WINNOW_POS_BITS

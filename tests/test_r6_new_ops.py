@@ -1398,3 +1398,73 @@ def test_pagerank_weighted_brute(spark):
     }
     assert got == rank
     assert got["heavy"] > got["light"]
+
+
+# ----------------------------------------------------------- containment --
+def test_containment_pairs_brute(spark):
+    """Exact containment permilles match a pure-python replay (winnow
+    candidates -> distinct-gram intersection), and a quoted doc is
+    flagged as near-contained even though its Jaccard is low."""
+    from gliner_spark.operators.dedup import (
+        CONTAIN_MIN_PERMILLE,
+        WINNOW_MIN_SHARED,
+        containment_pairs,
+    )
+    from gliner_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_POS_BITS,
+        WINNOW_W,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        ("d_long", "intro words here " + quote + " closing remarks "
+                   "and much more unrelated text follows now ok"),
+        ("d_short", quote),
+        ("d_other", "totally different content with no overlap at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    def grams(text):
+        toks = text.split(" ")
+        ids = [_fold(t) for t in toks]
+        out = []
+        for i in range(len(ids) - WINNOW_K + 1):
+            g = 0
+            for x in ids[i:i + WINNOW_K]:
+                g = (g * 131 + x) % P31
+            out.append(g)
+        return out
+
+    fps = {
+        d: {f for _, f in _winnow_brute(
+            t.split(" "), WINNOW_K, WINNOW_W, WINNOW_POS_BITS
+        )}
+        for d, t in docs
+    }
+    gsets = {d: set(grams(t)) for d, t in docs}
+    want = {}
+    names = sorted(fps)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if len(fps[a] & fps[b]) >= WINNOW_MIN_SHARED:
+                sh = len(gsets[a] & gsets[b])
+                ca = 1000 * sh // len(gsets[a])
+                cb = 1000 * sh // len(gsets[b])
+                if max(ca, cb) >= CONTAIN_MIN_PERMILLE:
+                    want[(a, b)] = (
+                        sh, len(gsets[a]), len(gsets[b]), ca, cb
+                    )
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_shared_grams, r.n_grams_a, r.n_grams_b,
+            r.contain_a_permille, r.contain_b_permille,
+        )
+        for r in containment_pairs(df).collect()
+    }
+    assert got == want
+    # the quoted short doc is near-fully contained in the long one
+    key = ("d_long", "d_short")
+    assert key in got
+    assert got[key][4] == 1000  # every short-doc gram appears in d_long
+    assert got[key][3] < 500    # ...but the long doc is NOT contained
