@@ -350,6 +350,19 @@ def q_ev_complex(spark, sf_dir):
     return transe_margin_eval(q_kg_triples(spark, sf_dir), scorer="complex")
 
 
+def q_ev_rotate(spark, sf_dir):
+    """RotatE pairwise ranking eval (r6 wave 3): the rotational member
+    of the scorer family (Sun et al. 2019) over the same corrupted
+    pairs — unit-normalized complex rotation + L2 modulus distance
+    (kg_scoring.interaction_expr's pipeline-native form), per-row
+    energies quantized to bigint micro-units so the grouped sums are
+    order-independent
+    (operators/kg_completion.transe_margin_eval(scorer='rotate'))."""
+    from gliner_spark.operators.kg_completion import transe_margin_eval
+
+    return transe_margin_eval(q_kg_triples(spark, sf_dir), scorer="rotate")
+
+
 def q_kg_rules(spark, sf_dir):
     """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
     body => head rules over the constructed KG with exact support /
@@ -1680,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_hist": q_kg_degree_hist,
         "kg_harmonic": q_kg_harmonic,
         "ev_complex": q_ev_complex,
+        "ev_rotate": q_ev_rotate,
         "kg_rules": q_kg_rules,
         "kg_inference": q_kg_inference,
         "kg_hits": q_kg_hits,
@@ -3666,6 +3680,62 @@ SELECT pred,
   CAST(1000 * sum(CASE WHEN s_pos > s_neg THEN 1 ELSE 0 END) // count(*)
     AS BIGINT) AS accuracy_permille,
   round(avg(s_pos - s_neg), 6) AS mean_margin
+FROM ngsc GROUP BY pred ORDER BY pred
+"""
+
+
+def _ev_rotate_oracle() -> str:
+    """transe_margin_eval(scorer='rotate') replay: same shared ngfinal
+    pair set and dyadic embeddings, the unit-normalized complex
+    rotation + L2 modulus distance folded in array order (sqrt and
+    division are IEEE-exact replays because both engines fold
+    left-to-right), then bigint micro-unit quantization so the grouped
+    sums are order-independent."""
+    from gliner_spark.operators.kg_completion import TRANSE_DIM
+
+    snap = _kg_snapshot()
+    D = TRANSE_DIM
+    d2 = D // 2
+
+    def energy(t):
+        mod = f"sqrt(r[i]*r[i] + r[i + {d2}]*r[i + {d2}])"
+        dre = f"((h[i]*r[i] - h[i + {d2}]*r[i + {d2}]) / {mod} - {t}[i])"
+        dim_ = (
+            f"((h[i]*r[i + {d2}] + h[i + {d2}]*r[i]) / {mod}"
+            f" - {t}[i + {d2}])"
+        )
+        return _sql_fold_sum(
+            f"list_transform(range(1, {d2 + 1}), i -> "
+            f"sqrt({dre} * {dre} + {dim_} * {dim_}))"
+        )
+
+    return f"""
+WITH RECURSIVE {_kg_negatives_cte(snap)},
+ngfold AS (
+  SELECT pred, {_sql_fold("subj")} AS fs, {_sql_fold("pred")} AS fr,
+         {_sql_fold("pos_obj")} AS fp, {_sql_fold("neg_obj")} AS fn_
+  FROM ngfinal
+),
+ngemb AS (
+  SELECT pred,
+    {_sql_hash_emb("fs", D)} AS h, {_sql_hash_emb("fr", D)} AS r,
+    {_sql_hash_emb("fp", D)} AS tp, {_sql_hash_emb("fn_", D)} AS tn
+  FROM ngfold
+),
+ngsc AS (
+  SELECT pred,
+    CAST(round({energy("tp")} * 1000000) AS BIGINT) AS e_pos,
+    CAST(round({energy("tn")} * 1000000) AS BIGINT) AS e_neg
+  FROM ngemb
+)
+SELECT pred,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN e_pos < e_neg THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_ranked_correct,
+  CAST(1000 * sum(CASE WHEN e_pos < e_neg THEN 1 ELSE 0 END) // count(*)
+    AS BIGINT) AS accuracy_permille,
+  round(CAST(sum(e_neg - e_pos) AS DOUBLE) / count(*) / 1000000.0, 6)
+    AS mean_margin
 FROM ngsc GROUP BY pred ORDER BY pred
 """
 
@@ -5849,6 +5919,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_degree_hist": _kg_degree_hist_oracle(),
         "kg_harmonic": _kg_harmonic_oracle(),
         "ev_complex": _ev_complex_oracle(),
+        "ev_rotate": _ev_rotate_oracle(),
         "kg_rules": _kg_rules_oracle(),
         "kg_inference": _kg_inference_oracle(),
         "kg_hits": _kg_hits_oracle(),

@@ -489,7 +489,11 @@ def transe_margin_eval(
     real/imaginary parts (Trouillon et al. 2016, via
     kg_scoring.interaction_expr — the same fold the 18-scorer set
     uses), higher is better — the asymmetric bilinear model that can
-    rank anti-symmetric relations DistMult cannot. All run over the
+    rank anti-symmetric relations DistMult cannot. scorer="rotate":
+    full RotatE (Sun et al. 2019) — h rotated by the unit-normalized
+    complex relation phase, negated L2 modulus distance to t (lower
+    energy is better); per-row energies are quantized to bigint
+    micro-units before aggregation (see inline note). All run over the
     deterministic dyadic hash embeddings (kg_scoring.hash_embedding) —
     dyadic rationals with fixed fold order make every score and margin
     IEEE-exact, so the comparison and the mean replay bit-for-bit in
@@ -539,6 +543,19 @@ def transe_margin_eval(
 
         def score(h, r, t):
             return interaction_expr("complex", h, r, t, dim)
+    elif scorer == "rotate":
+        # Full RotatE (Sun et al. 2019): h rotated by the unit-normalized
+        # complex relation phase, L2 modulus distance to t per complex
+        # component (kg_scoring.interaction_expr's pipeline-native form).
+        # Unlike transe/distmult/complex the per-row energy is NOT dyadic
+        # (sqrt + division) — it is still bit-identical across engines
+        # because both fold in array order, but a row-order-dependent
+        # float SUM over rows would not be.  The aggregation below
+        # therefore quantizes each energy to integer micro-units first.
+        from gliner_spark.operators.kg_scoring import interaction_expr
+
+        def score(h, r, t):
+            return interaction_expr("rotate", h, r, t, dim)
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
 
@@ -555,6 +572,25 @@ def transe_margin_eval(
         (-score(F.col("h"), F.col("r"), F.col("tp"))).alias("e_pos"),
         (-score(F.col("h"), F.col("r"), F.col("tn"))).alias("e_neg"),
     )
+    if scorer == "rotate":
+        # micro-unit quantization: per-row energies are engine-exact
+        # (ordered folds), so rounding to bigint micro-units here makes
+        # every downstream SUM an order-independent integer aggregate
+        sc = sc.select(
+            "pred",
+            F.round(F.col("e_pos") * 1_000_000).cast("long").alias("e_pos"),
+            F.round(F.col("e_neg") * 1_000_000).cast("long").alias("e_neg"),
+        )
+        margin = F.round(
+            F.sum(F.col("e_neg") - F.col("e_pos")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mean_margin")
+    else:
+        margin = F.round(F.avg(F.col("e_neg") - F.col("e_pos")), 6).alias(
+            "mean_margin"
+        )
     out = (
         sc.groupBy("pred")
         .agg(
@@ -564,9 +600,7 @@ def transe_margin_eval(
             )
             .cast("long")
             .alias("n_ranked_correct"),
-            F.round(F.avg(F.col("e_neg") - F.col("e_pos")), 6).alias(
-                "mean_margin"
-            ),
+            margin,
         )
         .withColumn(
             "accuracy_permille",

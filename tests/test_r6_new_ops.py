@@ -846,6 +846,68 @@ def test_complex_margin_eval_brute(spark):
         assert r.mean_margin == want
 
 
+# -------------------------------------------------------------- rotate --
+def test_rotate_margin_eval_brute(spark):
+    """RotatE variant: unit-normalized complex rotation + L2 modulus
+    distance, lower energy wins; energies quantize to micro-units
+    before aggregation so the Spark sums are integer-exact."""
+    import math
+
+    from gliner_spark.operators.kg_completion import (
+        negative_samples,
+        transe_margin_eval,
+    )
+
+    rows = [
+        ("d0", "a", "likes", "x", "person", "fruit", 1.0),
+        ("d0", "a", "likes", "y", "person", "fruit", 1.0),
+        ("d1", "b", "likes", "x", "person", "fruit", 1.0),
+        ("d1", "b", "visited", "p", "person", "place", 1.0),
+        ("d2", "c", "visited", "q", "person", "place", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+    def emb(name, dim=8):
+        base = _fold(name)
+        return [
+            ((((base * (j * 2 + 5) + j) % P31) % 256) * 2 - 255) / 256.0
+            for j in range(dim)
+        ]
+
+    def energy(h, rr, tt, d2=4):
+        e = 0.0
+        for i in range(d2):
+            mod = math.sqrt(rr[i] * rr[i] + rr[i + d2] * rr[i + d2])
+            hr_re = (h[i] * rr[i] - h[i + d2] * rr[i + d2]) / mod
+            hr_im = (h[i] * rr[i + d2] + h[i + d2] * rr[i]) / mod
+            dre, dim_ = hr_re - tt[i], hr_im - tt[i + d2]
+            e += math.sqrt(dre * dre + dim_ * dim_)
+        return e
+
+    stats = {}
+    for r in negative_samples(t).collect():
+        h, rr = emb(r.subj), emb(r.pred)
+        # micro-unit quantization, matching the operator's contract
+        ep = round(energy(h, rr, emb(r.pos_obj)) * 1_000_000)
+        en = round(energy(h, rr, emb(r.neg_obj)) * 1_000_000)
+        n, c, m = stats.get(r.pred, (0, 0, 0))
+        stats[r.pred] = (n + 1, c + (ep < en), m + (en - ep))
+    out = {
+        r.pred: r
+        for r in transe_margin_eval(t, scorer="rotate").collect()
+    }
+    assert set(out) == set(stats)
+    for pred, (n, c, msum) in stats.items():
+        r = out[pred]
+        assert (r.n_pairs, r.n_ranked_correct) == (n, c)
+        assert r.accuracy_permille == 1000 * c // n
+        assert abs(r.mean_margin - msum / n / 1e6) < 1e-6
+
+
 # --------------------------------------------------------------- rules --
 def _rules_brute(edges, min_support):
     """Pure-python AMIE 2-atom miner over distinct (s, p, o) edges."""
