@@ -363,6 +363,25 @@ def q_ev_rotate(spark, sf_dir):
     return transe_margin_eval(q_kg_triples(spark, sf_dir), scorer="rotate")
 
 
+def q_kg_conjunctive(spark, sf_dir):
+    """SPARQL-style conjunctive (basic graph pattern) query (r6 wave 3):
+    the cyclic 3-atom pattern `?p works_at ?o . ?o based_in ?l .
+    ?p visited ?l` — people who visited the city their employer is
+    based in. Each atom is a predicate-filtered pruned projection;
+    the cycle closes with equi-joins on shared variables
+    (operators/kg_query.conjunctive_match)."""
+    from gliner_spark.operators.kg_query import conjunctive_match
+
+    return conjunctive_match(
+        q_kg_triples(spark, sf_dir),
+        [
+            ("?p", "works_at", "?o"),
+            ("?o", "based_in", "?l"),
+            ("?p", "visited", "?l"),
+        ],
+    )
+
+
 def q_kg_rules(spark, sf_dir):
     """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
     body => head rules over the constructed KG with exact support /
@@ -1694,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic": q_kg_harmonic,
         "ev_complex": q_ev_complex,
         "ev_rotate": q_ev_rotate,
+        "kg_conjunctive": q_kg_conjunctive,
         "kg_rules": q_kg_rules,
         "kg_inference": q_kg_inference,
         "kg_hits": q_kg_hits,
@@ -3737,6 +3757,23 @@ SELECT pred,
   round(CAST(sum(e_neg - e_pos) AS DOUBLE) / count(*) / 1000000.0, 6)
     AS mean_margin
 FROM ngsc GROUP BY pred ORDER BY pred
+"""
+
+
+def _kg_conjunctive_oracle() -> str:
+    """conjunctive_match replay: the cyclic 3-atom BGP as three
+    DISTINCT predicate-filtered edge sets self-joined on the shared
+    variables, bindings projected to sorted variable names."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)}
+SELECT DISTINCT b.obj AS l, w.obj AS o, w.subj AS p
+FROM (SELECT DISTINCT subj, obj FROM ktriples WHERE pred = 'works_at') w
+JOIN (SELECT DISTINCT subj, obj FROM ktriples WHERE pred = 'based_in') b
+  ON b.subj = w.obj
+JOIN (SELECT DISTINCT subj, obj FROM ktriples WHERE pred = 'visited') v
+  ON v.subj = w.subj AND v.obj = b.obj
+ORDER BY l, o, p
 """
 
 
@@ -5920,6 +5957,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_harmonic": _kg_harmonic_oracle(),
         "ev_complex": _ev_complex_oracle(),
         "ev_rotate": _ev_rotate_oracle(),
+        "kg_conjunctive": _kg_conjunctive_oracle(),
         "kg_rules": _kg_rules_oracle(),
         "kg_inference": _kg_inference_oracle(),
         "kg_hits": _kg_hits_oracle(),

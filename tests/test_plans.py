@@ -406,3 +406,26 @@ def test_incremental_components_never_rebuilds_old_graph(spark):
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
     assert "Window" not in p, p[:2000]
+
+
+def test_conjunctive_match_plan_all_equi_joins(spark):
+    """r6 wave 3: a connected BGP compiles to predicate-pushed
+    projections chained by equi-joins — no cartesian product or
+    nested-loop join anywhere, and the pred filters reach the scans."""
+    from gliner_spark.operators.kg_query import conjunctive_match
+
+    triples = spark.createDataFrame(
+        [("d0", "a", "works_at", "o1", "t", "t", 1.0),
+         ("d0", "o1", "based_in", "l1", "t", "t", 1.0),
+         ("d0", "a", "visited", "l1", "t", "t", 1.0)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    df = conjunctive_match(
+        triples,
+        [("?p", "works_at", "?o"), ("?o", "based_in", "?l"),
+         ("?p", "visited", "?l")],
+    )
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
