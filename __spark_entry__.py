@@ -382,6 +382,17 @@ def q_kg_conjunctive(spark, sf_dir):
     )
 
 
+def q_kg_closure(spark, sf_dir):
+    """Bounded transitive closure of the `acquired` edge set (r6 wave
+    3): all (src, dst, min_depth) ownership-chain pairs within
+    CLOSURE_MAX_DEPTH hops via semi-naive Datalog evaluation — frontier
+    extension + anti-join, work proportional to new pairs
+    (operators/graph_analytics.transitive_closure)."""
+    from gliner_spark.operators.graph_analytics import transitive_closure
+
+    return transitive_closure(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_rules(spark, sf_dir):
     """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
     body => head rules over the constructed KG with exact support /
@@ -1714,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_complex": q_ev_complex,
         "ev_rotate": q_ev_rotate,
         "kg_conjunctive": q_kg_conjunctive,
+        "kg_closure": q_kg_closure,
         "kg_rules": q_kg_rules,
         "kg_inference": q_kg_inference,
         "kg_hits": q_kg_hits,
@@ -3774,6 +3786,33 @@ JOIN (SELECT DISTINCT subj, obj FROM ktriples WHERE pred = 'based_in') b
 JOIN (SELECT DISTINCT subj, obj FROM ktriples WHERE pred = 'visited') v
   ON v.subj = w.subj AND v.obj = b.obj
 ORDER BY l, o, p
+"""
+
+
+def _kg_closure_oracle() -> str:
+    """transitive_closure replay: depth-bounded recursive walk
+    extension over the MATERIALIZED distinct `acquired` edge set,
+    grouped to min depth (min-depth witnesses are simple paths, so the
+    bounded walk recursion finds exactly the semi-naive result)."""
+    from gliner_spark.operators.graph_analytics import CLOSURE_MAX_DEPTH
+
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+ce AS MATERIALIZED (
+  SELECT DISTINCT subj AS src, obj AS dst FROM ktriples
+  WHERE pred = 'acquired' AND subj != obj
+),
+cpaths AS (
+  SELECT src, dst, 1 AS depth FROM ce
+  UNION ALL
+  SELECT p.src, e.dst, p.depth + 1
+  FROM cpaths p JOIN ce e ON e.src = p.dst
+  WHERE p.depth < {CLOSURE_MAX_DEPTH}
+)
+SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth
+FROM cpaths WHERE src != dst
+GROUP BY src, dst ORDER BY src, dst
 """
 
 
@@ -5958,6 +5997,7 @@ def _kg_oracles() -> dict[str, str]:
         "ev_complex": _ev_complex_oracle(),
         "ev_rotate": _ev_rotate_oracle(),
         "kg_conjunctive": _kg_conjunctive_oracle(),
+        "kg_closure": _kg_closure_oracle(),
         "kg_rules": _kg_rules_oracle(),
         "kg_inference": _kg_inference_oracle(),
         "kg_hits": _kg_hits_oracle(),

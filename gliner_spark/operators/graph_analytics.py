@@ -2236,3 +2236,63 @@ def pagerank_weighted(
         )
     out = ranks.orderBy(F.desc("rank"), F.asc("node"))
     return forward_caches(out, triples)
+
+
+CLOSURE_MAX_DEPTH = 4
+
+
+def transitive_closure(
+    triples: DataFrame, pred: str = "acquired",
+    max_depth: int = CLOSURE_MAX_DEPTH,
+) -> DataFrame:
+    """Bounded transitive closure of one predicate's edge set:
+    all (src, dst, min_depth) pairs with a directed `pred`-path of
+    length <= max_depth — ownership-chain / taxonomy resolution (the
+    SPARQL `pred+` property path, Datalog's canonical recursive query).
+    Over `acquired` this answers "which orgs does X ultimately control,
+    and through how many hops".
+
+    Semi-naive evaluation (the Datalog textbook plan, and the only one
+    that scales): each round extends only the FRONTIER — pairs first
+    reached last round — by one edge join, then anti-joins the known
+    pair set so work is proportional to NEW pairs, never to all paths.
+    Cycles are safe: a min-depth witness is always a simple path, and
+    the anti-join stops re-expansion. Fixed round budget with early
+    exit on an empty frontier; per-round localCheckpoint cuts lineage
+    (same loop hygiene as the CC/k-core loops). Self-return pairs
+    (cycle back to the start) are excluded from the output.
+
+    Determinism: min_depth is an exact integer; the DuckDB oracle
+    replays it as a depth-bounded recursive CTE grouped to min."""
+    from gliner_spark.cache import forward_caches
+
+    e = (
+        triples.filter(F.col("pred") == pred)
+        .filter(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    best = e.withColumn("min_depth", F.lit(1).cast("long"))
+    frontier = best.select("src", "dst")
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(
+                e.select(F.col("src").alias("dst"), F.col("dst").alias("d2")),
+                "dst",
+            )
+            .select("src", F.col("d2").alias("dst"))
+            .distinct()
+            .join(best.select("src", "dst"), ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.rdd.isEmpty():
+            break
+        best = best.union(
+            nxt.withColumn("min_depth", F.lit(d).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    out = best.filter(F.col("src") != F.col("dst")).orderBy(
+        "src", "dst"
+    )
+    return forward_caches(out, triples)

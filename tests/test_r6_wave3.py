@@ -96,3 +96,59 @@ def test_conjunctive_rejects_disconnected(spark):
         conjunctive_match(
             t, [("?p", "works_at", "?o"), ("?x", "visited", "?y")]
         ).collect()
+
+
+# -------------------------------------------------------------- closure --
+def _closure_brute(edges, maxd):
+    """BFS min-depth over directed edges, bounded depth."""
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    out = {}
+    for src in adj:
+        seen = {src: 0}
+        q = deque([src])
+        while q:
+            n = q.popleft()
+            if seen[n] >= maxd:
+                continue
+            for m in adj.get(n, ()):
+                if m not in seen:
+                    seen[m] = seen[n] + 1
+                    q.append(m)
+        for dst, d in seen.items():
+            if dst != src and d:
+                out[(src, dst)] = d
+    return out
+
+
+def test_transitive_closure_matches_brute_with_cycle(spark):
+    from gliner_spark.operators.graph_analytics import transitive_closure
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+        ("b", "a"),          # 2-cycle
+        ("x", "a"),          # feeds into the cycle
+        ("c", "c"),          # self-loop, must be ignored
+    ]
+    t = _triples(spark, [(s, "acquired", d) for s, d in edges])
+    got = {
+        (r.src, r.dst): r.min_depth
+        for r in transitive_closure(t, max_depth=4).collect()
+    }
+    assert got == _closure_brute(edges, 4)
+    # depth bound respected: a->f needs 5 hops, absent at max_depth=4
+    assert ("a", "f") not in got and got[("a", "e")] == 4
+    # cycle resolved, no self-return pairs in the output
+    assert all(s != d for s, d in got)
+
+
+def test_transitive_closure_early_exit_on_converged(spark):
+    from gliner_spark.operators.graph_analytics import transitive_closure
+
+    t = _triples(spark, [("a", "acquired", "b")])
+    got = [tuple(r) for r in transitive_closure(t, max_depth=4).collect()]
+    assert got == [("a", "b", 1)]
