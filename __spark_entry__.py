@@ -605,6 +605,17 @@ def q_dd_winnow(spark, sf_dir):
     return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dd_substrings(spark, sf_dir):
+    """Exact duplicated-substring spans (r6 wave 3, Lee et al. 2022
+    ExactSubstr shape): sliding token windows whose exact text repeats
+    across >= 2 docs, merged per doc into maximal spans via
+    gaps-and-islands — the substring-level cut list whole-doc dedup
+    cannot produce (operators/dedup.duplicated_substring_spans)."""
+    from gliner_spark.operators.dedup import duplicated_substring_spans
+
+    return duplicated_substring_spans(_t(spark, sf_dir, "documents"))
+
+
 def q_dd_containment(spark, sf_dir):
     """Asymmetric containment / near-superset pairs (r6): winnowing
     candidates + exact distinct-k-gram verification both ways (Broder
@@ -1726,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rotate": q_ev_rotate,
         "kg_conjunctive": q_kg_conjunctive,
         "kg_closure": q_kg_closure,
+        "dd_substrings": q_dd_substrings,
         "kg_rules": q_kg_rules,
         "kg_inference": q_kg_inference,
         "kg_hits": q_kg_hits,
@@ -4995,6 +5007,54 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _dd_substrings_oracle() -> str:
+    """duplicated_substring_spans replay: zipped (pos, gram) windows,
+    the distinct-doc gram count, the semi-join mark, and the same
+    lag-flag gaps-and-islands merge."""
+    from gliner_spark.operators.dedup import (
+        SUBSTR_GRAM_LEN,
+        SUBSTR_MIN_DOCS,
+    )
+
+    L = SUBSTR_GRAM_LEN
+    return f"""
+WITH dstoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+dspg AS (
+  SELECT doc_id,
+    unnest(range(len(t) - {L} + 1)) AS pos,
+    unnest(list_transform(range(len(t) - {L} + 1),
+           p -> array_to_string(t[p + 1 : p + {L}], ' '))) AS gram
+  FROM dstoks WHERE len(t) >= {L}
+),
+dsdup AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM dspg)
+  GROUP BY gram HAVING count(*) >= {SUBSTR_MIN_DOCS}
+),
+dsmarked AS (
+  SELECT p.doc_id, p.pos FROM dspg p JOIN dsdup USING (gram)
+),
+dsflag AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              <= {L - 1} THEN 0 ELSE 1 END AS flag
+  FROM dsmarked
+),
+dsisl AS (
+  SELECT doc_id, pos,
+    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS island
+  FROM dsflag
+)
+SELECT doc_id,
+  CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(pos) + {L - 1} AS BIGINT) AS span_end,
+  CAST(count(*) AS BIGINT) AS n_grams
+FROM dsisl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 def _dd_containment_oracle() -> str:
     """containment_pairs replay: dd_winnow's candidate CTEs + distinct
     gram postings, exact intersection counts, both permilles, the
@@ -5998,6 +6058,7 @@ def _kg_oracles() -> dict[str, str]:
         "ev_rotate": _ev_rotate_oracle(),
         "kg_conjunctive": _kg_conjunctive_oracle(),
         "kg_closure": _kg_closure_oracle(),
+        "dd_substrings": _dd_substrings_oracle(),
         "kg_rules": _kg_rules_oracle(),
         "kg_inference": _kg_inference_oracle(),
         "kg_hits": _kg_hits_oracle(),

@@ -411,3 +411,95 @@ def containment_pairs(
         .orderBy("doc_a", "doc_b")
     )
     return attach_caches(attach_audits(out, *audits_of(cand)), post)
+
+
+SUBSTR_GRAM_LEN = 8   # token window for exact duplicated-substring scan
+SUBSTR_MIN_DOCS = 2   # "duplicated" = the gram appears in >= 2 docs
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    gram_len: int = SUBSTR_GRAM_LEN,
+    min_docs: int = SUBSTR_MIN_DOCS,
+) -> DataFrame:
+    """EXACT duplicated-substring spans — the substring-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr tool), re-expressed relationally: instead
+    of a corpus suffix array, slide a `gram_len`-token window over
+    every document, find windows whose exact text occurs in >=
+    `min_docs` DISTINCT documents, and merge overlapping duplicated
+    windows per document into maximal spans (gaps-and-islands over
+    window positions). Output: one row per maximal duplicated span
+    (doc_id, span_start, span_end, n_grams) in token coordinates —
+    the spans a pipeline cuts out of the training text.
+
+    Shape at scale: the window table is one in-row transform + explode
+    (n_tokens rows per doc, the same economics as the winnowing
+    postings); "duplicated" is a distinct + map-side-combined count
+    aggregate per gram (an AGGREGATE, so a boilerplate gram in a
+    million docs is one group, never a join blowup); marking is a
+    left-semi equi-join on the gram text (exact — no hash collisions
+    to audit); the merge is a per-doc window bounded by doc length.
+    No all-pairs anything.
+
+    Determinism: positions and counts are exact integers; the islands
+    flag uses lag() with a NULL-start (both engines send the first
+    position to a new island)."""
+    from gliner_spark.cache import forward_caches
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("_t"))
+    n = F.size("_t")
+    pg = (
+        toks.filter(n >= gram_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - gram_len),
+                    lambda p: F.struct(
+                        p.cast("long").alias("pos"),
+                        F.array_join(
+                            F.slice("_t", p + 1, gram_len), " "
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", "pg.pos", "pg.gram")
+    )
+    dup = (
+        pg.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    marked = pg.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = marked.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= gram_len - 1, 0
+        )
+        .otherwise(1)
+        .alias("flag"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("flag")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    out = (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + gram_len - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .orderBy("doc_id", "span_start")
+    )
+    return forward_caches(out, docs)

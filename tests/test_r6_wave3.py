@@ -152,3 +152,70 @@ def test_transitive_closure_early_exit_on_converged(spark):
     t = _triples(spark, [("a", "acquired", "b")])
     got = [tuple(r) for r in transitive_closure(t, max_depth=4).collect()]
     assert got == [("a", "b", 1)]
+
+
+# ----------------------------------------------------------- substrings --
+def _substr_brute(docs, L, min_docs):
+    """Duplicated-window positions + island merge, pure python."""
+    grams = {}
+    pos_by_doc = {}
+    for did, text in docs:
+        t = text.split(" ")
+        for p in range(len(t) - L + 1):
+            g = " ".join(t[p : p + L])
+            grams.setdefault(g, set()).add(did)
+            pos_by_doc.setdefault(did, []).append((p, g))
+    dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    spans = []
+    for did in sorted(pos_by_doc):
+        hits = sorted(p for p, g in pos_by_doc[did] if g in dup)
+        i = 0
+        while i < len(hits):
+            j = i
+            while j + 1 < len(hits) and hits[j + 1] - hits[j] <= L - 1:
+                j += 1
+            spans.append((did, hits[i], hits[j] + L - 1, j - i + 1))
+            i = j + 1
+    return spans
+
+
+def test_duplicated_substring_spans_brute(spark):
+    from gliner_spark.operators.dedup import duplicated_substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        ("d0", f"alpha beta {shared} gamma delta epsilon zeta eta theta"),
+        ("d1", f"one two three {shared} four five six seven eight nine"),
+        # d2 repeats the shared block twice -> two islands or one merged
+        ("d2", f"{shared} filler filler2 filler3 {shared}"),
+        # d3 shares nothing long enough
+        ("d3", "completely different words without any common window here"),
+        # d4 too short for a window
+        ("d4", "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_substring_spans(df, gram_len=6).collect()
+    ]
+    want = _substr_brute(docs, 6, 2)
+    assert got == want
+    assert any(r[0] == "d2" for r in got)
+    assert not any(r[0] in ("d3", "d4") for r in got)
+
+
+def test_duplicated_substring_spans_merges_overlaps(spark):
+    from gliner_spark.operators.dedup import duplicated_substring_spans
+
+    # d0/d1 share two overlapping 4-windows "a b c d" and "b c d e"
+    # (positions 0 and 1 in d0) -> ONE maximal span 0..4 with 2 grams
+    docs = [
+        ("d0", "a b c d e x y z"),
+        ("d1", "q a b c d e r s"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_substring_spans(df, gram_len=4).collect()
+    }
+    assert got == {"d0": (0, 4, 2), "d1": (1, 5, 2)}
