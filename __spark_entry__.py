@@ -616,6 +616,30 @@ def q_dd_substrings(spark, sf_dir):
     return duplicated_substring_spans(_t(spark, sf_dir, "documents"))
 
 
+def q_dd_blocking(spark, sf_dir):
+    """Blocking-quality metrics for the MinHash-LSH candidate
+    generator (r6 wave 3, Christen 2012): reduction ratio + pairs
+    completeness vs the exact Jaccard true-pair set on a bounded
+    sorted sample — the certification run before trusting a blocking
+    config at scale (operators/dedup.blocking_quality)."""
+    from gliner_spark.operators.dedup import blocking_quality
+
+    return blocking_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_dd_blocking_shingled(spark, sf_dir):
+    """The same blocking certification in the k-token-SHINGLE item
+    space (r6 wave 3, the Broder / Lee-et-al production config): the
+    remedy the unigram baseline's inverted s-curve points to, measured
+    by the identical harness
+    (operators/dedup.blocking_quality(item_space='shingle'))."""
+    from gliner_spark.operators.dedup import blocking_quality
+
+    return blocking_quality(
+        _t(spark, sf_dir, "documents"), item_space="shingle"
+    )
+
+
 def q_dd_containment(spark, sf_dir):
     """Asymmetric containment / near-superset pairs (r6): winnowing
     candidates + exact distinct-k-gram verification both ways (Broder
@@ -1738,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conjunctive": q_kg_conjunctive,
         "kg_closure": q_kg_closure,
         "dd_substrings": q_dd_substrings,
+        "dd_blocking": q_dd_blocking,
+        "dd_blocking_shingled": q_dd_blocking_shingled,
         "kg_rules": q_kg_rules,
         "kg_inference": q_kg_inference,
         "kg_hits": q_kg_hits,
@@ -5007,6 +5033,95 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _dd_blocking_oracle(item_space: str = "token") -> str:
+    """blocking_quality replay: the sampled corpus feeds the SAME
+    signature/band CTEs as dd_minhash (string-substituted source; item
+    rows are unigram token ids or k-shingle rolling hashes), exact
+    Jaccard flags per intersecting pair, one row per threshold with
+    scalar-subquery global counts."""
+    from gliner_spark.operators.dedup import (
+        BLOCK_SAMPLE_N,
+        BLOCK_THRESHOLDS,
+    )
+    from gliner_spark.operators.text_analysis import WINNOW_K
+
+    if item_space == "token":
+        toks_s = _TOKS.replace("FROM documents", "FROM bdocs_s")
+        src = "ids"
+    else:
+        k = WINNOW_K
+        toks_s = f"""bsarr AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), tok ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(length(tok)),
+          i -> CAST(ascii(substring(tok, CAST(i+1 AS INT), 1)) AS BIGINT))),
+        (acc, cp) -> (acc*1000003 + cp) % 2147483647)) AS ids
+  FROM bdocs_s
+),
+bsgrams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(greatest(len(ids) - {k} + 1, 0)), i ->
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     ids[CAST(i+1 AS INT):CAST(i+{k} AS INT)]),
+        (acc, x) -> (acc*131 + x) % 2147483647))) AS token_id
+  FROM bsarr
+)"""
+        src = "bsgrams"
+    sigs = _MINHASH_SIGS.format(
+        mh_cols=_mh_sql_cols(), bands_union=_bands_sql(), dtok_src=src
+    )
+    ths = ", ".join(str(t) for t in BLOCK_THRESHOLDS)
+    return f"""
+WITH bdocs_s AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {BLOCK_SAMPLE_N}
+),
+{toks_s},
+{sigs},
+bcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dtok GROUP BY doc_id),
+binter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM dtok a JOIN dtok b
+    ON b.token_id = a.token_id AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+bflag AS (
+  SELECT i.doc_a, i.doc_b,
+    CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) AS j,
+    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM binter i JOIN bcnt ca ON ca.doc_id = i.doc_a
+                JOIN bcnt cb ON cb.doc_id = i.doc_b
+  LEFT JOIN pairs p ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+),
+bth AS (SELECT unnest([{ths}]) AS threshold_permille),
+bper AS (
+  SELECT t.threshold_permille,
+    CAST(count(*) AS BIGINT) AS n_true,
+    CAST(sum(f.is_cand) AS BIGINT) AS n_hit
+  FROM bflag f CROSS JOIN bth t
+  WHERE f.j >= t.threshold_permille / 1000.0
+  GROUP BY t.threshold_permille
+),
+bagg AS (
+  SELECT (SELECT count(*) FROM bdocs_s) AS n_docs,
+         (SELECT count(*) FROM pairs) AS n_cand
+)
+SELECT CAST(p.threshold_permille AS BIGINT) AS threshold_permille,
+  CAST(g.n_docs AS BIGINT) AS n_docs,
+  CAST(g.n_docs * (g.n_docs - 1) // 2 AS BIGINT) AS n_pairs_total,
+  CAST(g.n_cand AS BIGINT) AS n_cand,
+  CAST(1000 - 1000 * g.n_cand // (g.n_docs * (g.n_docs - 1) // 2) AS BIGINT)
+    AS reduction_ratio_permille,
+  p.n_true, p.n_hit,
+  CAST(CASE WHEN p.n_true > 0 THEN 1000 * p.n_hit // p.n_true ELSE 1000 END
+    AS BIGINT) AS pairs_completeness_permille
+FROM bper p CROSS JOIN bagg g
+ORDER BY threshold_permille
+"""
+
+
 def _dd_substrings_oracle() -> str:
     """duplicated_substring_spans replay: zipped (pos, gram) windows,
     the distinct-doc gram count, the semi-join mark, and the same
@@ -6059,6 +6174,8 @@ def _kg_oracles() -> dict[str, str]:
         "kg_conjunctive": _kg_conjunctive_oracle(),
         "kg_closure": _kg_closure_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
+        "dd_blocking": _dd_blocking_oracle(),
+        "dd_blocking_shingled": _dd_blocking_oracle("shingle"),
         "kg_rules": _kg_rules_oracle(),
         "kg_inference": _kg_inference_oracle(),
         "kg_hits": _kg_hits_oracle(),

@@ -583,14 +583,13 @@ WINNOW_W = 4   # k-gram hashes per winnowing window
 WINNOW_POS_BITS = 20  # position packing for the rightmost-tie min key
 
 
-def gram_postings(docs: DataFrame, k: int = WINNOW_K) -> DataFrame:
-    """(doc_id, pos, gh) k-token-gram rolling-hash postings — the shared
-    in-row (zero-shuffle) gram stage behind winnow_fingerprints and the
-    containment verifier (dedup.containment_pairs). gh = left fold
-    (acc*131 + token_id) % P31 over each k-token window."""
-    ids = F.col("_ids")
+def gram_hash_array(ids, k: int = WINNOW_K):
+    """In-row array of k-token-gram rolling hashes over a token-id
+    array column: gh = left fold (acc*131 + token_id) % P31 per window.
+    Shared by gram_postings and the shingle-space LSH staging
+    (dedup.staged_shingle_ids)."""
     n = F.size(ids)
-    grams = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
@@ -601,6 +600,13 @@ def gram_postings(docs: DataFrame, k: int = WINNOW_K) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def gram_postings(docs: DataFrame, k: int = WINNOW_K) -> DataFrame:
+    """(doc_id, pos, gh) k-token-gram rolling-hash postings — the shared
+    in-row (zero-shuffle) gram stage behind winnow_fingerprints and the
+    containment verifier (dedup.containment_pairs)."""
+    grams = gram_hash_array(F.col("_ids"), k)
     return docs.select(
         "doc_id", token_id_array("text").alias("_ids")
     ).select("doc_id", F.posexplode(grams).alias("pos", "gh"))

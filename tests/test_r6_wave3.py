@@ -219,3 +219,50 @@ def test_duplicated_substring_spans_merges_overlaps(spark):
         for r in duplicated_substring_spans(df, gram_len=4).collect()
     }
     assert got == {"d0": (0, 4, 2), "d1": (1, 5, 2)}
+
+
+# ------------------------------------------------------------- blocking --
+def test_blocking_quality_planted_duplicate(spark):
+    """A planted duplicate pair among vocab-disjoint docs must be the
+    only true pair and a found candidate: completeness 1000 permille
+    at every threshold, in both item spaces."""
+    from gliner_spark.operators.dedup import blocking_quality
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [("d0", dup), ("d1", dup)] + [
+        (f"x{i}", " ".join(f"w{i}_{j}" for j in range(10))) for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for space in ("token", "shingle"):
+        rows = blocking_quality(df, item_space=space).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert r.n_docs == 8 and r.n_pairs_total == 28
+            assert r.n_true == 1 and r.n_hit == 1
+            assert r.pairs_completeness_permille == 1000
+            assert r.reduction_ratio_permille >= 900
+
+
+def test_staged_shingle_ids_match_gram_postings(spark):
+    from gliner_spark.operators.dedup import staged_shingle_ids
+    from gliner_spark.operators.text_analysis import gram_postings
+
+    df = spark.createDataFrame(
+        [("d0", "a b c d e"), ("d1", "x y")], "doc_id string, text string"
+    )
+    staged = {
+        r.doc_id: list(r._ids) for r in staged_shingle_ids(df).collect()
+    }
+    posted = {}
+    for r in gram_postings(df).collect():
+        posted.setdefault(r.doc_id, []).append((r.pos, r.gh))
+    assert staged["d0"] == [g for _, g in sorted(posted["d0"])]
+    assert staged["d1"] == [] and "d1" not in posted
+
+
+def test_blocking_quality_rejects_unknown_space(spark):
+    from gliner_spark.operators.dedup import blocking_quality
+
+    df = spark.createDataFrame([("d0", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="item_space"):
+        blocking_quality(df, item_space="chars")
