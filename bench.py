@@ -122,6 +122,12 @@ EXTRA_QUERIES = [
     "kg_wl",
     "kg_degree_hist",
     "kg_harmonic",
+    # round 6, wave 2/3 document-table ops (graph/kg wave-2+3 ops are
+    # benched against the materialized triples table below instead)
+    "dd_containment",
+    "dd_substrings",
+    "dd_blocking",
+    "dd_blocking_shingled",
 ]
 
 
@@ -223,7 +229,9 @@ def main():
             reciprocity,
             square_counts,
             stress_centrality,
+            transitive_closure,
         )
+        from gliner_spark.operators.kg_query import conjunctive_match
         from gliner_spark.operators.kg_completion import (
             apply_rules,
             cooc_candidates,
@@ -290,6 +298,18 @@ def main():
             "pred_assoc": pred_association,
             "triads": triad_census,
             "pagerank_weighted": pagerank_weighted,
+            "rotate_eval": lambda t: transe_margin_eval(
+                t, scorer="rotate"
+            ),
+            "closure": transitive_closure,
+            "conjunctive": lambda t: conjunctive_match(
+                t,
+                [
+                    ("?p", "works_at", "?o"),
+                    ("?o", "based_in", "?l"),
+                    ("?p", "visited", "?l"),
+                ],
+            ),
         }
         for name, fn in graph_op_fns.items():
             reps = []
