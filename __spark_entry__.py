@@ -393,6 +393,34 @@ def q_kg_closure(spark, sf_dir):
     return transitive_closure(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_diff(spark, sf_dir):
+    """Snapshot-to-snapshot KG delta (r6 wave 4): rolling-crawl
+    windows over the same canonical id space (old = first 60% of docs,
+    new = last 60%) diffed at the fact grain — added / removed / kept
+    with distinct-doc support both sides
+    (operators/kg_maintenance.snapshot_diff). One chain run feeds both
+    windows via doc-index filters."""
+    from gliner_spark.operators.kg_maintenance import snapshot_diff
+
+    trip = q_kg_triples(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count() * 10
+    dn = F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+    return snapshot_diff(
+        trip.filter(dn < int(n * 0.6)), trip.filter(dn >= int(n * 0.4))
+    )
+
+
+def q_kg_timeline(spark, sf_dir):
+    """Temporal fact versioning (r6 wave 4): per-fact observation
+    window over the monotone document index plus the per-(subj, pred)
+    current-object flag by recency — the temporal counterpart to the
+    kg_fusion support vote
+    (operators/kg_maintenance.fact_timeline)."""
+    from gliner_spark.operators.kg_maintenance import fact_timeline
+
+    return fact_timeline(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_rules(spark, sf_dir):
     """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
     body => head rules over the constructed KG with exact support /
@@ -1761,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rotate": q_ev_rotate,
         "kg_conjunctive": q_kg_conjunctive,
         "kg_closure": q_kg_closure,
+        "kg_diff": q_kg_diff,
+        "kg_timeline": q_kg_timeline,
         "dd_substrings": q_dd_substrings,
         "dd_blocking": q_dd_blocking,
         "dd_blocking_shingled": q_dd_blocking_shingled,
@@ -3851,6 +3881,69 @@ cpaths AS (
 SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth
 FROM cpaths WHERE src != dst
 GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+def _kg_diff_oracle() -> str:
+    """snapshot_diff replay: the one canonical-triples CTE filtered to
+    the two rolling doc-index windows, per-window distinct-doc fact
+    supports, one full-outer join with the status CASE."""
+    snap = _kg_snapshot()
+    hi = int(_ORACLE_N_DOCS * 0.6)
+    lo = int(_ORACLE_N_DOCS * 0.4)
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+kdo AS (
+  SELECT subj, pred, obj,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_old
+  FROM ktriples WHERE CAST(substring(doc_id, 5) AS BIGINT) < {hi}
+  GROUP BY 1, 2, 3
+),
+kdn AS (
+  SELECT subj, pred, obj,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_new
+  FROM ktriples WHERE CAST(substring(doc_id, 5) AS BIGINT) >= {lo}
+  GROUP BY 1, 2, 3
+)
+SELECT coalesce(o.subj, n.subj) AS subj,
+  coalesce(o.pred, n.pred) AS pred,
+  coalesce(o.obj, n.obj) AS obj,
+  CASE WHEN o.subj IS NULL THEN 'added'
+       WHEN n.subj IS NULL THEN 'removed'
+       ELSE 'kept' END AS status,
+  coalesce(o.n_docs_old, 0) AS n_docs_old,
+  coalesce(n.n_docs_new, 0) AS n_docs_new,
+  coalesce(n.n_docs_new, 0) - coalesce(o.n_docs_old, 0) AS support_delta
+FROM kdo o FULL OUTER JOIN kdn n
+  ON n.subj = o.subj AND n.pred = o.pred AND n.obj = o.obj
+ORDER BY subj, pred, obj
+"""
+
+
+def _kg_timeline_oracle() -> str:
+    """fact_timeline replay: distinct fact observations over the doc
+    index, the grouped window aggregate, and the recency row_number
+    with the object-string tie-break."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+kft AS (
+  SELECT DISTINCT subj, pred, obj,
+         CAST(substring(doc_id, 5) AS BIGINT) AS t
+  FROM ktriples
+),
+kfa AS (
+  SELECT subj, pred, obj,
+    CAST(min(t) AS BIGINT) AS first_seen,
+    CAST(max(t) AS BIGINT) AS last_seen,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM kft GROUP BY 1, 2, 3
+)
+SELECT subj, pred, obj, first_seen, last_seen, n_docs,
+  CAST(CASE WHEN row_number() OVER (
+      PARTITION BY subj, pred ORDER BY last_seen DESC, obj DESC) = 1
+    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM kfa ORDER BY subj, pred, obj
 """
 
 
@@ -6173,6 +6266,8 @@ def _kg_oracles() -> dict[str, str]:
         "ev_rotate": _ev_rotate_oracle(),
         "kg_conjunctive": _kg_conjunctive_oracle(),
         "kg_closure": _kg_closure_oracle(),
+        "kg_diff": _kg_diff_oracle(),
+        "kg_timeline": _kg_timeline_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
         "dd_blocking": _dd_blocking_oracle(),
         "dd_blocking_shingled": _dd_blocking_oracle("shingle"),

@@ -231,7 +231,13 @@ def main():
             stress_centrality,
             transitive_closure,
         )
+        from pyspark.sql import functions as F
+
         from gliner_spark.operators.kg_query import conjunctive_match
+        from gliner_spark.operators.kg_maintenance import (
+            fact_timeline,
+            snapshot_diff,
+        )
         from gliner_spark.operators.kg_completion import (
             apply_rules,
             cooc_candidates,
@@ -302,6 +308,20 @@ def main():
                 t, scorer="rotate"
             ),
             "closure": transitive_closure,
+            # rolling windows sized for the default sf0.1 bench corpus
+            # (50k docs -> 60%/40% boundaries); at other SF dirs the
+            # wall still measures the same two-aggregate + outer-join plan
+            "diff": lambda t: snapshot_diff(
+                t.filter(
+                    F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+                    < 30000
+                ),
+                t.filter(
+                    F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+                    >= 20000
+                ),
+            ),
+            "timeline": fact_timeline,
             "conjunctive": lambda t: conjunctive_match(
                 t,
                 [

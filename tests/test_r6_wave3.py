@@ -266,3 +266,55 @@ def test_blocking_quality_rejects_unknown_space(spark):
     df = spark.createDataFrame([("d0", "a b")], "doc_id string, text string")
     with pytest.raises(ValueError, match="item_space"):
         blocking_quality(df, item_space="chars")
+
+
+# ------------------------------------------------------------ maintenance --
+def _mt(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+
+def test_snapshot_diff_statuses_and_support(spark):
+    from gliner_spark.operators.kg_maintenance import snapshot_diff
+
+    old = _mt(spark, [
+        ("doc-0000000001", "a", "p", "x", "t", "t", 1.0),
+        ("doc-0000000002", "a", "p", "x", "t", "t", 1.0),   # support 2
+        ("doc-0000000001", "b", "p", "y", "t", "t", 1.0),   # removed
+        ("doc-0000000001", "b", "p", "y", "t", "t", 0.9),   # same doc dup
+    ])
+    new = _mt(spark, [
+        ("doc-0000000003", "a", "p", "x", "t", "t", 1.0),   # kept, support 1
+        ("doc-0000000003", "c", "p", "z", "t", "t", 1.0),   # added
+    ])
+    got = {(r.subj, r.pred, r.obj): r for r in snapshot_diff(old, new).collect()}
+    assert got[("a", "p", "x")].status == "kept"
+    assert (got[("a", "p", "x")].n_docs_old,
+            got[("a", "p", "x")].n_docs_new,
+            got[("a", "p", "x")].support_delta) == (2, 1, -1)
+    assert got[("b", "p", "y")].status == "removed"
+    assert got[("b", "p", "y")].n_docs_old == 1  # same-doc dup counted once
+    assert got[("c", "p", "z")].status == "added"
+    assert got[("c", "p", "z")].support_delta == 1
+
+
+def test_fact_timeline_recency_and_tiebreak(spark):
+    from gliner_spark.operators.kg_maintenance import fact_timeline
+
+    t = _mt(spark, [
+        ("doc-0000000001", "a", "p", "x", "t", "t", 1.0),
+        ("doc-0000000005", "a", "p", "x", "t", "t", 1.0),
+        ("doc-0000000003", "a", "p", "y", "t", "t", 1.0),
+        # tie on last_seen between y2/y1 at doc 7 -> larger obj wins
+        ("doc-0000000007", "b", "q", "y1", "t", "t", 1.0),
+        ("doc-0000000007", "b", "q", "y2", "t", "t", 1.0),
+    ])
+    got = {(r.subj, r.pred, r.obj): r for r in fact_timeline(t).collect()}
+    ax = got[("a", "p", "x")]
+    assert (ax.first_seen, ax.last_seen, ax.n_docs, ax.is_current) == (1, 5, 2, 1)
+    assert got[("a", "p", "y")].is_current == 0
+    assert got[("b", "q", "y2")].is_current == 1
+    assert got[("b", "q", "y1")].is_current == 0
