@@ -421,6 +421,16 @@ def q_kg_timeline(spark, sf_dir):
     return fact_timeline(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_egonet(spark, sf_dir):
+    """K-hop ego-network export (r6 wave 4): the induced subgraph on
+    the 2-hop directed neighborhood of person seeds — distinct facts
+    with both endpoints distanced, the entity-card subgraph query
+    (operators/graph_analytics.egonet)."""
+    from gliner_spark.operators.graph_analytics import egonet
+
+    return egonet(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_rules(spark, sf_dir):
     """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
     body => head rules over the constructed KG with exact support /
@@ -1791,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closure": q_kg_closure,
         "kg_diff": q_kg_diff,
         "kg_timeline": q_kg_timeline,
+        "kg_egonet": q_kg_egonet,
         "dd_substrings": q_dd_substrings,
         "dd_blocking": q_dd_blocking,
         "dd_blocking_shingled": q_dd_blocking_shingled,
@@ -3881,6 +3892,49 @@ cpaths AS (
 SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth
 FROM cpaths WHERE src != dst
 GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+def _kg_egonet_oracle() -> str:
+    """egonet replay: EGONET_DEPTH unrolled BFS levels (same
+    level-synchronous semantics as the kg_bfs oracle), then the
+    distinct fact set inner-joined to the distanced node set on both
+    endpoints."""
+    from gliner_spark.operators.graph_analytics import EGONET_DEPTH
+
+    snap = _kg_snapshot()
+    levels = []
+    for d in range(1, EGONET_DEPTH + 1):
+        levels.append(f"""
+egf{d} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node FROM egb{d - 1} b
+  JOIN kedges e ON e.src = b.node
+  WHERE b.dist = {d - 1}
+    AND e.dst NOT IN (SELECT node FROM egb{d - 1})
+),
+egb{d} AS MATERIALIZED (
+  SELECT node, dist FROM egb{d - 1}
+  UNION ALL SELECT node, {d} AS dist FROM egf{d}
+)""")
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+egnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM kedges UNION ALL SELECT dst FROM kedges
+  )
+),
+egb0 AS MATERIALIZED (
+  SELECT node, 0 AS dist FROM egnodes WHERE node LIKE 'person:%'
+),
+{",".join(levels)}
+SELECT t.subj, t.pred, t.obj,
+  CAST(ds.dist AS BIGINT) AS dist_subj,
+  CAST(dd.dist AS BIGINT) AS dist_obj
+FROM (SELECT DISTINCT subj, pred, obj FROM ktriples) t
+JOIN egb{EGONET_DEPTH} ds ON ds.node = t.subj
+JOIN egb{EGONET_DEPTH} dd ON dd.node = t.obj
+ORDER BY subj, pred, obj
 """
 
 
@@ -6268,6 +6322,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_closure": _kg_closure_oracle(),
         "kg_diff": _kg_diff_oracle(),
         "kg_timeline": _kg_timeline_oracle(),
+        "kg_egonet": _kg_egonet_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
         "dd_blocking": _dd_blocking_oracle(),
         "dd_blocking_shingled": _dd_blocking_oracle("shingle"),

@@ -230,6 +230,7 @@ def main():
             square_counts,
             stress_centrality,
             transitive_closure,
+            egonet,
         )
         from pyspark.sql import functions as F
 
@@ -322,6 +323,7 @@ def main():
                 ),
             ),
             "timeline": fact_timeline,
+            "egonet": egonet,
             "conjunctive": lambda t: conjunctive_match(
                 t,
                 [

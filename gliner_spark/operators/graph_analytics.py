@@ -2296,3 +2296,49 @@ def transitive_closure(
         "src", "dst"
     )
     return forward_caches(out, triples)
+
+
+EGONET_DEPTH = 2
+
+
+def egonet(
+    triples: DataFrame,
+    seed_prefix: str = "person:",
+    depth: int = EGONET_DEPTH,
+) -> DataFrame:
+    """K-hop ego-network export: the INDUCED subgraph on all entities
+    within `depth` directed hops of any seed (bfs_distances node set) —
+    one row per distinct (subj, pred, obj) whose BOTH endpoints are in
+    the neighborhood, annotated with each endpoint's hop distance.
+    This is the entity-card / provenance-expansion subgraph a KG
+    consumer materializes around an entity of interest ("everything
+    about persons and what their 2-hop neighborhood connects to").
+
+    Shape at scale: the BFS loop's economics (fixed depth, frontier
+    equi-joins), then two semi-style inner equi-joins of the distinct
+    fact set against the distanced node set — the node set is the
+    small side (neighborhood-sized) and broadcasts under AQE; no
+    windows, no fan-out beyond the facts already in the neighborhood."""
+    from gliner_spark.cache import forward_caches
+
+    dist = bfs_distances(triples, seed_prefix, depth)
+    t = triples.select("subj", "pred", "obj").distinct()
+    out = (
+        t.join(
+            dist.select(
+                F.col("node").alias("subj"),
+                F.col("dist").alias("dist_subj"),
+            ),
+            "subj",
+        )
+        .join(
+            dist.select(
+                F.col("node").alias("obj"),
+                F.col("dist").alias("dist_obj"),
+            ),
+            "obj",
+        )
+        .select("subj", "pred", "obj", "dist_subj", "dist_obj")
+        .orderBy("subj", "pred", "obj")
+    )
+    return forward_caches(out, triples)

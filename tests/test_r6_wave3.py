@@ -318,3 +318,27 @@ def test_fact_timeline_recency_and_tiebreak(spark):
     assert got[("a", "p", "y")].is_current == 0
     assert got[("b", "q", "y2")].is_current == 1
     assert got[("b", "q", "y1")].is_current == 0
+
+
+# --------------------------------------------------------------- egonet --
+def test_egonet_induced_subgraph(spark):
+    """Directed 2-hop ego of 'person:' seeds: facts with both endpoints
+    distanced; facts touching out-of-neighborhood nodes are excluded."""
+    from gliner_spark.operators.graph_analytics import egonet
+
+    t = _triples(spark, [
+        ("person:a", "works_at", "org:x"),      # 0 -> 1
+        ("org:x", "based_in", "loc:p"),         # 1 -> 2
+        ("loc:p", "near", "loc:q"),             # 2 -> 3: q outside depth 2
+        ("org:far", "based_in", "loc:r"),       # disconnected from seeds
+        ("org:x", "acquired", "org:x2"),        # 1 -> 2
+    ])
+    got = {
+        (r.subj, r.pred, r.obj): (r.dist_subj, r.dist_obj)
+        for r in egonet(t).collect()
+    }
+    assert got == {
+        ("person:a", "works_at", "org:x"): (0, 1),
+        ("org:x", "based_in", "loc:p"): (1, 2),
+        ("org:x", "acquired", "org:x2"): (1, 2),
+    }
