@@ -429,3 +429,34 @@ def test_conjunctive_match_plan_all_equi_joins(spark):
     p = _plan(df)
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_duplicated_substring_spans_plan(spark):
+    """r6 wave 3: window table is one in-row transform + explode; the
+    dup mark is aggregate + semi-join — no cartesian, no nested loop."""
+    from gliner_spark.operators.dedup import duplicated_substring_spans
+
+    docs = spark.createDataFrame(
+        [("d0", "a b c d e f g h i"), ("d1", "a b c d e f g h j")],
+        "doc_id string, text string",
+    )
+    p = _plan(duplicated_substring_spans(docs))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_snapshot_diff_single_outer_join(spark):
+    """r6 wave 4: two map-side-combined aggregates + ONE full-outer
+    equi-join on the fact key — no cartesian, no window."""
+    from gliner_spark.operators.kg_maintenance import snapshot_diff
+
+    t = spark.createDataFrame(
+        [("doc-0000000001", "a", "p", "x", "t", "t", 1.0)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    p = _plan(snapshot_diff(t, t))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "FullOuter" in p, p[:2000]
+    assert "Window" not in p, p[:2000]
