@@ -363,6 +363,18 @@ def q_ev_rotate(spark, sf_dir):
     return transe_margin_eval(q_kg_triples(spark, sf_dir), scorer="rotate")
 
 
+def q_ev_ranking(spark, sf_dir):
+    """Filtered link-prediction RANKING eval (r6 wave 4, the standard
+    KGE leaderboard protocol): per predicate, MRR in micro-units and
+    Hits@1/3/10 permilles from ranking each true tail among the
+    type-consistent sampled candidate pool under the TransE energy,
+    filtered against true triples
+    (operators/kg_completion.ranking_metrics)."""
+    from gliner_spark.operators.kg_completion import ranking_metrics
+
+    return ranking_metrics(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_conjunctive(spark, sf_dir):
     """SPARQL-style conjunctive (basic graph pattern) query (r6 wave 3):
     the cyclic 3-atom pattern `?p works_at ?o . ?o based_in ?l .
@@ -1797,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic": q_kg_harmonic,
         "ev_complex": q_ev_complex,
         "ev_rotate": q_ev_rotate,
+        "ev_ranking": q_ev_ranking,
         "kg_conjunctive": q_kg_conjunctive,
         "kg_closure": q_kg_closure,
         "kg_diff": q_kg_diff,
@@ -3892,6 +3905,94 @@ cpaths AS (
 SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth
 FROM cpaths WHERE src != dst
 GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+def _ev_ranking_oracle() -> str:
+    """ranking_metrics replay: hash-ranked bounded pool per type, the
+    filtered candidate join, dyadic L1 energies as ordered folds,
+    strict-better counts -> ranks -> integer MRR/Hits aggregates."""
+    from gliner_spark.operators.kg_completion import (
+        RANK_POOL_CAP,
+        TRANSE_DIM,
+    )
+
+    snap = _kg_snapshot()
+    D = TRANSE_DIM
+    fold_ent = _sql_fold("entity")
+
+    def l1(h, r, t):
+        return _sql_fold_sum(
+            f"list_transform(range(1, {D + 1}),"
+            f" i -> abs({h}[i] + {r}[i] - {t}[i]))"
+        )
+
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+rkpos AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj, obj_type FROM ktriples
+),
+rktrue AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM ktriples),
+rkents AS (SELECT DISTINCT obj_type AS etype, obj AS entity FROM rkpos),
+rkrank AS (
+  SELECT etype, entity,
+    row_number() OVER (PARTITION BY etype ORDER BY {fold_ent}, entity) AS rn
+  FROM rkents
+),
+rkpool AS MATERIALIZED (
+  SELECT etype, entity FROM rkrank WHERE rn <= {RANK_POOL_CAP}
+),
+rkcand AS (
+  SELECT p.subj, p.pred, p.obj, pl.entity AS cand
+  FROM rkpos p JOIN rkpool pl ON pl.etype = p.obj_type
+  WHERE pl.entity != p.obj
+    AND NOT EXISTS (SELECT 1 FROM rktrue t
+                    WHERE t.subj = p.subj AND t.pred = p.pred
+                      AND t.obj = pl.entity)
+),
+rkpe AS MATERIALIZED (
+  SELECT subj, pred, obj, {l1("h", "r", "t")} AS e_pos
+  FROM (
+    SELECT subj, pred, obj,
+      {_sql_hash_emb(_sql_fold("subj"), D)} AS h,
+      {_sql_hash_emb(_sql_fold("pred"), D)} AS r,
+      {_sql_hash_emb(_sql_fold("obj"), D)} AS t
+    FROM rkpos
+  )
+),
+rkce AS (
+  SELECT subj, pred, obj, {l1("h", "r", "t")} AS e_cand
+  FROM (
+    SELECT subj, pred, obj,
+      {_sql_hash_emb(_sql_fold("subj"), D)} AS h,
+      {_sql_hash_emb(_sql_fold("pred"), D)} AS r,
+      {_sql_hash_emb(_sql_fold("cand"), D)} AS t
+    FROM rkcand
+  )
+),
+rkbetter AS (
+  SELECT c.subj, c.pred, c.obj,
+    sum(CASE WHEN c.e_cand < p.e_pos THEN 1 ELSE 0 END) AS n_better
+  FROM rkce c JOIN rkpe p
+    ON p.subj = c.subj AND p.pred = c.pred AND p.obj = c.obj
+  GROUP BY 1, 2, 3
+),
+rkranks AS (
+  SELECT p.pred,
+    CAST(1 + coalesce(b.n_better, 0) AS BIGINT) AS rank
+  FROM rkpos p LEFT JOIN rkbetter b
+    ON b.subj = p.subj AND b.pred = p.pred AND b.obj = p.obj
+)
+SELECT pred,
+  CAST(count(*) AS BIGINT) AS n_facts,
+  CAST(sum(1000000 // rank) // count(*) AS BIGINT) AS mrr_micro,
+  CAST(1000 * sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) // count(*)
+    AS BIGINT) AS hits1_permille,
+  CAST(1000 * sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) // count(*)
+    AS BIGINT) AS hits3_permille,
+  CAST(1000 * sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) // count(*)
+    AS BIGINT) AS hits10_permille
+FROM rkranks GROUP BY pred ORDER BY pred
 """
 
 
@@ -6318,6 +6419,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_harmonic": _kg_harmonic_oracle(),
         "ev_complex": _ev_complex_oracle(),
         "ev_rotate": _ev_rotate_oracle(),
+        "ev_ranking": _ev_ranking_oracle(),
         "kg_conjunctive": _kg_conjunctive_oracle(),
         "kg_closure": _kg_closure_oracle(),
         "kg_diff": _kg_diff_oracle(),

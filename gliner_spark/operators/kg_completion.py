@@ -613,3 +613,114 @@ def transe_margin_eval(
         .orderBy("pred")
     )
     return forward_caches(out, triples)
+
+
+RANK_POOL_CAP = 64  # sampled-ranking candidate pool per object type
+
+
+def ranking_metrics(
+    triples: DataFrame,
+    dim: int = TRANSE_DIM,
+    pool_cap: int = RANK_POOL_CAP,
+) -> DataFrame:
+    """Filtered link-prediction RANKING evaluation — the standard KGE
+    protocol (Bordes et al. 2013; "filtered" setting of Wang et al.
+    2014; sampled-pool variant standard for large KGs): for each
+    distinct positive (s, p, o), rank the true tail among the
+    type-consistent hash-ranked candidate pool (<= pool_cap entities)
+    under the TransE L1 energy, EXCLUDING candidates that are true
+    triples elsewhere. Per predicate: MRR in integer micro-units and
+    Hits@1/3/10 permilles. rank = 1 + #candidates with STRICTLY lower
+    energy (ties rank optimistically — deterministic, since dyadic
+    energies compare exactly). The pairwise transe_margin_eval answers
+    "does the true tail beat ONE corruption"; this answers the
+    rank-position question leaderboards actually report.
+
+    Shape at scale: the distinct positives are persisted once (the only
+    pass over the extraction chain — released by the caller via the
+    cache handle); the pool is <= pool_cap rows per type (broadcast);
+    h/r embeddings and e_pos are materialized as COLUMNS on the
+    positives and carried THROUGH the candidate join, so the candidate
+    side is |positives| x pool_cap rows with one in-row 8-term fold
+    each and there is no join-back — bounded, whole-stage-codegen, no
+    all-pairs anything; the rank is one grouped count + a left join."""
+    from gliner_spark.cache import attach_caches
+    from gliner_spark.operators.kg_scoring import hash_embedding
+
+    idx = F.sequence(F.lit(1), F.lit(dim))
+
+    def l1(h, r, t):
+        return F.aggregate(
+            F.transform(
+                idx,
+                lambda i: F.abs(
+                    F.element_at(h, i)
+                    + F.element_at(r, i)
+                    - F.element_at(t, i)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    pos = triples.select("subj", "pred", "obj", "obj_type").distinct().persist()
+    # projection of the distinct 4-tuples covers exactly the true (s,p,o)
+    # set; dupes (same fact under two obj_types) are harmless to an anti
+    trues = pos.select("subj", "pred", F.col("obj").alias("cand"))
+    ents = pos.select(
+        F.col("obj_type").alias("etype"), F.col("obj").alias("entity")
+    ).distinct()
+    w = Window.partitionBy("etype").orderBy("hrank", "entity")
+    pool = (
+        ents.withColumn("hrank", fold_hash(F.col("entity")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool_cap)
+        .select("etype", "entity")
+    )
+    pe = pos.select(
+        "subj", "pred", "obj", "obj_type",
+        hash_embedding("subj", dim).alias("h"),
+        hash_embedding("pred", dim).alias("r"),
+        hash_embedding("obj", dim).alias("t"),
+    ).select(
+        "subj", "pred", "obj", "obj_type", "h", "r",
+        l1(F.col("h"), F.col("r"), F.col("t")).alias("e_pos"),
+    )
+    cand = (
+        pe.join(F.broadcast(pool), pe["obj_type"] == pool["etype"])
+        .filter(F.col("entity") != F.col("obj"))
+        .select("subj", "pred", "obj", "h", "r", "e_pos",
+                F.col("entity").alias("cand"))
+        .join(trues, ["subj", "pred", "cand"], "left_anti")
+    )
+    better = (
+        cand.withColumn("tc", hash_embedding("cand", dim))
+        .withColumn("e_cand", l1(F.col("h"), F.col("r"), F.col("tc")))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum(
+                F.when(F.col("e_cand") < F.col("e_pos"), 1).otherwise(0)
+            ).alias("n_better")
+        )
+    )
+    ranks = pos.join(better, ["subj", "pred", "obj"], "left").select(
+        "pred",
+        (1 + F.coalesce("n_better", F.lit(0))).cast("long").alias("rank"),
+    )
+    out = (
+        ranks.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.expr("sum(1000000 DIV rank) DIV count(1)")
+            .cast("long")
+            .alias("mrr_micro"),
+            F.expr("1000 * sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)"
+                   " DIV count(1)").cast("long").alias("hits1_permille"),
+            F.expr("1000 * sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)"
+                   " DIV count(1)").cast("long").alias("hits3_permille"),
+            F.expr("1000 * sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)"
+                   " DIV count(1)").cast("long").alias("hits10_permille"),
+        )
+        .orderBy("pred")
+    )
+    return attach_caches(forward_caches(out, triples), pos)

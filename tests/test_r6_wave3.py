@@ -342,3 +342,73 @@ def test_egonet_induced_subgraph(spark):
         ("org:x", "based_in", "loc:p"): (1, 2),
         ("org:x", "acquired", "org:x2"): (1, 2),
     }
+
+
+# -------------------------------------------------------------- ranking --
+def test_ranking_metrics_brute(spark):
+    """Filtered sampled-pool ranking: MRR/Hits from a pure-python
+    replay of pools, filtering, energies and strict-better ranks."""
+    P = 2147483647
+
+    def fold(s):
+        h = 0
+        for ch in s:
+            h = (h * 1000003 + ord(ch)) % P
+        return h
+
+    def emb(name, dim=8):
+        base = fold(name)
+        return [
+            ((((base * (j * 2 + 5) + j) % P) % 256) * 2 - 255) / 256.0
+            for j in range(dim)
+        ]
+
+    def l1(h, r, t):
+        return sum(abs(h[i] + r[i] - t[i]) for i in range(8))
+
+    from gliner_spark.operators.kg_completion import ranking_metrics
+
+    rows = [
+        ("d0", "a", "likes", "x", "person", "fruit", 1.0),
+        ("d0", "a", "likes", "y", "person", "fruit", 1.0),
+        ("d1", "b", "likes", "x", "person", "fruit", 1.0),
+        ("d1", "b", "visited", "p", "person", "place", 1.0),
+        ("d2", "c", "visited", "q", "person", "place", 1.0),
+        ("d2", "c", "visited", "x2", "person", "fruit", 1.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    pos = sorted({(s, p, o, ot) for _, s, p, o, _, ot, _ in rows})
+    trues = {(s, p, o) for _, s, p, o, _, _, _ in rows}
+    pools = {}
+    for _, _, _, o, _, ot, _ in rows:
+        pools.setdefault(ot, set()).add(o)
+    stats = {}
+    for s, p, o, ot in pos:
+        pool = sorted(pools[ot], key=lambda e: (fold(e), e))[:64]
+        e_pos = l1(emb(s), emb(p), emb(o))
+        n_better = sum(
+            1
+            for c in pool
+            if c != o
+            and (s, p, c) not in trues
+            and l1(emb(s), emb(p), emb(c)) < e_pos
+        )
+        rank = 1 + n_better
+        n, mrr, h1, h3, h10 = stats.get(p, (0, 0, 0, 0, 0))
+        stats[p] = (
+            n + 1, mrr + 1000000 // rank,
+            h1 + (rank <= 1), h3 + (rank <= 3), h10 + (rank <= 10),
+        )
+    got = {r.pred: r for r in ranking_metrics(t).collect()}
+    assert set(got) == set(stats)
+    for p, (n, mrr, h1, h3, h10) in stats.items():
+        r = got[p]
+        assert r.n_facts == n
+        assert r.mrr_micro == mrr // n
+        assert r.hits1_permille == 1000 * h1 // n
+        assert r.hits3_permille == 1000 * h3 // n
+        assert r.hits10_permille == 1000 * h10 // n

@@ -64,7 +64,7 @@ def main():
         for k in list(oracles):
             if k.startswith("kg_") or k in (
                 "ev_docred", "ev_squad", "ev_transe", "ev_distmult",
-                "ev_complex", "ev_rotate",
+                "ev_complex", "ev_rotate", "ev_ranking",
             ):
                 oracles.pop(k, None)
     failures = []
