@@ -443,6 +443,26 @@ def q_kg_egonet(spark, sf_dir):
     return egonet(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_linking_eval(spark, sf_dir):
+    """Entity-resolution quality eval (r6 wave 5): mention-weighted
+    B-cubed and pairwise P/R/F1 of the LSH+CC canonicalization clusters
+    against alias-group gold (organization stem groups), per label, in
+    integer micro-units (operators/evaluation.linking_quality) — the
+    quality gate for the linking stage itself."""
+    from gliner_spark.operators.extraction import extract_graph, mentions_table
+    from gliner_spark.operators.evaluation import linking_quality
+    from gliner_spark.operators.linking import canonicalize
+
+    from gliner_spark.cache import attach_caches
+
+    model = _model()
+    mentions = mentions_table(
+        extract_graph(_synth(spark, sf_dir), model)
+    ).persist()
+    _, surface_map = canonicalize(mentions, model.config)
+    return attach_caches(linking_quality(surface_map), mentions)
+
+
 def q_kg_rules(spark, sf_dir):
     """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
     body => head rules over the constructed KG with exact support /
@@ -1815,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": q_kg_diff,
         "kg_timeline": q_kg_timeline,
         "kg_egonet": q_kg_egonet,
+        "kg_linking_eval": q_kg_linking_eval,
         "dd_substrings": q_dd_substrings,
         "dd_blocking": q_dd_blocking,
         "dd_blocking_shingled": q_dd_blocking_shingled,
@@ -3993,6 +4014,85 @@ SELECT pred,
   CAST(1000 * sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) // count(*)
     AS BIGINT) AS hits10_permille
 FROM rkranks GROUP BY pred ORDER BY pred
+"""
+
+
+def _kg_linking_eval_oracle() -> str:
+    """linking_quality replay: surface_map cells vs the stem/surface
+    alias-group gold, integer micro-unit B-cubed + pairwise metrics with
+    the same per-cell quantize-before-sum discipline."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_mentions_sql_base(snap)},
+{_kg_canonical_sql_base(snap)},
+lq AS (
+  SELECT label, entity_id, CAST(n_mentions AS BIGINT) AS n_mentions,
+    CASE WHEN label = 'organization' THEN string_split(norm, ' ')[1]
+         ELSE norm END AS gold_id
+  FROM surface_map
+),
+lqcells AS MATERIALIZED (
+  SELECT label, entity_id, gold_id, sum(n_mentions) AS inter
+  FROM lq GROUP BY 1, 2, 3
+),
+lqc AS MATERIALIZED (
+  SELECT label, entity_id, sum(inter) AS csize FROM lqcells GROUP BY 1, 2
+),
+lqg AS MATERIALIZED (
+  SELECT label, gold_id, sum(inter) AS gsize FROM lqcells GROUP BY 1, 2
+),
+lqj AS (
+  SELECT c.label, c.inter, s.csize, g.gsize
+  FROM lqcells c
+  JOIN lqc s ON s.label = c.label AND s.entity_id = c.entity_id
+  JOIN lqg g ON g.label = c.label AND g.gold_id = c.gold_id
+),
+lqpc AS (
+  SELECT label, sum(inter) AS n_mentions,
+    sum((1000000 * inter * inter) // csize) AS b3p_num,
+    sum((1000000 * inter * inter) // gsize) AS b3r_num,
+    sum((inter * (inter - 1)) // 2) AS tp_pairs
+  FROM lqj GROUP BY 1
+),
+lqcc AS (
+  SELECT label, count(*) AS n_clusters,
+    sum((csize * (csize - 1)) // 2) AS pred_pairs
+  FROM lqc GROUP BY 1
+),
+lqgg AS (
+  SELECT label, count(*) AS n_gold,
+    sum((gsize * (gsize - 1)) // 2) AS gold_pairs
+  FROM lqg GROUP BY 1
+),
+lqm AS (
+  SELECT p.label, p.n_mentions, c.n_clusters, g.n_gold,
+    p.b3p_num // p.n_mentions AS b3_p_micro,
+    p.b3r_num // p.n_mentions AS b3_r_micro,
+    CASE WHEN c.pred_pairs > 0
+         THEN (1000000 * p.tp_pairs) // c.pred_pairs ELSE 0 END
+      AS pw_p_micro,
+    CASE WHEN g.gold_pairs > 0
+         THEN (1000000 * p.tp_pairs) // g.gold_pairs ELSE 0 END
+      AS pw_r_micro
+  FROM lqpc p
+  JOIN lqcc c ON c.label = p.label
+  JOIN lqgg g ON g.label = p.label
+)
+SELECT CAST(label AS VARCHAR) AS label,
+  CAST(n_mentions AS BIGINT) AS n_mentions,
+  CAST(n_clusters AS BIGINT) AS n_clusters,
+  CAST(n_gold AS BIGINT) AS n_gold,
+  CAST(b3_p_micro AS BIGINT) AS b3_p_micro,
+  CAST(b3_r_micro AS BIGINT) AS b3_r_micro,
+  CAST(CASE WHEN b3_p_micro + b3_r_micro > 0
+       THEN (2 * b3_p_micro * b3_r_micro) // (b3_p_micro + b3_r_micro)
+       ELSE 0 END AS BIGINT) AS b3_f1_micro,
+  CAST(pw_p_micro AS BIGINT) AS pw_p_micro,
+  CAST(pw_r_micro AS BIGINT) AS pw_r_micro,
+  CAST(CASE WHEN pw_p_micro + pw_r_micro > 0
+       THEN (2 * pw_p_micro * pw_r_micro) // (pw_p_micro + pw_r_micro)
+       ELSE 0 END AS BIGINT) AS pw_f1_micro
+FROM lqm ORDER BY label
 """
 
 
@@ -6425,6 +6525,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_diff": _kg_diff_oracle(),
         "kg_timeline": _kg_timeline_oracle(),
         "kg_egonet": _kg_egonet_oracle(),
+        "kg_linking_eval": _kg_linking_eval_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
         "dd_blocking": _dd_blocking_oracle(),
         "dd_blocking_shingled": _dd_blocking_oracle("shingle"),

@@ -128,6 +128,8 @@ EXTRA_QUERIES = [
     "dd_substrings",
     "dd_blocking",
     "dd_blocking_shingled",
+    "ev_ranking",
+    "kg_linking_eval",
 ]
 
 

@@ -116,3 +116,111 @@ def keyword_extractor_prf(docs: DataFrame, set_a: List[str], set_b: List[str]) -
     pred = toks.filter(F.col("tok").isin(set_a))
     gold = toks.filter(F.col("tok").isin(set_b))
     return micro_prf(pred, gold, ["doc_id", "tok"])
+
+
+def linking_quality(surface_map: DataFrame) -> DataFrame:
+    """Entity-resolution quality of canonicalization vs alias-group gold:
+    mention-weighted B-cubed P/R/F1 (Bagga & Baldwin 1998, the standard
+    coreference/ER cluster metric) plus pairwise P/R/F1 (Menestrina et
+    al. 2010), per label, in integer MICRO-UNITS so the DuckDB oracle
+    replays every division bit-for-bit (the ev_rotate trick: quantize
+    per-cell BEFORE summing so aggregation order can't matter).
+
+    Gold alias groups: the synthetic gazetteer builds organization
+    surfaces as stem x suffix ("acme corp"/"acme industries"), so gold
+    identity for organizations is the stem (first token) and the full
+    surface otherwise. That makes BOTH error directions observable:
+    the LSH linker under-merges when it misses a stem pair (recall < 1)
+    and over-merges when it bridges distinct golds (precision < 1) —
+    against a surface-identity gold, recall would be structurally 1
+    because linking keys on the normalized surface.
+
+    Shape at scale: surface_map is the post-linking vocabulary table
+    (surfaces saturate far below corpus size); everything here is three
+    grouped integer aggregates over it plus label-key joins of per-label
+    singletons. The mention-weighted cells ride n_mentions — no pass
+    over the mention table itself. Pairwise numerators are C(n,2) in
+    bigint; at >~10^6 mentions per gold group the 10^6-scaled ratios
+    approach bigint range — permille units would be the scale valve.
+    """
+    from gliner_spark.cache import attach_caches, forward_caches
+
+    sm = surface_map.select(
+        "label",
+        "entity_id",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.when(
+            F.col("label") == "organization", F.split("norm", " ")[0]
+        )
+        .otherwise(F.col("norm"))
+        .alias("gold_id"),
+    )
+    cells = (
+        sm.groupBy("label", "entity_id", "gold_id")
+        .agg(F.sum("n_mentions").alias("inter"))
+        .persist()
+    )
+    csize = cells.groupBy("label", "entity_id").agg(
+        F.sum("inter").alias("csize")
+    )
+    gsize = cells.groupBy("label", "gold_id").agg(
+        F.sum("inter").alias("gsize")
+    )
+    j = cells.join(csize, ["label", "entity_id"]).join(
+        gsize, ["label", "gold_id"]
+    )
+    per_cells = j.groupBy("label").agg(
+        F.sum("inter").cast("long").alias("n_mentions"),
+        F.expr("sum((1000000 * inter * inter) DIV csize)").alias("b3p_num"),
+        F.expr("sum((1000000 * inter * inter) DIV gsize)").alias("b3r_num"),
+        F.expr("sum((inter * (inter - 1)) DIV 2)").alias("tp_pairs"),
+    )
+    per_c = csize.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.expr("sum((csize * (csize - 1)) DIV 2)").alias("pred_pairs"),
+    )
+    per_g = gsize.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+        F.expr("sum((gsize * (gsize - 1)) DIV 2)").alias("gold_pairs"),
+    )
+
+    res = per_cells.join(per_c, "label").join(per_g, "label")
+    b3p = F.expr("b3p_num DIV n_mentions")
+    b3r = F.expr("b3r_num DIV n_mentions")
+    pwp = F.when(
+        F.col("pred_pairs") > 0,
+        F.expr("(1000000 * tp_pairs) DIV pred_pairs"),
+    ).otherwise(F.lit(0))
+    pwr = F.when(
+        F.col("gold_pairs") > 0,
+        F.expr("(1000000 * tp_pairs) DIV gold_pairs"),
+    ).otherwise(F.lit(0))
+    out = (
+        res.withColumn("b3_p_micro", b3p.cast("long"))
+        .withColumn("b3_r_micro", b3r.cast("long"))
+        .withColumn("pw_p_micro", pwp.cast("long"))
+        .withColumn("pw_r_micro", pwr.cast("long"))
+        .withColumn(
+            "b3_f1_micro",
+            F.when(
+                F.col("b3_p_micro") + F.col("b3_r_micro") > 0,
+                F.expr("(2 * b3_p_micro * b3_r_micro)"
+                       " DIV (b3_p_micro + b3_r_micro)"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "pw_f1_micro",
+            F.when(
+                F.col("pw_p_micro") + F.col("pw_r_micro") > 0,
+                F.expr("(2 * pw_p_micro * pw_r_micro)"
+                       " DIV (pw_p_micro + pw_r_micro)"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .select(
+            "label", "n_mentions", "n_clusters", "n_gold",
+            "b3_p_micro", "b3_r_micro", "b3_f1_micro",
+            "pw_p_micro", "pw_r_micro", "pw_f1_micro",
+        )
+        .orderBy("label")
+    )
+    return attach_caches(forward_caches(out, surface_map), cells)

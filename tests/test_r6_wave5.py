@@ -1,0 +1,91 @@
+"""Round-6 wave-5 additions: entity-resolution linking quality (B-cubed
++ pairwise vs alias-group gold), checked against a pure-python replay
+with both error directions planted (over-merge AND under-merge)."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _surface_map(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "label string, norm string, entity_id string, canonical string, "
+        "n_mentions long",
+    )
+
+
+def _brute(rows):
+    """Pure-python B3/pairwise replay with the operator's integer
+    micro-unit quantization (per-cell floor division before summing)."""
+    from collections import defaultdict
+
+    gold = lambda lab, n: n.split(" ")[0] if lab == "organization" else n
+    cells = defaultdict(int)
+    for lab, norm, eid, _, nm in rows:
+        cells[(lab, eid, gold(lab, norm))] += nm
+    csize, gsize = defaultdict(int), defaultdict(int)
+    for (lab, eid, gid), n in cells.items():
+        csize[(lab, eid)] += n
+        gsize[(lab, gid)] += n
+    out = {}
+    labels = {lab for lab, *_ in rows}
+    for L in labels:
+        nm = sum(n for (lab, _, _), n in cells.items() if lab == L)
+        b3p = sum(
+            (1000000 * n * n) // csize[(lab, eid)]
+            for (lab, eid, gid), n in cells.items()
+            if lab == L
+        ) // nm
+        b3r = sum(
+            (1000000 * n * n) // gsize[(lab, gid)]
+            for (lab, eid, gid), n in cells.items()
+            if lab == L
+        ) // nm
+        tp = sum(
+            (n * (n - 1)) // 2 for (lab, _, _), n in cells.items() if lab == L
+        )
+        pp = sum((c * (c - 1)) // 2 for (lab, _), c in csize.items() if lab == L)
+        gp = sum((g * (g - 1)) // 2 for (lab, _), g in gsize.items() if lab == L)
+        pwp = (1000000 * tp) // pp if pp else 0
+        pwr = (1000000 * tp) // gp if gp else 0
+        f1 = lambda p, r: (2 * p * r) // (p + r) if p + r else 0
+        out[L] = (
+            nm,
+            len({e for (lab, e) in csize if lab == L}),
+            len({g for (lab, g) in gsize if lab == L}),
+            b3p, b3r, f1(b3p, b3r), pwp, pwr, f1(pwp, pwr),
+        )
+    return out
+
+
+def test_linking_quality_brute(spark):
+    from gliner_spark.operators.evaluation import linking_quality
+
+    rows = [
+        # over-merge: two distinct golds in one predicted cluster
+        ("date", "march 2020", "date:e1", "march 2020", 4),
+        ("date", "march 2021", "date:e1", "march 2020", 2),
+        ("date", "june 2020", "date:e2", "june 2020", 3),
+        # under-merge: one stem gold split across two clusters
+        ("organization", "acme corp", "organization:a1", "acme corp", 5),
+        ("organization", "acme industries", "organization:a2",
+         "acme industries", 3),
+        ("organization", "globex corp", "organization:g1", "globex corp", 2),
+        # perfect: 1:1
+        ("person", "alice almeida", "person:p1", "alice almeida", 7),
+    ]
+    want = _brute(rows)
+    got = {r.label: r for r in linking_quality(_surface_map(spark, rows)).collect()}
+    assert set(got) == set(want)
+    for L, (nm, nc, ng, b3p, b3r, b3f, pwp, pwr, pwf) in want.items():
+        r = got[L]
+        assert (
+            r.n_mentions, r.n_clusters, r.n_gold,
+            r.b3_p_micro, r.b3_r_micro, r.b3_f1_micro,
+            r.pw_p_micro, r.pw_r_micro, r.pw_f1_micro,
+        ) == (nm, nc, ng, b3p, b3r, b3f, pwp, pwr, pwf), L
+    # the fixture plants both error directions: over-merge must dent
+    # date precision only; under-merge must dent organization recall only
+    assert got["date"].b3_p_micro < 1000000 == got["date"].b3_r_micro
+    assert got["organization"].b3_r_micro < 1000000
+    assert got["organization"].b3_p_micro == 1000000
+    assert got["person"].pw_f1_micro == 1000000
