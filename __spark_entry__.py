@@ -463,6 +463,40 @@ def q_kg_linking_eval(spark, sf_dir):
     return attach_caches(linking_quality(surface_map), mentions)
 
 
+def q_kg_rdfs(spark, sf_dir):
+    """RDFS type materialization (r6 wave 5): close every asserted
+    entity type upward through the constant subclass DAG (rdfs9/rdfs11
+    forward chaining) — (entity, type, depth) with depth = min subclass
+    hops, 0 = asserted (operators/ontology.rdfs_types)."""
+    from gliner_spark.operators.ontology import rdfs_types
+
+    return rdfs_types(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_subprop(spark, sf_dir):
+    """rdfs7 subproperty expansion (r6 wave 5): materialize the triples
+    entailed by the subproperty axioms and absent from the asserted
+    graph, with per-row provenance
+    (operators/ontology.subproperty_triples)."""
+    from gliner_spark.operators.ontology import subproperty_triples
+
+    return subproperty_triples(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_optional(spark, sf_dir):
+    """SPARQL OPTIONAL query (r6 wave 5): every org with a location,
+    plus IF KNOWN its acquirer and its founder — the required BGP
+    left-joined with two optional groups, NULL where the graph is
+    silent (operators/kg_query.optional_match)."""
+    from gliner_spark.operators.kg_query import optional_match
+
+    return optional_match(
+        q_kg_triples(spark, sf_dir),
+        [("?o", "based_in", "?l")],
+        [[("?a", "acquired", "?o")], [("?f", "founded", "?o")]],
+    )
+
+
 def q_kg_rules(spark, sf_dir):
     """AMIE-style 2-atom horn-rule mining (r6): direct and inverse
     body => head rules over the constructed KG with exact support /
@@ -1836,6 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timeline": q_kg_timeline,
         "kg_egonet": q_kg_egonet,
         "kg_linking_eval": q_kg_linking_eval,
+        "kg_rdfs": q_kg_rdfs,
+        "kg_subprop": q_kg_subprop,
+        "kg_optional": q_kg_optional,
         "dd_substrings": q_dd_substrings,
         "dd_blocking": q_dd_blocking,
         "dd_blocking_shingled": q_dd_blocking_shingled,
@@ -4093,6 +4130,93 @@ SELECT CAST(label AS VARCHAR) AS label,
        THEN (2 * pw_p_micro * pw_r_micro) // (pw_p_micro + pw_r_micro)
        ELSE 0 END AS BIGINT) AS pw_f1_micro
 FROM lqm ORDER BY label
+"""
+
+
+def _kg_rdfs_oracle() -> str:
+    """rdfs_types replay: the python-closed subclass closure as VALUES
+    + depth-0 asserted rows, grouped min over the union."""
+    from gliner_spark.operators.ontology import SUBCLASS, _closure
+
+    snap = _kg_snapshot()
+    vals = ", ".join(
+        f"('{c}', '{a}', {h})" for c, a, h in _closure(SUBCLASS)
+    )
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+ont(cls, anc, hops) AS (VALUES {vals}),
+rtass AS (
+  SELECT DISTINCT entity, cls FROM (
+    SELECT subj AS entity, subj_type AS cls FROM ktriples
+    UNION ALL
+    SELECT obj, obj_type FROM ktriples
+  )
+),
+rtall AS (
+  SELECT entity, cls AS type, 0 AS hops FROM rtass
+  UNION ALL
+  SELECT a.entity, o.anc, o.hops FROM rtass a JOIN ont o ON o.cls = a.cls
+)
+SELECT entity, type, CAST(min(hops) AS BIGINT) AS depth
+FROM rtall GROUP BY entity, type ORDER BY entity, type
+"""
+
+
+def _kg_subprop_oracle() -> str:
+    """subproperty_triples replay: VALUES axioms, distinct entailed
+    facts, anti-join against the asserted triple set."""
+    from gliner_spark.operators.ontology import SUBPROPERTY
+
+    snap = _kg_snapshot()
+    vals = ", ".join(
+        f"('{p}', '{q}')" for p, q in sorted(SUBPROPERTY.items())
+    )
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+spax(pred, super) AS (VALUES {vals}),
+spbase AS (
+  SELECT DISTINCT subj, pred, obj, subj_type, obj_type FROM ktriples
+),
+spinf AS (
+  SELECT DISTINCT b.subj, x.super AS pred, b.obj, b.pred AS via_pred,
+         b.subj_type, b.obj_type
+  FROM spbase b JOIN spax x ON x.pred = b.pred
+),
+spknown AS (SELECT DISTINCT subj, pred, obj FROM ktriples)
+SELECT i.subj, i.pred, i.obj, i.via_pred, i.subj_type, i.obj_type
+FROM spinf i
+WHERE NOT EXISTS (SELECT 1 FROM spknown k
+                  WHERE k.subj = i.subj AND k.pred = i.pred
+                    AND k.obj = i.obj)
+ORDER BY subj, pred, obj, via_pred
+"""
+
+
+def _kg_optional_oracle() -> str:
+    """optional_match replay: distinct required bindings LEFT JOIN the
+    two distinct optional-group binding sets."""
+    snap = _kg_snapshot()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+opreq AS (
+  SELECT DISTINCT subj AS o, obj AS l FROM ktriples
+  WHERE pred = 'based_in'
+),
+opacq AS (
+  SELECT DISTINCT subj AS a, obj AS o FROM ktriples
+  WHERE pred = 'acquired'
+),
+opfnd AS (
+  SELECT DISTINCT subj AS f, obj AS o FROM ktriples
+  WHERE pred = 'founded'
+)
+SELECT DISTINCT q.a, q.f, q.l, q.o FROM (
+  SELECT r.o, r.l, x.a, y.f
+  FROM opreq r
+  LEFT JOIN opacq x ON x.o = r.o
+  LEFT JOIN opfnd y ON y.o = r.o
+) q
+ORDER BY a NULLS LAST, f NULLS LAST, l, o
 """
 
 
@@ -6526,6 +6650,9 @@ def _kg_oracles() -> dict[str, str]:
         "kg_timeline": _kg_timeline_oracle(),
         "kg_egonet": _kg_egonet_oracle(),
         "kg_linking_eval": _kg_linking_eval_oracle(),
+        "kg_rdfs": _kg_rdfs_oracle(),
+        "kg_subprop": _kg_subprop_oracle(),
+        "kg_optional": _kg_optional_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
         "dd_blocking": _dd_blocking_oracle(),
         "dd_blocking_shingled": _dd_blocking_oracle("shingle"),

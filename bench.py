@@ -130,6 +130,9 @@ EXTRA_QUERIES = [
     "dd_blocking_shingled",
     "ev_ranking",
     "kg_linking_eval",
+    "kg_rdfs",
+    "kg_subprop",
+    "kg_optional",
 ]
 
 

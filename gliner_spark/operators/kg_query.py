@@ -60,6 +60,17 @@ def conjunctive_match(
     selectivity of shared variables, never by cartesian blowup —
     connectivity is enforced. Self-joins of the same predicate are
     fine (distinct alias per atom)."""
+    bound, bound_vars = _bind_pattern(triples, atoms)
+    for a, b in neq:
+        bound = bound.filter(F.col(a) != F.col(b))
+    out_cols = sorted(v for v in bound_vars)
+    out = bound.select(*out_cols).distinct().orderBy(*out_cols)
+    return forward_caches(out, triples)
+
+
+def _bind_pattern(triples: DataFrame, atoms: list):
+    """Compile a connected BGP to (bindings DF, bound variable set) —
+    shared by conjunctive_match and optional_match."""
     if not atoms:
         raise ValueError("empty pattern")
 
@@ -107,8 +118,53 @@ def conjunctive_match(
                 "products and are rejected; reorder the atoms"
             )
         bound_vars |= avars
+    return bound, bound_vars
+
+
+def optional_match(
+    triples: DataFrame,
+    atoms: list,
+    optional: list,
+    neq: tuple = (),
+) -> DataFrame:
+    """SPARQL OPTIONAL: required BGP left-outer-joined with each
+    optional group's bindings (SPARQL 1.1 §8 OPTIONAL == the algebra's
+    LeftJoin); variables bound only inside an unmatched optional group
+    come back NULL — "return the org and, IF KNOWN, who acquired it".
+
+    atoms: the required pattern (conjunctive_match semantics).
+    optional: list of OPTIONAL groups, each a list of atoms forming a
+    connected pattern that shares >= 1 variable with the required part
+    (a disconnected OPTIONAL would be a cartesian decoration and is
+    rejected, same policy as the required chain).
+
+    Shape at scale: each group compiles to the same predicate-pushed
+    distinct-binding subplan as the required pattern, then ONE left
+    equi-join on the shared variables — no new shuffle class beyond
+    conjunctive_match; the null-extension is free in the join.
+
+    Determinism contract: distinct bindings, variable columns sorted
+    lexicographically, NULLs last within the final orderBy."""
+    bound, bound_vars = _bind_pattern(triples, atoms)
+    for group in optional:
+        g, gvars = _bind_pattern(triples, group)
+        shared = sorted(bound_vars & gvars)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group!r} shares no variable with the "
+                "required pattern — rejected (cartesian decoration)"
+            )
+        # distinct before the left join: SPARQL set semantics per group,
+        # and it keeps the left-join multiplicity at exactly one row per
+        # (required binding x optional binding)
+        bound = bound.join(g.distinct(), shared, "left")
+        bound_vars |= gvars
     for a, b in neq:
         bound = bound.filter(F.col(a) != F.col(b))
     out_cols = sorted(v for v in bound_vars)
-    out = bound.select(*out_cols).distinct().orderBy(*out_cols)
+    out = (
+        bound.select(*out_cols)
+        .distinct()
+        .orderBy(*[F.col(c).asc_nulls_last() for c in out_cols])
+    )
     return forward_caches(out, triples)

@@ -89,3 +89,106 @@ def test_linking_quality_brute(spark):
     assert got["organization"].b3_r_micro < 1000000
     assert got["organization"].b3_p_micro == 1000000
     assert got["person"].pw_f1_micro == 1000000
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [("d0",) + r for r in rows],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+
+# --------------------------------------------------------------- rdfs --
+def test_rdfs_types_closure_and_min_depth(spark):
+    from gliner_spark.operators.ontology import rdfs_types
+
+    t = _triples(spark, [
+        ("p1", "works_at", "o1", "person", "organization", 1.0),
+        # p1 ALSO asserted directly as agent somewhere -> depth(agent)=0
+        ("p1", "member_of", "o1", "agent", "organization", 1.0),
+        ("o1", "based_in", "l1", "organization", "location", 1.0),
+    ])
+    got = {(r.entity, r.type): r.depth for r in rdfs_types(t).collect()}
+    assert got[("p1", "person")] == 0
+    assert got[("p1", "agent")] == 0          # min(asserted 0, inferred 1)
+    assert got[("p1", "entity")] == 1         # via agent asserted at 0
+    assert got[("o1", "agent")] == 1
+    assert got[("o1", "entity")] == 2         # organization->agent->entity
+    assert got[("l1", "place")] == 1
+    assert got[("l1", "entity")] == 2
+    assert ("p1", "place") not in got
+
+
+def test_rdfs_unknown_type_passes_through(spark):
+    from gliner_spark.operators.ontology import rdfs_types
+
+    t = _triples(spark, [("x", "rel", "y", "widget", "gizmo", 1.0)])
+    got = {(r.entity, r.type): r.depth for r in rdfs_types(t).collect()}
+    assert got == {("x", "widget"): 0, ("y", "gizmo"): 0}
+
+
+def test_subclass_cycle_raises():
+    import pytest as _pytest
+
+    from gliner_spark.operators.ontology import _closure
+
+    with _pytest.raises(ValueError, match="cycle"):
+        _closure({"a": "b", "b": "a"})
+
+
+# -------------------------------------------------------- subproperty --
+def test_subproperty_delta_and_provenance(spark):
+    from gliner_spark.operators.ontology import subproperty_triples
+
+    t = _triples(spark, [
+        ("p1", "works_at", "o1", "person", "organization", 1.0),
+        ("p1", "founded", "o1", "person", "organization", 1.0),
+        # entailment already asserted -> excluded by the anti-join
+        ("p1", "works_at", "o2", "person", "organization", 1.0),
+        ("p1", "affiliated_with", "o2", "person", "organization", 1.0),
+        ("p2", "visited", "l1", "person", "location", 1.0),
+    ])
+    rows = {
+        (r.subj, r.pred, r.obj, r.via_pred)
+        for r in subproperty_triples(t).collect()
+    }
+    assert rows == {
+        # two provenance rows for the same entailed fact
+        ("p1", "affiliated_with", "o1", "works_at"),
+        ("p1", "affiliated_with", "o1", "founded"),
+        ("p2", "linked_to_place", "l1", "visited"),
+    }
+
+
+# ------------------------------------------------------------ optional --
+def test_optional_match_nulls_and_rejection(spark):
+    import pytest as _pytest
+
+    from gliner_spark.operators.kg_query import optional_match
+
+    t = _triples(spark, [
+        ("o1", "based_in", "l1", "organization", "location", 1.0),
+        ("o2", "based_in", "l2", "organization", "location", 1.0),
+        ("o3", "based_in", "l3", "organization", "location", 1.0),
+        ("a1", "acquired", "o1", "organization", "organization", 1.0),
+        ("f1", "founded", "o1", "person", "organization", 1.0),
+        ("f2", "founded", "o3", "person", "organization", 1.0),
+    ])
+    got = {
+        (r.o, r.l, r.a, r.f)
+        for r in optional_match(
+            t,
+            [("?o", "based_in", "?l")],
+            [[("?a", "acquired", "?o")], [("?f", "founded", "?o")]],
+        ).collect()
+    }
+    assert got == {
+        ("o1", "l1", "a1", "f1"),
+        ("o2", "l2", None, None),
+        ("o3", "l3", None, "f2"),
+    }
+    with _pytest.raises(ValueError, match="OPTIONAL"):
+        optional_match(
+            t, [("?o", "based_in", "?l")], [[("?x", "acquired", "?y")]]
+        ).collect()
