@@ -460,3 +460,59 @@ def test_snapshot_diff_single_outer_join(spark):
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
     assert "FullOuter" in p, p[:2000]
     assert "Window" not in p, p[:2000]
+
+
+def test_rdfs_and_optional_plans_are_scale_safe(spark):
+    """r6 wave 5: rdfs_types joins the constant ontology closure as a
+    BROADCAST side (never a shuffle for the hierarchy); optional_match
+    attaches each OPTIONAL group by equi-left-join — no cartesian or
+    nested-loop join appears in either plan."""
+    from gliner_spark.operators.kg_query import optional_match
+    from gliner_spark.operators.ontology import rdfs_types, subproperty_triples
+
+    triples = spark.createDataFrame(
+        [("d0", "p1", "works_at", "o1", "person", "organization", 1.0),
+         ("d0", "o1", "based_in", "l1", "organization", "location", 1.0),
+         ("d0", "a1", "acquired", "o1", "organization", "organization", 1.0)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+    p = _plan(rdfs_types(triples))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = _plan(subproperty_triples(triples))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = _plan(
+        optional_match(
+            triples,
+            [("?o", "based_in", "?l")],
+            [[("?a", "acquired", "?o")]],
+        )
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the optional group attaches as an outer equi-join
+    assert re.search(r"(LeftOuter|ExistenceJoin|left_outer)", p), p[:2000]
+
+
+def test_linking_quality_single_pass_over_cells(spark):
+    """r6 wave 5: linking_quality's three aggregates all branch from the
+    persisted cells table (InMemoryRelation in the plan), and nothing
+    joins back to the mention-sized input."""
+    from gliner_spark.operators.evaluation import linking_quality
+
+    sm = spark.createDataFrame(
+        [("organization", "acme corp", "organization:1", "acme corp", 3),
+         ("organization", "acme industries", "organization:1",
+          "acme corp", 2)],
+        "label string, norm string, entity_id string, canonical string, "
+        "n_mentions long",
+    )
+    df = linking_quality(sm)
+    p = _plan(df)
+    assert "InMemoryTableScan" in p, p[:2000]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    from gliner_spark.cache import release_caches
+    release_caches(df)
