@@ -483,6 +483,17 @@ def q_kg_subprop(spark, sf_dir):
     return subproperty_triples(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_ntriples(spark, sf_dir):
+    """RDF N-Triples export (r6 wave 5): the canonical fact set
+    serialized as W3C N-Triples lines — entity/predicate IRIs minted
+    under urn:gs:, media URIs passed through, spaces %-encoded,
+    lexicographic line order (sinks/rdf.to_ntriples); the bulk-load
+    interchange any triple store ingests."""
+    from gliner_spark.sinks.rdf import to_ntriples
+
+    return to_ntriples(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_optional(spark, sf_dir):
     """SPARQL OPTIONAL query (r6 wave 5): every org with a location,
     plus IF KNOWN its acquirer and its founder — the required BGP
@@ -1873,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs": q_kg_rdfs,
         "kg_subprop": q_kg_subprop,
         "kg_optional": q_kg_optional,
+        "kg_ntriples": q_kg_ntriples,
         "dd_substrings": q_dd_substrings,
         "dd_blocking": q_dd_blocking,
         "dd_blocking_shingled": q_dd_blocking_shingled,
@@ -4189,6 +4201,31 @@ WHERE NOT EXISTS (SELECT 1 FROM spknown k
                   WHERE k.subj = i.subj AND k.pred = i.pred
                     AND k.obj = i.obj)
 ORDER BY subj, pred, obj, via_pred
+"""
+
+
+def _kg_ntriples_oracle() -> str:
+    """to_ntriples replay: same IRI minting, %20 space encoding, media
+    passthrough, forbidden-char filter, lexicographic order."""
+    snap = _kg_snapshot()
+
+    def iri(col, kind):
+        return (
+            f"CASE WHEN {col} LIKE 'media://%' THEN '<' || {col} || '>' "
+            f"ELSE '<urn:gs:{kind}/' || replace({col}, ' ', '%20') || '>' "
+            f"END"
+        )
+
+    bad = "[<>\"{}|^`\\\\]"
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+ntbase AS (SELECT DISTINCT subj, pred, obj FROM ktriples)
+SELECT {iri('subj', 'entity')} || ' ' || {iri('pred', 'pred')} || ' '
+  || {iri('obj', 'entity')} || ' .' AS line
+FROM ntbase
+WHERE NOT (regexp_matches(subj, '{bad}') OR regexp_matches(pred, '{bad}')
+           OR regexp_matches(obj, '{bad}'))
+ORDER BY line
 """
 
 
@@ -6653,6 +6690,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_rdfs": _kg_rdfs_oracle(),
         "kg_subprop": _kg_subprop_oracle(),
         "kg_optional": _kg_optional_oracle(),
+        "kg_ntriples": _kg_ntriples_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
         "dd_blocking": _dd_blocking_oracle(),
         "dd_blocking_shingled": _dd_blocking_oracle("shingle"),

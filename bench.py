@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "kg_rdfs",
     "kg_subprop",
     "kg_optional",
+    "kg_ntriples",
 ]
 
 

@@ -192,3 +192,41 @@ def test_optional_match_nulls_and_rejection(spark):
         optional_match(
             t, [("?o", "based_in", "?l")], [[("?x", "acquired", "?y")]]
         ).collect()
+
+
+# ------------------------------------------------------------ ntriples --
+def test_ntriples_serialization(spark):
+    from gliner_spark.metrics import audits_of
+    from gliner_spark.sinks.rdf import to_ntriples
+
+    t = _triples(spark, [
+        ("person:ab12", "works_at", "organization:cd34",
+         "person", "organization", 1.0),
+        # fallback id with a space -> %20
+        ("march 2020", "met_on", "person:ab12", "date", "person", 1.0),
+        # media object passes through as-is
+        ("person:ab12", "depicts", "media://4591c2397320",
+         "person", "media", 1.0),
+        # forbidden IRI char -> dropped, audited
+        ("bad<id", "works_at", "organization:cd34",
+         "person", "organization", 1.0),
+        # duplicate fact collapses
+        ("person:ab12", "works_at", "organization:cd34",
+         "person", "organization", 0.5),
+    ])
+    df = to_ntriples(t)
+    lines = [r.line for r in df.collect()]
+    assert lines == sorted(lines)
+    assert set(lines) == {
+        "<urn:gs:entity/person:ab12> <urn:gs:pred/works_at>"
+        " <urn:gs:entity/organization:cd34> .",
+        "<urn:gs:entity/march%202020> <urn:gs:pred/met_on>"
+        " <urn:gs:entity/person:ab12> .",
+        "<urn:gs:entity/person:ab12> <urn:gs:pred/depicts>"
+        " <media://4591c2397320> .",
+    }
+    audits = audits_of(df)
+    assert audits, "forbidden-char audit must ride the output"
+    arow = audits[-1].collect()[0]
+    assert arow.guard == "ntriples_forbidden_iri"
+    assert arow.n_dropped_rows == 1
