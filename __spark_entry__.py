@@ -483,6 +483,17 @@ def q_kg_subprop(spark, sf_dir):
     return subproperty_triples(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_summary(spark, sf_dir):
+    """Structural KG summary (r6 wave 5): the quotient graph of the
+    fact set under WL-color equivalence — (subj_color, pred, obj_color)
+    role-class edges with fact / distinct-endpoint counts, the
+    schema-sized sketch of a corpus-sized graph
+    (operators/graph_analytics.summary_graph)."""
+    from gliner_spark.operators.graph_analytics import summary_graph
+
+    return summary_graph(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF N-Triples export (r6 wave 5): the canonical fact set
     serialized as W3C N-Triples lines — entity/predicate IRIs minted
@@ -1885,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subprop": q_kg_subprop,
         "kg_optional": q_kg_optional,
         "kg_ntriples": q_kg_ntriples,
+        "kg_summary": q_kg_summary,
         "dd_substrings": q_dd_substrings,
         "dd_blocking": q_dd_blocking,
         "dd_blocking_shingled": q_dd_blocking_shingled,
@@ -5086,16 +5098,13 @@ ORDER BY e.a, e.b
 """
 
 
-def _kg_wl_oracle() -> str:
-    """wl_colors replay: init color = fold_hash(type prefix), then
-    WL_ROUNDS unrolled rounds of (own * M + fold(sorted neighbor
-    colors)) % P31 — list_sort + list_reduce reproduce the Spark
-    array_sort + aggregate fold bit-exactly. Round CTEs MATERIALIZED
-    (each referenced twice by the next round)."""
+def _kg_wl_rounds_cte() -> tuple:
+    """Shared WITH-body fragment (requires ktriples + kedges CTEs in
+    scope) ending in wc{R} = the final WL colors; returns (body, R).
+    Used by the kg_wl gate and the kg_summary quotient-graph gate."""
     from gliner_spark.functions.text import FOLD_M, P31
     from gliner_spark.operators.graph_analytics import WL_ROUNDS
 
-    snap = _kg_snapshot()
     rounds = []
     for r in range(WL_ROUNDS):
         rounds.append(f"""
@@ -5110,11 +5119,7 @@ wc{r + 1} AS MATERIALIZED (
   JOIN wc{r} own ON own.entity = s.node
   GROUP BY s.node, own.color
 )""")
-    R = WL_ROUNDS
-    return f"""
-WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
-{_KG_EDGES_CTE},
-wund AS MATERIALIZED (
+    body = f"""wund AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM kedges
 ),
 wsym AS MATERIALIZED (
@@ -5130,10 +5135,57 @@ wc0 AS MATERIALIZED (
       (acc, cp) -> (acc * {FOLD_M} + cp) % {P31}) AS color
   FROM (SELECT DISTINCT node FROM wsym)
 ),
-{",".join(rounds)}
+{",".join(rounds)}"""
+    return body, WL_ROUNDS
+
+
+def _kg_wl_oracle() -> str:
+    """wl_colors replay: init color = fold_hash(type prefix), then
+    WL_ROUNDS unrolled rounds of (own * M + fold(sorted neighbor
+    colors)) % P31 — list_sort + list_reduce reproduce the Spark
+    array_sort + aggregate fold bit-exactly. Round CTEs MATERIALIZED
+    (each referenced twice by the next round)."""
+    snap = _kg_snapshot()
+    body, R = _kg_wl_rounds_cte()
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+{body}
 SELECT entity, color AS wl_color,
   CAST(count(*) OVER (PARTITION BY color) AS BIGINT) AS class_size
 FROM wc{R} ORDER BY entity
+"""
+
+
+def _kg_summary_oracle() -> str:
+    """summary_graph replay: final WL colors per endpoint (closed-form
+    FOLD_M^R fallback for edge-isolated entities), grouped distinct-
+    fact counts per (subj_color, pred, obj_color)."""
+    from gliner_spark.functions.text import FOLD_M, P31
+
+    snap = _kg_snapshot()
+    body, R = _kg_wl_rounds_cte()
+    k = pow(FOLD_M, R, P31)
+
+    def fb(col):
+        prefix = "split_part(" + col + ", ':', 1)"
+        return f"(({_sql_fold(prefix)}) * {k}) % {P31}"
+
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+{_KG_EDGES_CTE},
+{body},
+sgbase AS (SELECT DISTINCT subj, pred, obj FROM ktriples)
+SELECT CAST(coalesce(cs.color, {fb('b.subj')}) AS BIGINT) AS subj_color,
+  b.pred,
+  CAST(coalesce(co.color, {fb('b.obj')}) AS BIGINT) AS obj_color,
+  CAST(count(*) AS BIGINT) AS n_facts,
+  CAST(count(DISTINCT b.subj) AS BIGINT) AS n_subjects,
+  CAST(count(DISTINCT b.obj) AS BIGINT) AS n_objects
+FROM sgbase b
+LEFT JOIN wc{R} cs ON cs.entity = b.subj
+LEFT JOIN wc{R} co ON co.entity = b.obj
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
@@ -6691,6 +6743,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_subprop": _kg_subprop_oracle(),
         "kg_optional": _kg_optional_oracle(),
         "kg_ntriples": _kg_ntriples_oracle(),
+        "kg_summary": _kg_summary_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
         "dd_blocking": _dd_blocking_oracle(),
         "dd_blocking_shingled": _dd_blocking_oracle("shingle"),

@@ -134,6 +134,7 @@ EXTRA_QUERIES = [
     "kg_subprop",
     "kg_optional",
     "kg_ntriples",
+    "kg_summary",
 ]
 
 

@@ -2342,3 +2342,77 @@ def egonet(
         .orderBy("subj", "pred", "obj")
     )
     return forward_caches(out, triples)
+
+
+def summary_graph(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+    """Structural KG summary: the QUOTIENT GRAPH of the fact set under
+    WL-color equivalence (DataGuide/bisimulation-style graph
+    summarization — Goldman & Widom 1997; quotient summaries surveyed
+    in Cebiric et al., VLDB J. 2019): every entity maps to its
+    wl_colors() class after `rounds` refinements, and each summary edge
+    (subj_color, pred, obj_color) aggregates the distinct facts between
+    the two role classes with fact / distinct-subject /
+    distinct-object counts. The result is a schema-sized sketch of a
+    corpus-sized graph — what a query planner, a schema-drift monitor,
+    or a "what does this KG look like" dashboard actually loads.
+
+    Entities with no non-self-loop edge never enter WL refinement;
+    their color is the closed form an isolated node's refinement
+    reaches — c_r = c_0 * FOLD_M^r mod P31 (empty neighbor multiset
+    folds to 0) — computed in-row, bit-identical to running the loop.
+
+    Shape at scale: wl_colors' per-round bound (state |V| rows,
+    edge-join + sorted-degree aggregate) plus two |V|-side equi-joins
+    of the distinct fact set and one grouped count; output is
+    |colors|^2-bounded but in practice schema-sized (role classes x
+    predicates)."""
+    from gliner_spark.cache import forward_caches
+    from gliner_spark.functions.text import FOLD_M, P31, fold_hash
+
+    wl = wl_colors(triples, rounds).select("entity", "wl_color")
+    k = pow(FOLD_M, rounds, P31)
+
+    def fallback(col):
+        # fold_hash < P31 < 2^31 and k < 2^31: the product stays < 2^62
+        return (
+            fold_hash(F.substring_index(col, ":", 1)) * F.lit(k)
+        ) % F.lit(P31)
+
+    base = triples.select("subj", "pred", "obj").distinct()
+    colored = (
+        base.join(
+            wl.select(
+                F.col("entity").alias("subj"), F.col("wl_color").alias("sc")
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            wl.select(
+                F.col("entity").alias("obj"), F.col("wl_color").alias("oc")
+            ),
+            "obj",
+            "left",
+        )
+        .select(
+            F.coalesce("sc", fallback(F.col("subj")))
+            .cast("long")
+            .alias("subj_color"),
+            "pred",
+            F.coalesce("oc", fallback(F.col("obj")))
+            .cast("long")
+            .alias("obj_color"),
+            "subj",
+            "obj",
+        )
+    )
+    out = (
+        colored.groupBy("subj_color", "pred", "obj_color")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.countDistinct("subj").cast("long").alias("n_subjects"),
+            F.countDistinct("obj").cast("long").alias("n_objects"),
+        )
+        .orderBy("subj_color", "pred", "obj_color")
+    )
+    return forward_caches(out, triples)

@@ -230,3 +230,70 @@ def test_ntriples_serialization(spark):
     arow = audits[-1].collect()[0]
     assert arow.guard == "ntriples_forbidden_iri"
     assert arow.n_dropped_rows == 1
+
+
+# ------------------------------------------------------------- summary --
+def test_summary_graph_quotient_brute(spark):
+    """Quotient graph over WL colors vs a pure-python replay, with a
+    self-loop-only entity exercising the closed-form fallback color."""
+    from gliner_spark.core.dense import fold_hash_py
+    from gliner_spark.functions.text import FOLD_M, P31
+    from gliner_spark.operators.graph_analytics import (
+        WL_ROUNDS,
+        summary_graph,
+    )
+
+    facts = [
+        ("t:a", "rel", "t:b"), ("t:b", "rel", "t:c"),
+        ("t:c", "rel", "t:d"), ("t:d", "rel", "t:e"),
+        ("u:x", "owns", "t:a"), ("u:x", "owns", "t:e"),
+        # self-loop-only entity: no WL edge -> fallback color path
+        ("v:solo", "rel", "v:solo"),
+    ]
+    t = _triples(spark, [(s, p, o, "t", "t", 1.0) for s, p, o in facts])
+    # python WL replay over the non-self-loop undirected edge set
+    und = {tuple(sorted((s, o))) for s, _, o in facts if s != o}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    colors = {n: fold_hash_py(n.split(":")[0]) for n in nbrs}
+    for _ in range(WL_ROUNDS):
+        colors = {
+            n: (
+                colors[n] * FOLD_M
+                + __import__("functools").reduce(
+                    lambda acc, c: (acc * FOLD_M + c) % P31,
+                    sorted(colors[m] for m in nbrs[n]),
+                    0,
+                )
+            )
+            % P31
+            for n in nbrs
+        }
+
+    def color(n):
+        if n in colors:
+            return colors[n]
+        return (fold_hash_py(n.split(":")[0]) * pow(FOLD_M, WL_ROUNDS, P31)) % P31
+
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, set(), set()])
+    for s, p, o in set(facts):
+        k = (color(s), p, color(o))
+        want[k][0] += 1
+        want[k][1].add(s)
+        want[k][2].add(o)
+    got = {
+        (r.subj_color, r.pred, r.obj_color): (
+            r.n_facts, r.n_subjects, r.n_objects
+        )
+        for r in summary_graph(t).collect()
+    }
+    assert got == {
+        k: (n, len(ss), len(oo)) for k, (n, ss, oo) in want.items()
+    }
+    # the summary is smaller than the fact set and the fallback row exists
+    assert len(got) < len(set(facts)) or len(got) == len(set(facts))
+    assert (color("v:solo"), "rel", color("v:solo")) in got
