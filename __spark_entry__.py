@@ -483,6 +483,21 @@ def q_kg_subprop(spark, sf_dir):
     return subproperty_triples(q_kg_triples(spark, sf_dir))
 
 
+RPQ_GATE_EXPR = ("seq", ("plus", ("pred", "acquired")), ("pred", "based_in"))
+RPQ_GATE_HOPS = 5
+
+
+def q_kg_rpq(spark, sf_dir):
+    """Regular path query (r6 wave 5): SPARQL 1.1 property path
+    `acquired+/based_in` — every location an org ultimately controls
+    through its acquisition chain, with exact min matching path length;
+    NFA-product semi-naive BFS (operators/rpq.rpq_match)."""
+    from gliner_spark.operators.rpq import rpq_match
+
+    return rpq_match(q_kg_triples(spark, sf_dir), RPQ_GATE_EXPR,
+                     RPQ_GATE_HOPS)
+
+
 def q_kg_summary(spark, sf_dir):
     """Structural KG summary (r6 wave 5): the quotient graph of the
     fact set under WL-color equivalence — (subj_color, pred, obj_color)
@@ -1897,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_optional": q_kg_optional,
         "kg_ntriples": q_kg_ntriples,
         "kg_summary": q_kg_summary,
+        "kg_rpq": q_kg_rpq,
         "dd_substrings": q_dd_substrings,
         "dd_blocking": q_dd_blocking,
         "dd_blocking_shingled": q_dd_blocking_shingled,
@@ -5157,6 +5173,47 @@ FROM wc{R} ORDER BY entity
 """
 
 
+def _kg_rpq_oracle() -> str:
+    """rpq_match replay: the SAME compiled NFA as VALUES, the product
+    move relation, then a depth-bounded recursive CTE over (src, node,
+    state, h) grouped to min hops per accepted pair. rqmoves is
+    MATERIALIZED (referenced from the recursive body)."""
+    from gliner_spark.operators.rpq import compile_nfa
+
+    transitions, accepting, _ = compile_nfa(RPQ_GATE_EXPR)
+    snap = _kg_snapshot()
+    tvals = ", ".join(
+        f"({q1}, '{p}', '{d}', {q2})" for q1, p, d, q2 in transitions
+    )
+    acc = ", ".join(str(q) for q in accepting)
+    return f"""
+WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
+rqtrans(q1, pred, dir, q2) AS (VALUES {tvals}),
+rqedges AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM ktriples WHERE subj != obj
+),
+rqmoves AS MATERIALIZED (
+  SELECT CASE WHEN t.dir = 'fwd' THEN e.subj ELSE e.obj END AS node_from,
+         CASE WHEN t.dir = 'fwd' THEN e.obj ELSE e.subj END AS node_to,
+         t.q1, t.q2
+  FROM rqedges e JOIN rqtrans t ON t.pred = e.pred
+),
+rqnodes AS MATERIALIZED (
+  SELECT subj AS node FROM rqedges UNION SELECT obj FROM rqedges
+),
+rq AS (
+  SELECT node AS src, node AS node, 0 AS state, 0 AS h FROM rqnodes
+  UNION
+  SELECT r.src, m.node_to, m.q2, r.h + 1
+  FROM rq r JOIN rqmoves m ON m.node_from = r.node AND m.q1 = r.state
+  WHERE r.h < {RPQ_GATE_HOPS}
+)
+SELECT src, node AS dst, CAST(min(h) AS BIGINT) AS min_hops
+FROM rq WHERE state IN ({acc}) AND h >= 1
+GROUP BY src, node ORDER BY src, dst
+"""
+
+
 def _kg_summary_oracle() -> str:
     """summary_graph replay: final WL colors per endpoint (closed-form
     FOLD_M^R fallback for edge-isolated entities), grouped distinct-
@@ -6744,6 +6801,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_optional": _kg_optional_oracle(),
         "kg_ntriples": _kg_ntriples_oracle(),
         "kg_summary": _kg_summary_oracle(),
+        "kg_rpq": _kg_rpq_oracle(),
         "dd_substrings": _dd_substrings_oracle(),
         "dd_blocking": _dd_blocking_oracle(),
         "dd_blocking_shingled": _dd_blocking_oracle("shingle"),

@@ -135,6 +135,7 @@ EXTRA_QUERIES = [
     "kg_optional",
     "kg_ntriples",
     "kg_summary",
+    "kg_rpq",
 ]
 
 

@@ -1,0 +1,207 @@
+"""Regular path queries (SPARQL 1.1 property paths) over the
+constructed KG: evaluate a regex over predicates — sequence `/`,
+alternation `|`, `+`, `*`, inverse `^pred` — returning all (src, dst)
+entity pairs connected by a matching path, with the minimum matching
+path length.
+
+Reference scope note: urchade/GLiNER emits triples; path querying is
+beyond-reference pipeline mandate (SURVEY §2.11). Semantics follow
+SPARQL 1.1 §9 property paths (W3C REC-sparql11-query §9.1), except
+that a top-level expression matching the EMPTY path is rejected
+(SPARQL's zero-length-path semantics would emit one (x, x) row per
+graph TERM; callers wanting reflexive pairs union them explicitly).
+
+Spark-first shape (the textbook distributed-RPQ plan): the expression
+compiles to an NFA in PYTHON at plan build (Thompson construction +
+epsilon elimination — the automaton is a constant, never cluster
+work), the transition table broadcasts onto the distinct edge set
+once to form the PRODUCT-GRAPH move relation (<= |E| x |Q| rows), and
+evaluation is level-synchronous semi-naive BFS over (src, node,
+state) — per round ONE equi-join frontier x moves plus an anti-join
+against the visited set, so work is proportional to NEW product
+states, cycles terminate by construction, and first-reach round =
+exact min hops (each move consumes exactly one edge). Same loop
+hygiene as transitive_closure (localCheckpoint per round, early exit
+on empty frontier)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gliner_spark.cache import forward_caches
+
+RPQ_MAX_HOPS = 6
+
+
+def compile_nfa(expr) -> tuple:
+    """Compile a path expression AST to an epsilon-free NFA.
+
+    AST: ("pred", p) | ("inv", p) | ("seq", e...) | ("alt", e...) |
+    ("plus", e) | ("star", e).
+
+    Returns (transitions, accepting, start_accepting) with transitions
+    a sorted list of (state, pred, direction, next_state) —
+    direction "fwd"/"inv" — state 0 the start state. Deterministic:
+    states are numbered by construction order, output sorted."""
+    eps: dict = {}
+    moves: list = []
+    counter = [1]  # state 0 = global start
+
+    def new_state() -> int:
+        counter[0] += 1
+        return counter[0] - 1
+
+    def build(e, src: int) -> int:
+        """Wire `e` from state src; return its accept state."""
+        op = e[0]
+        if op in ("pred", "inv"):
+            dst = new_state()
+            moves.append((src, e[1], "fwd" if op == "pred" else "inv", dst))
+            return dst
+        if op == "seq":
+            cur = src
+            for part in e[1:]:
+                cur = build(part, cur)
+            return cur
+        if op == "alt":
+            dst = new_state()
+            for part in e[1:]:
+                end = build(part, src)
+                eps.setdefault(end, set()).add(dst)
+            return dst
+        if op == "plus":
+            end = build(e[1], src)
+            eps.setdefault(end, set()).add(src)
+            return end
+        if op == "star":
+            end = build(e[1], src)
+            eps.setdefault(end, set()).add(src)
+            eps.setdefault(src, set()).add(end)
+            return end
+        raise ValueError(f"unknown path operator {op!r}")
+
+    accept = build(expr, 0)
+
+    def closure(q: int) -> set:
+        out, todo = {q}, [q]
+        while todo:
+            for n in eps.get(todo.pop(), ()):
+                if n not in out:
+                    out.add(n)
+                    todo.append(n)
+        return out
+
+    # epsilon elimination, source side (delta'(q, a) = union of moves
+    # from every state q epsilon-reaches); accepting' = every state
+    # that epsilon-reaches the accept state
+    clos = {q: closure(q) for q in range(counter[0])}
+    transitions = sorted(
+        {
+            (q, p, d, t)
+            for (s, p, d, t) in moves
+            for q in range(counter[0])
+            if s in clos[q]
+        }
+    )
+    accepting = sorted(q for q in range(counter[0]) if accept in clos[q])
+    # states with no outgoing move and not accepting are dead; harmless
+    return transitions, accepting, accept in clos[0]
+
+
+def rpq_match(
+    triples: DataFrame, expr, max_hops: int = RPQ_MAX_HOPS
+) -> DataFrame:
+    """All (src, dst, min_hops) pairs whose connecting path matches
+    `expr` within max_hops edges (bounded RPQ, min_hops exact — the
+    same bounded-semantics contract as transitive_closure)."""
+    transitions, accepting, empty_ok = compile_nfa(expr)
+    if empty_ok:
+        raise ValueError(
+            "path expression matches the empty path — zero-length "
+            "semantics are excluded (wrap the reflexive pairs yourself)"
+        )
+    if not transitions:
+        raise ValueError("path expression has no satisfiable transition")
+    spark = triples.sparkSession
+
+    e = (
+        triples.filter(F.col("subj") != F.col("obj"))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    tdf = spark.createDataFrame(
+        transitions, "q1 int, pred string, dir string, q2 int"
+    )
+    fwd = e.join(
+        F.broadcast(tdf.filter(F.col("dir") == "fwd")), "pred"
+    ).select(
+        F.col("subj").alias("node_from"),
+        F.col("obj").alias("node_to"),
+        "q1",
+        "q2",
+    )
+    inv = e.join(
+        F.broadcast(tdf.filter(F.col("dir") == "inv")), "pred"
+    ).select(
+        F.col("obj").alias("node_from"),
+        F.col("subj").alias("node_to"),
+        "q1",
+        "q2",
+    )
+    moves = fwd.union(inv).localCheckpoint()
+
+    acc = set(accepting)
+    nodes = (
+        e.select(F.col("subj").alias("node"))
+        .union(e.select("obj"))
+        .distinct()
+    )
+    start = nodes.select(
+        F.col("node").alias("src"), "node", F.lit(0).alias("state")
+    ).localCheckpoint()
+    # frontier checkpoints stay persisted: each round's accepting hits
+    # reference them until the final aggregate runs, and their union is
+    # exactly the visited set — no extra storage class. Only superseded
+    # VISITED checkpoints are released (their data is folded into the
+    # next checkpoint eagerly).
+    frontier, visited, results = start, start, None
+    for h in range(1, max_hops + 1):
+        step = (
+            frontier.join(
+                moves,
+                (frontier["node"] == moves["node_from"])
+                & (frontier["state"] == moves["q1"]),
+            )
+            .select("src", F.col("node_to").alias("node"),
+                    F.col("q2").alias("state"))
+            .distinct()
+            .join(visited, ["src", "node", "state"], "left_anti")
+            .localCheckpoint()
+        )
+        frontier = step
+        if frontier.rdd.isEmpty():
+            break
+        new_visited = visited.union(frontier).localCheckpoint()
+        if visited is not start:
+            visited.unpersist()
+        visited = new_visited
+        hit = frontier.filter(F.col("state").isin(acc)).select(
+            "src",
+            F.col("node").alias("dst"),
+            F.lit(h).cast("long").alias("min_hops"),
+        )
+        results = hit if results is None else results.union(hit)
+    if results is None:
+        return forward_caches(
+            spark.createDataFrame(
+                [], "src string, dst string, min_hops long"
+            ),
+            triples,
+        )
+    out = (
+        results.groupBy("src", "dst")
+        .agg(F.min("min_hops").alias("min_hops"))
+        .orderBy("src", "dst")
+    )
+    return forward_caches(out, triples)

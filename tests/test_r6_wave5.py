@@ -297,3 +297,112 @@ def test_summary_graph_quotient_brute(spark):
     # the summary is smaller than the fact set and the fallback row exists
     assert len(got) < len(set(facts)) or len(got) == len(set(facts))
     assert (color("v:solo"), "rel", color("v:solo")) in got
+
+
+# ----------------------------------------------------------------- rpq --
+def _rpq_brute(facts, expr, max_hops):
+    from gliner_spark.operators.rpq import compile_nfa
+
+    transitions, accepting, _ = compile_nfa(expr)
+    moves = {}
+    edges = {(s, p, o) for s, p, o in facts if s != o}
+    for q1, p, d, q2 in transitions:
+        for s, pp, o in edges:
+            if pp != p:
+                continue
+            a, b = (s, o) if d == "fwd" else (o, s)
+            moves.setdefault((a, q1), set()).add((b, q2))
+    nodes = {s for s, _, _ in edges} | {o for _, _, o in edges}
+    best = {}
+    frontier = {(n, n, 0) for n in nodes}
+    visited = set(frontier)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for src, node, q in frontier:
+            for node2, q2 in moves.get((node, q), ()):
+                st = (src, node2, q2)
+                if st not in visited:
+                    visited.add(st)
+                    nxt.add(st)
+                    if q2 in set(accepting):
+                        best.setdefault((src, node2), h)
+        if not nxt:
+            break
+        frontier = nxt
+    return best
+
+
+def test_rpq_match_brute(spark):
+    from gliner_spark.operators.rpq import rpq_match
+
+    facts = [
+        # acquisition chain with a cycle o3->o1
+        ("o1", "acquired", "o2"), ("o2", "acquired", "o3"),
+        ("o3", "acquired", "o1"), ("o3", "acquired", "o4"),
+        ("o1", "based_in", "l1"), ("o4", "based_in", "l2"),
+        ("p1", "founded", "o2"),
+        ("x", "acquired", "x"),  # self-loop: excluded from edges
+    ]
+    t = _triples(spark, [(s, p, o, "t", "t", 1.0) for s, p, o in facts])
+    expr = ("seq", ("plus", ("pred", "acquired")), ("pred", "based_in"))
+    want = _rpq_brute(facts, expr, 6)
+    got = {(r.src, r.dst): r.min_hops for r in rpq_match(t, expr, 6).collect()}
+    assert got == want and got, (got, want)
+    # the cycle makes o2 reach l1 via o3->o1 (3 hops) and o4->l2 too
+    assert got[("o2", "l1")] == 3 and got[("o2", "l2")] == 3
+    # acquired+ needs >= 1 hop, so o1 reaching its OWN location must go
+    # around the cycle: o1->o2->o3->o1 (3 acq) + based_in = 4
+    assert got[("o1", "l1")] == 4
+    # the self-loop-only node never appears as a source
+    assert not any(s == "x" for s, _ in got)
+
+
+def test_rpq_alternation_and_inverse(spark):
+    from gliner_spark.operators.rpq import rpq_match
+
+    facts = [
+        ("p1", "works_at", "o1"), ("p2", "founded", "o1"),
+        ("o1", "based_in", "l1"),
+    ]
+    t = _triples(spark, [(s, p, o, "t", "t", 1.0) for s, p, o in facts])
+    # colleagues-ish: person -(works_at|founded)-> org -(^works_at|^founded)-> person
+    expr = (
+        "seq",
+        ("alt", ("pred", "works_at"), ("pred", "founded")),
+        ("alt", ("inv", "works_at"), ("inv", "founded")),
+    )
+    want = _rpq_brute(facts, expr, 4)
+    got = {(r.src, r.dst): r.min_hops
+           for r in rpq_match(t, expr, 4).collect()}
+    assert got == want
+    assert got[("p1", "p2")] == 2 and got[("p1", "p1")] == 2
+
+
+def test_rpq_rejects_empty_path():
+    import pytest as _pytest
+
+    from gliner_spark.operators.rpq import compile_nfa
+
+    # star at top level accepts the empty path
+    t, a, empty_ok = compile_nfa(("star", ("pred", "acquired")))
+    assert empty_ok
+    from pyspark.sql import SparkSession  # noqa: F401
+
+
+def test_rpq_star_inside_seq(spark):
+    from gliner_spark.operators.rpq import rpq_match
+
+    facts = [
+        ("o1", "based_in", "l1"),
+        ("o2", "acquired", "o1"),
+        ("o3", "acquired", "o2"),
+    ]
+    t = _triples(spark, [(s, p, o, "t", "t", 1.0) for s, p, o in facts])
+    # acquired* / based_in: zero acquisitions allowed inside the seq
+    expr = ("seq", ("star", ("pred", "acquired")), ("pred", "based_in"))
+    want = _rpq_brute(facts, expr, 5)
+    got = {(r.src, r.dst): r.min_hops
+           for r in rpq_match(t, expr, 5).collect()}
+    assert got == want
+    assert got[("o1", "l1")] == 1      # zero acquired hops
+    assert got[("o3", "l1")] == 3      # two acquired hops + based_in
