@@ -46,42 +46,60 @@ def compile_nfa(expr) -> tuple:
     states are numbered by construction order, output sorted."""
     eps: dict = {}
     moves: list = []
-    counter = [1]  # state 0 = global start
+    counter = [0]
 
     def new_state() -> int:
         counter[0] += 1
         return counter[0] - 1
 
-    def build(e, src: int) -> int:
-        """Wire `e` from state src; return its accept state."""
+    def link(a: int, b: int) -> None:
+        eps.setdefault(a, set()).add(b)
+
+    def build(e) -> tuple:
+        """Textbook Thompson: every construct gets FRESH start/end
+        states (reusing a shared source state would leak sibling
+        alternatives into + / * loop-backs — e.g. `a|b+` must not
+        accept "ba"). Returns (start, end)."""
         op = e[0]
         if op in ("pred", "inv"):
-            dst = new_state()
-            moves.append((src, e[1], "fwd" if op == "pred" else "inv", dst))
-            return dst
+            s, t = new_state(), new_state()
+            moves.append((s, e[1], "fwd" if op == "pred" else "inv", t))
+            return s, t
         if op == "seq":
-            cur = src
-            for part in e[1:]:
-                cur = build(part, cur)
-            return cur
+            parts = [build(p) for p in e[1:]]
+            if not parts:
+                raise ValueError("empty seq")
+            for (_, t1), (s2, _) in zip(parts, parts[1:]):
+                link(t1, s2)
+            return parts[0][0], parts[-1][1]
         if op == "alt":
-            dst = new_state()
-            for part in e[1:]:
-                end = build(part, src)
-                eps.setdefault(end, set()).add(dst)
-            return dst
-        if op == "plus":
-            end = build(e[1], src)
-            eps.setdefault(end, set()).add(src)
-            return end
-        if op == "star":
-            end = build(e[1], src)
-            eps.setdefault(end, set()).add(src)
-            eps.setdefault(src, set()).add(end)
-            return end
+            s, t = new_state(), new_state()
+            if len(e) < 2:
+                raise ValueError("empty alt")
+            for p in e[1:]:
+                ps, pt = build(p)
+                link(s, ps)
+                link(pt, t)
+            return s, t
+        if op in ("plus", "star"):
+            # fresh wrapper states: a skip/loop epsilon between INTERNAL
+            # states composes with the sub-expression's own epsilons and
+            # admits entry mid-iteration (e.g. (a a+)* must not accept
+            # a single "a")
+            ps, pt = build(e[1])
+            q, f = new_state(), new_state()
+            link(q, ps)
+            link(pt, f)
+            link(f, q)  # loop: another full iteration may follow
+            if op == "star":
+                link(q, f)  # zero iterations
+            return q, f
         raise ValueError(f"unknown path operator {op!r}")
 
-    accept = build(expr, 0)
+    start0 = new_state()  # state 0 = global start
+    assert start0 == 0
+    estart, accept = build(expr)
+    link(0, estart)
 
     def closure(q: int) -> set:
         out, todo = {q}, [q]

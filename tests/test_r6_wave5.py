@@ -406,3 +406,142 @@ def test_rpq_star_inside_seq(spark):
     assert got == want
     assert got[("o1", "l1")] == 1      # zero acquired hops
     assert got[("o3", "l1")] == 3      # two acquired hops + based_in
+
+
+# -------------------------------------------------- rpq vs regex (prop) --
+def _ast_to_regex(e):
+    """Independent referee: map the path AST to a python re pattern over
+    step letters (fwd a/b -> 'A'/'B', inverse -> 'a'/'b')."""
+    op = e[0]
+    if op == "pred":
+        return e[1].upper()
+    if op == "inv":
+        return e[1].lower()
+    if op == "seq":
+        return "".join(f"(?:{_ast_to_regex(p)})" for p in e[1:])
+    if op == "alt":
+        return "(?:" + "|".join(_ast_to_regex(p) for p in e[1:]) + ")"
+    if op == "plus":
+        return f"(?:{_ast_to_regex(e[1])})+"
+    if op == "star":
+        return f"(?:{_ast_to_regex(e[1])})*"
+    raise ValueError(op)
+
+
+def _nfa_accepts(expr, word):
+    """Simulate the compiled epsilon-free NFA on a step-letter word."""
+    from gliner_spark.operators.rpq import compile_nfa
+
+    transitions, accepting, empty_ok = compile_nfa(expr)
+    cur = {0}
+    for ch in word:
+        pred, d = ch.lower(), ("fwd" if ch.isupper() else "inv")
+        cur = {
+            q2
+            for (q1, p, dd, q2) in transitions
+            if q1 in cur and p == pred and dd == d
+        }
+        if not cur:
+            return False
+    if not word:
+        return empty_ok
+    return bool(cur & set(accepting))
+
+
+def _rand_ast(draw, st):
+    leaf = st.sampled_from(
+        [("pred", "a"), ("pred", "b"), ("inv", "a"), ("inv", "b")]
+    )
+    expr = st.recursive(
+        leaf,
+        lambda kids: st.one_of(
+            st.tuples(st.just("seq"), kids, kids).map(tuple),
+            st.tuples(st.just("alt"), kids, kids).map(tuple),
+            st.tuples(st.just("plus"), kids).map(tuple),
+            st.tuples(st.just("star"), kids).map(tuple),
+        ),
+        max_leaves=4,
+    )
+    return draw(expr)
+
+
+def test_nfa_equals_regex_on_random_words():
+    """compile_nfa == python re on every word up to length 4 over the
+    4-letter step alphabet, for randomized path ASTs."""
+    import itertools
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def run(data):
+        expr = _rand_ast(data.draw, st)
+        rx = re.compile(_ast_to_regex(expr))
+        for n in range(0, 4):
+            for word in itertools.product("ABab", repeat=n):
+                w = "".join(word)
+                assert _nfa_accepts(expr, w) == bool(rx.fullmatch(w)), (
+                    expr, w,
+                )
+
+    run()
+
+
+def test_rpq_spark_equals_regex_walk_enumeration(spark):
+    """rpq_match on a fixed cyclic 2-predicate graph == brute walk
+    enumeration + regex acceptance, for randomized path ASTs (Spark in
+    the loop, so examples are few but the graph exercises cycles,
+    inverse steps and dead ends)."""
+    import itertools
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gliner_spark.operators.rpq import compile_nfa, rpq_match
+
+    facts = [
+        ("n1", "a", "n2"), ("n2", "a", "n3"), ("n3", "a", "n1"),
+        ("n2", "b", "n4"), ("n4", "b", "n2"), ("n3", "b", "n3x"),
+    ]
+    t = _triples(spark, [(s, p, o, "t", "t", 1.0) for s, p, o in facts])
+    nodes = {s for s, _, _ in facts} | {o for _, _, o in facts}
+    steps = {}
+    for s, p, o in facts:
+        steps.setdefault(s, []).append((p.upper(), o))
+        steps.setdefault(o, []).append((p.lower(), s))
+    MAXH = 4
+
+    def brute(rx):
+        best = {}
+        for src in nodes:
+            frontier = [(src, "")]
+            for h in range(1, MAXH + 1):
+                nxt = []
+                for node, word in frontier:
+                    for ch, node2 in steps.get(node, ()):
+                        w2 = word + ch
+                        nxt.append((node2, w2))
+                        if rx.fullmatch(w2) and (src, node2) not in best:
+                            best[(src, node2)] = h
+                frontier = nxt
+        return best
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def run(data):
+        expr = _rand_ast(data.draw, st)
+        _, _, empty_ok = compile_nfa(expr)
+        if empty_ok:
+            return  # rejected by rpq_match; covered elsewhere
+        rx = re.compile(_ast_to_regex(expr))
+        want = brute(rx)
+        got = {
+            (r.src, r.dst): r.min_hops
+            for r in rpq_match(t, expr, MAXH).collect()
+        }
+        assert got == want, (expr, got, want)
+
+    run()
