@@ -4233,26 +4233,38 @@ ORDER BY subj, pred, obj, via_pred
 
 
 def _kg_ntriples_oracle() -> str:
-    """to_ntriples replay: same IRI minting, %20 space encoding, media
-    passthrough, forbidden-char filter, lexicographic order."""
+    """to_ntriples replay: same NULL-safe guard (controls + bracket set,
+    space additionally forbidden for media pass-through URIs), same
+    injective %25-then-%20 minting, media passthrough, lexicographic
+    order."""
     snap = _kg_snapshot()
+    # SQL literal contents: [<>"{}|^`\\\x00-\x1f] — DuckDB single-quoted
+    # strings pass backslashes verbatim to RE2
+    bad = '[<>"{}|^`' + "\\\\" + "\\x00-\\x1f" + "]"
+    bad_uri = '[<>"{}|^`' + "\\\\" + "\\x00-\\x20" + "]"
+
+    def term_bad(col):
+        return (
+            f"coalesce(CASE WHEN {col} LIKE 'media://%' "
+            f"THEN regexp_matches({col}, '{bad_uri}') "
+            f"ELSE regexp_matches({col}, '{bad}') END, TRUE)"
+        )
 
     def iri(col, kind):
         return (
             f"CASE WHEN {col} LIKE 'media://%' THEN '<' || {col} || '>' "
-            f"ELSE '<urn:gs:{kind}/' || replace({col}, ' ', '%20') || '>' "
+            f"ELSE '<urn:gs:{kind}/' || "
+            f"replace(replace({col}, '%', '%25'), ' ', '%20') || '>' "
             f"END"
         )
 
-    bad = "[<>\"{}|^`\\\\]"
     return f"""
 WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
 ntbase AS (SELECT DISTINCT subj, pred, obj FROM ktriples)
 SELECT {iri('subj', 'entity')} || ' ' || {iri('pred', 'pred')} || ' '
   || {iri('obj', 'entity')} || ' .' AS line
 FROM ntbase
-WHERE NOT (regexp_matches(subj, '{bad}') OR regexp_matches(pred, '{bad}')
-           OR regexp_matches(obj, '{bad}'))
+WHERE NOT ({term_bad('subj')} OR {term_bad('pred')} OR {term_bad('obj')})
 ORDER BY line
 """
 
@@ -5190,7 +5202,7 @@ def _kg_rpq_oracle() -> str:
 WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
 rqtrans(q1, pred, dir, q2) AS (VALUES {tvals}),
 rqedges AS MATERIALIZED (
-  SELECT DISTINCT subj, pred, obj FROM ktriples WHERE subj != obj
+  SELECT DISTINCT subj, pred, obj FROM ktriples
 ),
 rqmoves AS MATERIALIZED (
   SELECT CASE WHEN t.dir = 'fwd' THEN e.subj ELSE e.obj END AS node_from,

@@ -130,7 +130,9 @@ def subproperty_triples(triples: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    known = triples.select("subj", "pred", "obj").distinct()
+    # no distinct: left_anti is existence-only, so deduplicating the
+    # probe side would just add a shuffle
+    known = triples.select("subj", "pred", "obj")
     out = inferred.join(known, ["subj", "pred", "obj"], "left_anti").orderBy(
         "subj", "pred", "obj", "via_pred"
     )

@@ -114,16 +114,31 @@ def compile_nfa(expr) -> tuple:
     # from every state q epsilon-reaches); accepting' = every state
     # that epsilon-reaches the accept state
     clos = {q: closure(q) for q in range(counter[0])}
+    all_transitions = {
+        (q, p, d, t)
+        for (s, p, d, t) in moves
+        for q in range(counter[0])
+        if s in clos[q]
+    }
+    # prune states unreachable from the start: every surviving
+    # transition row multiplies into an |edges(pred)|-sized slice of
+    # the product move relation, so dead copies directly inflate the
+    # broadcast table and the materialized product graph
+    succ: dict = {}
+    for (q, _, _, t) in all_transitions:
+        succ.setdefault(q, set()).add(t)
+    reach, todo = {0}, [0]
+    while todo:
+        for t in succ.get(todo.pop(), ()):
+            if t not in reach:
+                reach.add(t)
+                todo.append(t)
     transitions = sorted(
-        {
-            (q, p, d, t)
-            for (s, p, d, t) in moves
-            for q in range(counter[0])
-            if s in clos[q]
-        }
+        r for r in all_transitions if r[0] in reach
     )
-    accepting = sorted(q for q in range(counter[0]) if accept in clos[q])
-    # states with no outgoing move and not accepting are dead; harmless
+    accepting = sorted(
+        q for q in reach if accept in clos[q]
+    )
     return transitions, accepting, accept in clos[0]
 
 
@@ -143,11 +158,11 @@ def rpq_match(
         raise ValueError("path expression has no satisfiable transition")
     spark = triples.sparkSession
 
-    e = (
-        triples.filter(F.col("subj") != F.col("obj"))
-        .select("subj", "pred", "obj")
-        .distinct()
-    )
+    # self-loop facts stay in: SPARQL path semantics match them (the
+    # product BFS handles them like any cycle; the visited anti-join
+    # terminates). transitive_closure's self-pair EXCLUSION is that
+    # operator's contract, not this one's.
+    e = triples.select("subj", "pred", "obj").distinct()
     tdf = spark.createDataFrame(
         transitions, "q1 int, pred string, dir string, q2 int"
     )
@@ -178,12 +193,14 @@ def rpq_match(
     start = nodes.select(
         F.col("node").alias("src"), "node", F.lit(0).alias("state")
     ).localCheckpoint()
-    # frontier checkpoints stay persisted: each round's accepting hits
-    # reference them until the final aggregate runs, and their union is
-    # exactly the visited set — no extra storage class. Only superseded
-    # VISITED checkpoints are released (their data is folded into the
-    # next checkpoint eagerly).
+    # frontier checkpoints stay persisted until the caller's
+    # release_caches: each round's accepting hits reference them until
+    # the final aggregate runs, and their union is exactly the visited
+    # set — no extra storage class. Superseded VISITED checkpoints are
+    # released inline (their data is folded into the next checkpoint
+    # eagerly, and nothing lazy references them).
     frontier, visited, results = start, start, None
+    ckpts = [moves, start]
     for h in range(1, max_hops + 1):
         step = (
             frontier.join(
@@ -198,9 +215,15 @@ def rpq_match(
             .localCheckpoint()
         )
         frontier = step
+        ckpts.append(step)
         if frontier.rdd.isEmpty():
             break
         new_visited = visited.union(frontier).localCheckpoint()
+        # start doubles as round-1's visited; its rows are folded into
+        # new_visited (eager) and no hit references it, so it releases
+        # like any superseded visited — but keep the handle releasable
+        # rather than unpersisting, since it is also the round-1
+        # frontier variable history
         if visited is not start:
             visited.unpersist()
         visited = new_visited
@@ -210,16 +233,20 @@ def rpq_match(
             F.lit(h).cast("long").alias("min_hops"),
         )
         results = hit if results is None else results.union(hit)
+    from gliner_spark.cache import attach_caches
+
     if results is None:
-        return forward_caches(
-            spark.createDataFrame(
-                [], "src string, dst string, min_hops long"
-            ),
-            triples,
+        out = spark.createDataFrame(
+            [], "src string, dst string, min_hops long"
         )
-    out = (
-        results.groupBy("src", "dst")
-        .agg(F.min("min_hops").alias("min_hops"))
-        .orderBy("src", "dst")
-    )
-    return forward_caches(out, triples)
+    else:
+        out = (
+            results.groupBy("src", "dst")
+            .agg(F.min("min_hops").alias("min_hops"))
+            .orderBy("src", "dst")
+        )
+    # final visited + all frontier/move checkpoints ride the output as
+    # releasable cache handles — release_caches(out) frees every block
+    if visited is not start:
+        ckpts.append(visited)
+    return attach_caches(forward_caches(out, triples), *ckpts)

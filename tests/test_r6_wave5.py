@@ -305,7 +305,7 @@ def _rpq_brute(facts, expr, max_hops):
 
     transitions, accepting, _ = compile_nfa(expr)
     moves = {}
-    edges = {(s, p, o) for s, p, o in facts if s != o}
+    edges = {(s, p, o) for s, p, o in facts}
     for q1, p, d, q2 in transitions:
         for s, pp, o in edges:
             if pp != p:
