@@ -2343,14 +2343,17 @@ gold AS (
       AND r.rel = 'founded'
   ) WHERE rk = 1
 ),
-j AS (SELECT p.p, g.g FROM pred p JOIN gold g USING (doc_id)),
+j AS (SELECT g.doc_id, p.p, g.g FROM gold g LEFT JOIN pred p USING (doc_id)),
 scored AS (
-  SELECT CASE WHEN p = g THEN 1.0 ELSE 0.0 END AS em,
-    CASE WHEN {inter} > 0 THEN
+  -- SQuAD protocol: gold questions are the population, missing
+  -- predictions score 0, per-question max over reference answers
+  SELECT doc_id,
+    max(coalesce(CASE WHEN p = g THEN 1.0 ELSE 0.0 END, 0.0)) AS em,
+    max(coalesce(CASE WHEN {inter} > 0 THEN
       2.0 * ({inter} / {sp}) * ({inter} / {sg})
         / (({inter} / {sp}) + ({inter} / {sg}))
-    ELSE 0.0 END AS f1
-  FROM j
+    ELSE 0.0 END, 0.0)) AS f1
+  FROM j GROUP BY doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n,
   round(avg(em), 6) AS exact_match,
@@ -3732,8 +3735,9 @@ def _kg_negatives_cte(snap: str) -> str:
     fold_ent = _sql_fold("entity")
     fold_spo = _sql_fold("p.subj || '|' || p.pred || '|' || p.obj")
     return f"""{_kg_canonical_triples_cte(snap)},
-ngpos AS (SELECT DISTINCT subj, pred, obj, obj_type FROM ktriples),
-ngtrues AS (SELECT DISTINCT subj, pred, obj FROM ktriples),
+ngpos AS (SELECT subj, pred, obj, min(obj_type) AS obj_type
+          FROM ktriples GROUP BY 1, 2, 3),
+ngtrues AS (SELECT subj, pred, obj FROM ngpos),
 ngents AS (SELECT DISTINCT obj_type AS etype, obj AS entity FROM ngpos),
 ngranked AS (
   SELECT etype, entity,
@@ -4028,9 +4032,10 @@ def _ev_ranking_oracle() -> str:
     return f"""
 WITH RECURSIVE {_kg_canonical_triples_cte(snap)},
 rkpos AS MATERIALIZED (
-  SELECT DISTINCT subj, pred, obj, obj_type FROM ktriples
+  SELECT subj, pred, obj, min(obj_type) AS obj_type
+  FROM ktriples GROUP BY 1, 2, 3
 ),
-rktrue AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM ktriples),
+rktrue AS MATERIALIZED (SELECT subj, pred, obj FROM rkpos),
 rkents AS (SELECT DISTINCT obj_type AS etype, obj AS entity FROM rkpos),
 rkrank AS (
   SELECT etype, entity,
@@ -4973,12 +4978,12 @@ ed AS (
     SELECT doc_id, obj FROM ktriples WHERE obj_type != 'media'
   )
 ),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ed),
 dsz AS (SELECT doc_id, count(*) AS sz FROM ed GROUP BY doc_id),
 edc AS (
   SELECT e.doc_id, e.entity FROM ed e
   JOIN dsz ON dsz.doc_id = e.doc_id WHERE dsz.sz <= {COOC_DOC_CAP}
 ),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM edc),
 pairs AS (
   SELECT a.entity AS entity_a, b.entity AS entity_b,
          CAST(count(*) AS BIGINT) AS n_docs_pair
@@ -4987,7 +4992,7 @@ pairs AS (
   GROUP BY 1, 2
   HAVING count(*) >= {COOC_MIN_SUPPORT}
 ),
-ce AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM ed GROUP BY entity),
+ce AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM edc GROUP BY entity),
 adj AS (
   SELECT DISTINCT least(subj, obj) AS entity_a,
                   greatest(subj, obj) AS entity_b

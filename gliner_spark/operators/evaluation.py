@@ -88,21 +88,30 @@ def squad_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """SQuAD-style extractive-QA scoring (reference GLiNERSquadEvaluator,
     question_answering.py:139-230): exact-match rate + mean token-overlap
     F1 over (doc_id, answer) vs (doc_id, gold_answer). Token overlap uses
-    set semantics (answers are short surfaces)."""
-    j = pred.select("doc_id", F.col("answer").alias("p")).join(
-        gold.select("doc_id", F.col("gold_answer").alias("g")), "doc_id"
-    )
+    set semantics (answers are short surfaces).
+
+    Protocol (SQuAD official eval): the GOLD question set is the
+    population — per question, score = MAX over its reference answers
+    (a question may carry several), a question with no prediction
+    scores 0, and `n` counts questions, never pred x gold pairs."""
+    p = pred.select("doc_id", F.col("answer").alias("p"))
+    g = gold.select("doc_id", F.col("gold_answer").alias("g"))
+    j = g.join(p, "doc_id", "left")
     pt, gt = F.split("p", " "), F.split("g", " ")
     inter = F.size(F.array_intersect(pt, gt)).cast("double")
     prec = inter / F.size(pt)
     rec = inter / F.size(gt)
-    f1 = F.when(inter > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
-    return j.agg(
+    f1 = F.coalesce(
+        F.when(inter > 0, 2 * prec * rec / (prec + rec)), F.lit(0.0)
+    )
+    em = F.coalesce((F.col("p") == F.col("g")).cast("double"), F.lit(0.0))
+    per_q = j.groupBy("doc_id").agg(
+        F.max(em).alias("em"), F.max(f1).alias("f1")
+    )
+    return per_q.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg((F.col("p") == F.col("g")).cast("double")), 6).alias(
-            "exact_match"
-        ),
-        F.round(F.avg(f1), 6).alias("token_f1"),
+        F.round(F.avg("em"), 6).alias("exact_match"),
+        F.round(F.avg("f1"), 6).alias("token_f1"),
     )
 
 

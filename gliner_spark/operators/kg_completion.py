@@ -64,19 +64,26 @@ def negative_samples(
     filtered check is one left-anti shuffle join on (s, p, o'). No
     all-pairs work anywhere.
     """
-    pos = triples.select("subj", "pred", "obj", "obj_type").distinct()
-    trues = triples.select(
-        "subj", "pred", F.col("obj").alias("neg_obj")
-    ).distinct()
+    from gliner_spark.cache import attach_caches
+
+    # one positive per distinct FACT: min(obj_type) makes the pool
+    # choice deterministic if a foreign table carries the same (s,p,o)
+    # under two obj_types (our chain's obj determines its type, but the
+    # protocol must not double-count on inputs where it doesn't).
+    # Persisted: trues/ents/cand all branch from it — without the
+    # persist each branch would re-run the whole upstream chain.
+    pos = (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.min("obj_type").alias("obj_type"))
+        .persist()
+    )
+    trues = pos.select("subj", "pred", F.col("obj").alias("neg_obj"))
 
     ents = pos.select(
         F.col("obj_type").alias("etype"), F.col("obj").alias("entity")
     ).distinct()
-    w = Window.partitionBy("etype").orderBy("hrank", "entity")
     pool = (
-        ents.withColumn("hrank", fold_hash(F.col("entity")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= pool_cap)
+        _hash_ranked_pool(ents, pool_cap)
         .groupBy("etype")
         .agg(F.sort_array(F.collect_list("entity")).alias("ents"))
         .withColumn("n", F.size("ents").cast("long"))
@@ -109,7 +116,45 @@ def negative_samples(
         .select("subj", "pred", "pos_obj", "neg_obj", "obj_type")
         .orderBy("subj", "pred", "pos_obj", "neg_obj")
     )
-    return forward_caches(out, triples)
+    return attach_caches(forward_caches(out, triples), pos)
+
+
+def _hash_ranked_pool(ents: DataFrame, cap: int) -> DataFrame:
+    """Deterministic pseudo-random <= cap sample per type — the shared
+    hash-rank window protocol of negative_samples and ranking_metrics
+    (one copy so the sampling can never silently diverge between the
+    corruption pool and the ranking pool). ents: (etype, entity)."""
+    w = Window.partitionBy("etype").orderBy("hrank", "entity")
+    return (
+        ents.withColumn("hrank", fold_hash(F.col("entity")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("etype", "entity")
+    )
+
+
+def _l1_expr(dim: int):
+    """TransE L1 energy ||h + r - t||_1 as an ordered in-row fold —
+    UNCLAMPED (kg_scoring's 'transe' interaction clamps at 10.0 for
+    scoring-head parity; the eval protocols here need the raw energy).
+    Shared by transe_margin_eval and ranking_metrics."""
+    idx = F.sequence(F.lit(1), F.lit(dim))
+
+    def l1(h, r, t):
+        return F.aggregate(
+            F.transform(
+                idx,
+                lambda i: F.abs(
+                    F.element_at(h, i)
+                    + F.element_at(r, i)
+                    - F.element_at(t, i)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    return l1
 
 
 def cooc_candidates(
@@ -126,7 +171,9 @@ def cooc_candidates(
     lift = N * c(a,b) / (c(a) * c(b)) over document frequencies — the
     exponent-free monotone core of PMI (log is avoided deliberately:
     integer cross-products and one final rounded division keep the
-    oracle bit-exact).
+    oracle bit-exact). Every count — pair, marginals, N — is over the
+    SAME capped doc population, so excluding an over-cap doc never
+    biases a pair's lift downward.
 
     Shape at scale: per-doc entity lists are capped (audited, whole
     over-cap docs excluded — same contract as the 2-hop hub cap) so the
@@ -146,12 +193,19 @@ def cooc_candidates(
         )
         .distinct()
     )
-    n_docs = ed.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
 
     w = Window.partitionBy("doc_id")
     capped, audit = capped_filter(
         ed.withColumn("sz", F.count(F.lit(1)).over(w)),
         "sz", doc_cap, "cooc_doc_cap",
+    )
+    # ONE population for every count in the lift: pair counts, marginals
+    # and N must all see the same (capped) doc set, or entities living
+    # in over-cap docs get systematically deflated lifts (pair count
+    # capped, marginals not). Persisted: four branches read it.
+    capped = capped.persist()
+    n_docs = capped.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
     )
     a = capped.select("doc_id", F.col("entity").alias("entity_a"))
     b = capped.select("doc_id", F.col("entity").alias("entity_b"))
@@ -163,7 +217,9 @@ def cooc_candidates(
         .filter(F.col("n_docs_pair") >= min_support)
     )
 
-    ce = ed.groupBy("entity").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ce = capped.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
     adj = (
         triples.filter(F.col("subj") != F.col("obj"))
         .select(
@@ -195,7 +251,11 @@ def cooc_candidates(
         )
         .orderBy("entity_a", "entity_b")
     )
-    return forward_caches(attach_audits(out, audit), triples)
+    from gliner_spark.cache import attach_caches
+
+    return attach_caches(
+        forward_caches(attach_audits(out, audit), triples), capped
+    )
 
 
 WALKS_PER_NODE = 2   # walks started from each node
@@ -507,37 +567,19 @@ def transe_margin_eval(
     """
     from gliner_spark.operators.kg_scoring import hash_embedding
 
-    idx = F.sequence(F.lit(1), F.lit(dim))
-
-    def fold_sum(terms):
-        return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
-
-    def l1(h, r, t):
-        return fold_sum(
-            F.transform(
-                idx,
-                lambda i: F.abs(
-                    F.element_at(h, i) + F.element_at(r, i) - F.element_at(t, i)
-                ),
-            )
-        )
-
-    def diag_bilinear(h, r, t):
-        return fold_sum(
-            F.transform(
-                idx,
-                lambda i: F.element_at(h, i)
-                * F.element_at(r, i)
-                * F.element_at(t, i),
-            )
-        )
+    l1 = _l1_expr(dim)
 
     if scorer == "transe":
         # energies: lower is better -> "goodness" is the negated energy
         def score(h, r, t):
             return -l1(h, r, t)
     elif scorer == "distmult":
-        score = diag_bilinear
+        # exactly kg_scoring's diagonal-bilinear fold — route through the
+        # shared interaction library rather than keeping a local copy
+        from gliner_spark.operators.kg_scoring import interaction_expr
+
+        def score(h, r, t):
+            return interaction_expr("distmult", h, r, t, dim)
     elif scorer == "complex":
         from gliner_spark.operators.kg_scoring import interaction_expr
 
@@ -647,36 +689,21 @@ def ranking_metrics(
     from gliner_spark.cache import attach_caches
     from gliner_spark.operators.kg_scoring import hash_embedding
 
-    idx = F.sequence(F.lit(1), F.lit(dim))
+    l1 = _l1_expr(dim)
 
-    def l1(h, r, t):
-        return F.aggregate(
-            F.transform(
-                idx,
-                lambda i: F.abs(
-                    F.element_at(h, i)
-                    + F.element_at(r, i)
-                    - F.element_at(t, i)
-                ),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    pos = triples.select("subj", "pred", "obj", "obj_type").distinct().persist()
-    # projection of the distinct 4-tuples covers exactly the true (s,p,o)
-    # set; dupes (same fact under two obj_types) are harmless to an anti
+    # one positive per distinct FACT (min(obj_type) — see
+    # negative_samples for why a 4-tuple distinct would double-count
+    # under obj_type dupes and mix candidate pools cross-type)
+    pos = (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.min("obj_type").alias("obj_type"))
+        .persist()
+    )
     trues = pos.select("subj", "pred", F.col("obj").alias("cand"))
     ents = pos.select(
         F.col("obj_type").alias("etype"), F.col("obj").alias("entity")
     ).distinct()
-    w = Window.partitionBy("etype").orderBy("hrank", "entity")
-    pool = (
-        ents.withColumn("hrank", fold_hash(F.col("entity")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= pool_cap)
-        .select("etype", "entity")
-    )
+    pool = _hash_ranked_pool(ents, pool_cap)
     pe = pos.select(
         "subj", "pred", "obj", "obj_type",
         hash_embedding("subj", dim).alias("h"),

@@ -64,7 +64,12 @@ def conjunctive_match(
     for a, b in neq:
         bound = bound.filter(F.col(a) != F.col(b))
     out_cols = sorted(v for v in bound_vars)
-    out = bound.select(*out_cols).distinct().orderBy(*out_cols)
+    if not out_cols:
+        # fully-ground pattern: a pure existence check — 1 row
+        # (matched=true) when every atom holds, 0 rows otherwise
+        out = bound.select(F.lit(True).alias("matched")).limit(1)
+    else:
+        out = bound.select(*out_cols).distinct().orderBy(*out_cols)
     return forward_caches(out, triples)
 
 
@@ -134,9 +139,17 @@ def optional_match(
 
     atoms: the required pattern (conjunctive_match semantics).
     optional: list of OPTIONAL groups, each a list of atoms forming a
-    connected pattern that shares >= 1 variable with the required part
+    connected pattern that shares >= 1 variable with the REQUIRED part
     (a disconnected OPTIONAL would be a cartesian decoration and is
     rejected, same policy as the required chain).
+
+    Supported fragment = WELL-DESIGNED patterns (Perez, Arenas &
+    Gutierrez, TODS 2009 — the fragment where LeftJoin evaluation is
+    spec-correct): each group's join variables must come from the
+    required pattern (never from another OPTIONAL group — a NULL join
+    key would silently differ from SPARQL's compatible-mapping
+    semantics, so chained OPTIONALs are REJECTED, not mis-evaluated),
+    and two groups may not both introduce the same new variable.
 
     Shape at scale: each group compiles to the same predicate-pushed
     distinct-binding subplan as the required pattern, then ONE left
@@ -146,14 +159,26 @@ def optional_match(
     Determinism contract: distinct bindings, variable columns sorted
     lexicographically, NULLs last within the final orderBy."""
     bound, bound_vars = _bind_pattern(triples, atoms)
+    req_vars = set(bound_vars)
+    introduced: set = set()
     for group in optional:
         g, gvars = _bind_pattern(triples, group)
-        shared = sorted(bound_vars & gvars)
+        shared = sorted(req_vars & gvars)
         if not shared:
             raise ValueError(
                 f"OPTIONAL group {group!r} shares no variable with the "
-                "required pattern — rejected (cartesian decoration)"
+                "required pattern — rejected (cartesian decoration, or a "
+                "chained OPTIONAL outside the well-designed fragment)"
             )
+        new_vars = gvars - req_vars
+        clash = sorted(new_vars & introduced)
+        if clash:
+            raise ValueError(
+                f"OPTIONAL group {group!r} re-introduces variable(s) "
+                f"{clash} already bound by a previous OPTIONAL group — "
+                "outside the well-designed fragment"
+            )
+        introduced |= new_vars
         # distinct before the left join: SPARQL set semantics per group,
         # and it keeps the left-join multiplicity at exactly one row per
         # (required binding x optional binding)

@@ -545,3 +545,80 @@ def test_rpq_spark_equals_regex_walk_enumeration(spark):
         assert got == want, (expr, got, want)
 
     run()
+
+
+# ---------------------------------------------------- review-fix gates --
+def test_squad_max_over_golds_and_missing_pred(spark):
+    from gliner_spark.operators.evaluation import squad_prf
+
+    pred = spark.createDataFrame(
+        [("d1", "alice almeida")], "doc_id string, answer string"
+    )
+    gold = spark.createDataFrame(
+        # d1 has TWO reference answers (max-over-golds must pick the
+        # exact one); d2 has no prediction (scores 0, still counted)
+        [("d1", "alice almeida"), ("d1", "a almeida"), ("d2", "omar ueda")],
+        "doc_id string, gold_answer string",
+    )
+    r = squad_prf(pred, gold).first()
+    assert r.n == 2                       # questions, not pairs
+    assert r.exact_match == 0.5           # d1 max = 1.0, d2 = 0.0
+    assert r.token_f1 == 0.5
+
+
+def test_conjunctive_fully_ground_existence(spark):
+    from gliner_spark.operators.kg_query import conjunctive_match
+
+    t = _triples(spark, [("a", "knows", "b", "t", "t", 1.0)])
+    hit = conjunctive_match(t, [("a", "knows", "b")]).collect()
+    assert [r.matched for r in hit] == [True]
+    miss = conjunctive_match(t, [("a", "knows", "zzz")]).collect()
+    assert miss == []
+
+
+def test_optional_rejects_non_well_designed(spark):
+    import pytest as _pytest
+
+    from gliner_spark.operators.kg_query import optional_match
+
+    t = _triples(spark, [
+        ("o1", "based_in", "l1", "t", "t", 1.0),
+        ("a1", "acquired", "o1", "t", "t", 1.0),
+        ("f1", "founded", "a1", "t", "t", 1.0),
+    ])
+    # chained OPTIONAL: group 2 joins only on group 1's variable ?a
+    with _pytest.raises(ValueError, match="well-designed|shares no"):
+        optional_match(
+            t,
+            [("?o", "based_in", "?l")],
+            [[("?a", "acquired", "?o")], [("?f", "founded", "?a")]],
+        )
+    # two groups both introducing ?a
+    with _pytest.raises(ValueError, match="re-introduces"):
+        optional_match(
+            t,
+            [("?o", "based_in", "?l")],
+            [[("?a", "acquired", "?o")], [("?a", "founded", "?o")]],
+        )
+
+
+def test_ranking_and_negatives_dedupe_obj_type(spark):
+    """The same fact under two obj_types must count once, with the pool
+    chosen by min(obj_type)."""
+    from gliner_spark.operators.kg_completion import (
+        negative_samples,
+        ranking_metrics,
+    )
+
+    rows = [
+        ("s", "likes", "x", "t", "fruit", 1.0),
+        ("s", "likes", "x", "t", "candy", 1.0),   # same fact, 2nd type
+        ("s", "likes", "y", "t", "candy", 1.0),
+        ("s", "likes", "z", "t", "candy", 1.0),
+    ]
+    t = _triples(spark, rows)
+    rm = ranking_metrics(t).collect()
+    assert sum(r.n_facts for r in rm) == 3        # 3 distinct facts
+    ns = negative_samples(t).collect()
+    keys = [(r.subj, r.pred, r.pos_obj) for r in ns]
+    assert len(keys) == len(set(keys))            # one negative per fact
