@@ -139,6 +139,16 @@ EXTRA_QUERIES = [
 ]
 
 
+def _w5(fn_name: str, mod: str, pkg: str = "gliner_spark.operators"):
+    """Late-bound single-arg operator loader for the materialized-triples
+    bench section (keeps the import block above unchanged)."""
+    def run(t):
+        m = __import__(f"{pkg}.{mod}", fromlist=[fn_name])
+        return getattr(m, fn_name)(t)
+
+    return run
+
+
 def _spin(n: int) -> int:
     x = 0
     for i in range(n):
@@ -339,6 +349,28 @@ def main():
                     ("?o", "based_in", "?l"),
                     ("?p", "visited", "?l"),
                 ],
+            ),
+            # wave-5 triples consumers (operator cost without the chain)
+            "ranking_eval": _w5("ranking_metrics", "kg_completion"),
+            "rdfs_types": _w5("rdfs_types", "ontology"),
+            "subproperty": _w5("subproperty_triples", "ontology"),
+            "ntriples": _w5("to_ntriples", "sinks.rdf", pkg="gliner_spark"),
+            "summary": _w5("summary_graph", "graph_analytics"),
+            "rpq": lambda t: __import__(
+                "gliner_spark.operators.rpq", fromlist=["rpq_match"]
+            ).rpq_match(
+                t,
+                ("seq", ("plus", ("pred", "acquired")),
+                 ("pred", "based_in")),
+                5,
+            ),
+            "optional": lambda t: __import__(
+                "gliner_spark.operators.kg_query",
+                fromlist=["optional_match"],
+            ).optional_match(
+                t,
+                [("?o", "based_in", "?l")],
+                [[("?a", "acquired", "?o")], [("?f", "founded", "?o")]],
             ),
         }
         for name, fn in graph_op_fns.items():
