@@ -306,6 +306,18 @@ def pagerank(
     if dangling:
         nodes = nodes.persist()
         n_nodes = nodes.count()  # materializes the persist; N is fixed
+        if n_nodes == 0:
+            # empty edge set: the share expression would be DIV 0 (ANSI
+            # raises); match the non-dangling path's empty result
+            from gliner_spark.cache import forward_caches
+
+            nodes.unpersist()
+            return forward_caches(
+                triples.sparkSession.createDataFrame(
+                    [], "node string, rank long"
+                ),
+                triples,
+            )
     if seed_prefix:
         _seed = F.col("node").startswith(seed_prefix)
         ranks = nodes.select(
@@ -1194,7 +1206,8 @@ def ktruss(
     prev = edges
     audits = []
     out = None
-    for r in range(max_rounds):
+    # max_rounds + 1: same peel-plus-confirm bound as kcore
+    for r in range(max_rounds + 1):
         sup, audit = support(edges, f"truss_pivot_cap_{r}")
         audits.append(audit)
         joined = edges.join(sup, ["a", "b"], "left").select(
@@ -1434,35 +1447,17 @@ HC_DEPTH = 4
 HC_UNIT = 1_000_000
 
 
-def harmonic_centrality(
-    triples: DataFrame,
-    n_seeds: int = HC_SEEDS,
-    depth: int = HC_DEPTH,
-) -> DataFrame:
-    """Seed-sampled harmonic centrality over the undirected entity graph
-    (Boldi & Vigna 2014's preferred centrality; estimated from a fixed
-    seed sample in the Eppstein & Wang 2004 style): centrality(v) =
-    sum over sampled seeds s reaching v within `depth` hops of
-    1/dist(s, v), here in exact integer micro-units (HC_UNIT DIV dist)
-    so the ranking is bit-deterministic. The "which entities sit at the
-    center of the graph" query that degree alone gets wrong (degree is
-    local; harmonic rewards being CLOSE to everything).
 
-    Seeds are the n_seeds entities with the smallest (fold_hash(id), id)
-    — a deterministic hash-scrambled sample, no RNG — and distances come
-    from one multi-source level-synchronous BFS carrying (seed, node)
-    pairs: each round expands the frontier one undirected hop, distinct,
-    anti-joined against already-distanced pairs (first reach = min
-    dist), exactly bfs_distances' loop lifted to a seed column. Entities
-    no seed reaches within `depth` are absent (estimated centrality 0).
-
-    Scale shape: BFS state is at most n_seeds x |V| rows with n_seeds a
-    small constant — linear in the graph, never quadratic; one
-    equi-join + distinct + anti-join per round over the
-    localCheckpointed symmetric edge list, then one grouped integer
-    aggregate. The seed pick is a TakeOrdered top-k (no global sort
-    materialized)."""
-    from gliner_spark.cache import forward_caches
+def _seed_bfs(triples: DataFrame, n_seeds: int, depth: int) -> DataFrame:
+    """Shared multi-source level-synchronous BFS over the undirected
+    entity graph: (seed, node, dist) for the n_seeds hash-chosen seeds,
+    dist <= depth, first reach = min dist. One equi-join + distinct +
+    anti-join per round over the localCheckpointed symmetric edge list,
+    superseded checkpoints released each round (CC loop hygiene). The
+    returned frame is localCheckpointed — callers attach it to their
+    output as a releasable cache handle. Used by harmonic_centrality
+    and distance_profile (stress_centrality carries path counts, so it
+    keeps its own Brandes variant)."""
     from gliner_spark.functions.text import fold_hash
 
     und = undirected_edges(triples).localCheckpoint()
@@ -1506,6 +1501,42 @@ def harmonic_centrality(
         frontier = nxt.select("seed", "node")
     if prev_frontier is not None:
         prev_frontier.unpersist()
+    seeds.unpersist()
+    und.unpersist()
+    return dist
+
+
+def harmonic_centrality(
+    triples: DataFrame,
+    n_seeds: int = HC_SEEDS,
+    depth: int = HC_DEPTH,
+) -> DataFrame:
+    """Seed-sampled harmonic centrality over the undirected entity graph
+    (Boldi & Vigna 2014's preferred centrality; estimated from a fixed
+    seed sample in the Eppstein & Wang 2004 style): centrality(v) =
+    sum over sampled seeds s reaching v within `depth` hops of
+    1/dist(s, v), here in exact integer micro-units (HC_UNIT DIV dist)
+    so the ranking is bit-deterministic. The "which entities sit at the
+    center of the graph" query that degree alone gets wrong (degree is
+    local; harmonic rewards being CLOSE to everything).
+
+    Seeds are the n_seeds entities with the smallest (fold_hash(id), id)
+    — a deterministic hash-scrambled sample, no RNG — and distances come
+    from one multi-source level-synchronous BFS carrying (seed, node)
+    pairs: each round expands the frontier one undirected hop, distinct,
+    anti-joined against already-distanced pairs (first reach = min
+    dist), exactly bfs_distances' loop lifted to a seed column. Entities
+    no seed reaches within `depth` are absent (estimated centrality 0).
+
+    Scale shape: BFS state is at most n_seeds x |V| rows with n_seeds a
+    small constant — linear in the graph, never quadratic; one
+    equi-join + distinct + anti-join per round over the
+    localCheckpointed symmetric edge list, then one grouped integer
+    aggregate. The seed pick is a TakeOrdered top-k (no global sort
+    materialized)."""
+    from gliner_spark.cache import attach_caches, forward_caches
+
+    dist = _seed_bfs(triples, n_seeds, depth)
     out = (
         dist.filter(F.col("dist") > 0)
         .groupBy("node")
@@ -1518,7 +1549,7 @@ def harmonic_centrality(
         .select(F.col("node").alias("entity"), "harmonic", "n_seeds_reached")
         .orderBy(F.desc("harmonic"), "entity")
     )
-    return forward_caches(out, triples)
+    return attach_caches(forward_caches(out, triples), dist)
 
 
 HITS_ROUNDS = 2
@@ -1560,6 +1591,9 @@ def hits(triples: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
     hub = nodes.select(
         "node", F.lit(HITS_UNIT).cast("long").alias("score")
     )
+    if rounds < 1:
+        raise ValueError("hits needs rounds >= 1 (0 rounds would have "
+                         "no authority scores to return)")
     auth = None
     prev = []
 
@@ -1864,50 +1898,9 @@ def distance_profile(
     the profile itself is one grouped count + a cumulative window over
     <= depth rows. All integers — the kg_distances oracle replays the
     unrolled levels and the permille division exactly."""
-    from gliner_spark.cache import forward_caches
-    from gliner_spark.functions.text import fold_hash
+    from gliner_spark.cache import attach_caches, forward_caches
 
-    und = undirected_edges(triples).localCheckpoint()
-    sym = und.select(
-        F.col("a").alias("node"), F.col("b").alias("nbr")
-    ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-    seeds = (
-        sym.select("node")
-        .distinct()
-        .withColumn("h", fold_hash("node"))
-        .orderBy("h", "node")
-        .limit(n_seeds)
-        .select(F.col("node").alias("seed"))
-        .localCheckpoint()
-    )
-    dist = seeds.select(
-        "seed",
-        F.col("seed").alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint()
-    frontier = dist.select("seed", "node")
-    prev_frontier = None
-    for d in range(1, depth + 1):
-        nxt = (
-            frontier.join(sym, "node")
-            .select("seed", F.col("nbr").alias("node"))
-            .distinct()
-            .join(dist, ["seed", "node"], "left_anti")
-            .select("seed", "node", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint()
-        )
-        if nxt.limit(1).count() == 0:
-            nxt.unpersist()
-            break
-        prev = dist
-        dist = dist.union(nxt).localCheckpoint()
-        prev.unpersist()
-        if prev_frontier is not None:
-            prev_frontier.unpersist()
-        prev_frontier = nxt
-        frontier = nxt.select("seed", "node")
-    if prev_frontier is not None:
-        prev_frontier.unpersist()
+    dist = _seed_bfs(triples, n_seeds, depth)
     hist = (
         dist.filter(F.col("dist") > 0)
         .groupBy("dist")
@@ -1929,7 +1922,7 @@ def distance_profile(
         .select("dist", "n_pairs", "cum_pairs", "reached_permille")
         .orderBy("dist")
     )
-    return forward_caches(out, triples)
+    return attach_caches(forward_caches(out, triples), dist)
 
 
 def assortativity(triples: DataFrame) -> DataFrame:
@@ -2088,12 +2081,15 @@ def triad_census(
     distinct-edge projection, and a CASE expression classifies. Joins +
     one tiny aggregate; the kg_triads oracle replays the same flags and
     CASE bit-for-bit."""
-    from gliner_spark.cache import forward_caches
+    from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
+    # und feeds three subplans (flags, fan window, closure semi-join)
+    # and flags joins onto tris three times — persist both branch
+    # points once instead of re-running the distinct exchanges
     e = graph_edges(triples)
-    und = undirected_edges(triples)
-    flags = (
+    und = undirected_edges(triples).persist()
+    flags_base = (
         und.join(
             e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
             .withColumn("fwd", F.lit(1)),
@@ -2110,6 +2106,7 @@ def triad_census(
             .alias("flag"),
         )
     )
+    flags = flags_base.persist()
     w = Window.partitionBy("a")
     capped, audit = capped_filter(
         und.withColumn("fan", F.count(F.lit(1)).over(w)),
@@ -2170,7 +2167,9 @@ def triad_census(
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         .orderBy("triad_type")
     )
-    return forward_caches(attach_audits(out, audit), triples)
+    return attach_caches(
+        forward_caches(attach_audits(out, audit), triples), und, flags
+    )
 
 
 WPR_ITERS = PR_ITERS
@@ -2273,8 +2272,9 @@ def transitive_closure(
         .distinct()
         .localCheckpoint()
     )
-    best = e.withColumn("min_depth", F.lit(1).cast("long"))
+    best = e.withColumn("min_depth", F.lit(1).cast("long")).localCheckpoint()
     frontier = best.select("src", "dst")
+    prev_best, prev_frontier = best, None
     for d in range(2, max_depth + 1):
         nxt = (
             frontier.join(
@@ -2286,16 +2286,30 @@ def transitive_closure(
             .join(best.select("src", "dst"), ["src", "dst"], "left_anti")
             .localCheckpoint()
         )
-        if nxt.rdd.isEmpty():
+        # the previous frontier fed only this round's join (nxt is
+        # eagerly checkpointed) — release it, CC/k-core loop hygiene
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_frontier = nxt
+        if nxt.limit(1).count() == 0:
             break
         best = best.union(
             nxt.withColumn("min_depth", F.lit(d).cast("long"))
         ).localCheckpoint()
+        prev_best.unpersist()
+        prev_best = best
         frontier = nxt
     out = best.filter(F.col("src") != F.col("dst")).orderBy(
         "src", "dst"
     )
-    return forward_caches(out, triples)
+    from gliner_spark.cache import attach_caches
+
+    # the surviving checkpoints (final best + last frontier) ride the
+    # output as releasable handles
+    handles = [e, best] + (
+        [prev_frontier] if prev_frontier is not None else []
+    )
+    return attach_caches(forward_caches(out, triples), *handles)
 
 
 EGONET_DEPTH = 2

@@ -73,7 +73,7 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         )
         .orderBy("subj", "pred", "obj")
     )
-    return forward_caches(forward_caches(out, old), new)
+    return forward_caches(out, old, new)
 
 
 def _doc_index(col: str = "doc_id"):

@@ -216,7 +216,7 @@ def rpq_match(
         )
         frontier = step
         ckpts.append(step)
-        if frontier.rdd.isEmpty():
+        if frontier.limit(1).count() == 0:
             break
         new_visited = visited.union(frontier).localCheckpoint()
         # start doubles as round-1's visited; its rows are folded into

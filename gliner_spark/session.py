@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # reliable checkpoint files (pagerank reliable_checkpoint=True)
+        # are otherwise never deleted — unpersist() only drops cached
+        # blocks; with this on, the ContextCleaner removes checkpoint
+        # dirs when their RDD is GC'd
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

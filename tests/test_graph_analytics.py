@@ -475,10 +475,12 @@ def test_ktruss_edge_peeling_matches_brute_force(spark):
     assert ("d", "f") in brute(3) and ("f", "g") not in brute(3)
     # k=5 peels everything (4-clique edges close only 2 triangles)
     assert brute(5) == {} and ktruss(triples, k=5).count() == 0
-    # the k=4 cascade needs 2 peel rounds + 1 to observe convergence;
-    # a 2-round bound dies mid-cascade
+    # the k=4 cascade peels in 2 rounds: max_rounds=2 converges (the
+    # bound allows depth == max_rounds, plus one confirmation round),
+    # while a 1-round bound dies mid-cascade
+    assert ktruss(triples, k=4, max_rounds=2).count() > 0
     with pytest.raises(RuntimeError, match="did not converge"):
-        ktruss(triples, k=4, max_rounds=2)
+        ktruss(triples, k=4, max_rounds=1)
 
 
 def test_link_prediction_matches_brute_force(spark):
