@@ -26,6 +26,28 @@ PR_ITERS = 3
 TWO_HOP_MAX_FANOUT = 64
 
 
+def _duckdb_round6(x):
+    """round(x, 6) with DuckDB's double semantics: std::round(x*1e6)/1e6 —
+    half away from zero evaluated on the BINARY double, preserving -0.0.
+
+    Spark's F.round goes through BigDecimal HALF_UP on the shortest decimal
+    repr, which (a) drops the sign of -0.0 (BigDecimal has no signed zero)
+    and (b) can pick the other 6th-decimal neighbour when the binary value
+    sits just past a printed .5 boundary. The kg_modularity oracle replays
+    DuckDB's arithmetic, so communities with e_intra=0 emit q_contrib=-0.0
+    there but +0.0 from F.round — the one CORRECTNESS_r06 hash-fail.
+
+    floor(|y|) is exact and |y| - floor(|y|) is an exact fp subtraction for
+    |y| < 2^53, so the >= 0.5 compare reproduces std::round bit-for-bit in
+    that range (|q_contrib| <= 1 => |y| <= 1e6 here)."""
+    y = x * F.lit(1e6)
+    a = F.abs(y)
+    t = F.floor(a)  # LongType; promotes back to double exactly below
+    mag = t + F.when(a - t >= F.lit(0.5), F.lit(1.0)).otherwise(F.lit(0.0))
+    r = F.when(y < 0, -mag).otherwise(F.when(y > 0, mag).otherwise(y))
+    return r / F.lit(1e6)
+
+
 def graph_edges(triples: DataFrame) -> DataFrame:
     """Distinct directed (src, dst) edges from the canonical triples."""
     return (
@@ -983,13 +1005,12 @@ def partition_modularity(
             "n_nodes",
             F.coalesce("e_intra", F.lit(0)).cast("long").alias("e_intra"),
             "d_total",
-            F.round(
+            _duckdb_round6(
                 (
                     4 * F.col("m") * F.coalesce("e_intra", F.lit(0))
                     - F.col("d_total") * F.col("d_total")
                 ).cast("double")
-                / (4 * F.col("m") * F.col("m")),
-                6,
+                / (4 * F.col("m") * F.col("m"))
             ).alias("q_contrib"),
         )
         .orderBy("community")
