@@ -96,9 +96,33 @@ def decode_scores(
         return []
     keep = (probs > threshold) & valid[:, None]
     s_i, c_i = np.nonzero(keep)  # row-major (span, class) order == reference
-    if s_i.size == 0:
+    return decode_candidates(
+        s_i, c_i, probs[s_i, c_i], span_idx, id_to_class,
+        flat_ner=flat_ner, multi_label=multi_label,
+    )
+
+
+def decode_candidates(
+    s_i: np.ndarray,
+    c_i: np.ndarray,
+    scores: np.ndarray,
+    span_idx: np.ndarray,
+    id_to_class: Sequence[str],
+    flat_ner: bool = True,
+    multi_label: bool = False,
+) -> List[Span]:
+    """Shared decode tail over pre-thresholded candidates.
+
+    (s_i, c_i, scores) must be in row-major (span-row, class) emission
+    order — exactly what np.nonzero over the grid produces, and what the
+    sparse gather fast path (model._touched_cells) emits — so the stable
+    tie-break below reproduces the reference order bit-for-bit on either
+    path."""
+    if len(s_i) == 0:
         return []
-    scores = probs[s_i, c_i]
+    s_i = np.asarray(s_i)
+    c_i = np.asarray(c_i)
+    scores = np.asarray(scores, dtype=np.float64)
     # stable tie-break identical to reference emission order (see module doc)
     order = np.lexsort((c_i, span_idx[s_i, 1], span_idx[s_i, 0], -scores))
     cand = [

@@ -49,7 +49,7 @@ import numpy as np
 import hashlib
 
 from gliner_spark.config import PipelineConfig
-from gliner_spark.core.decode import decode_scores, sigmoid
+from gliner_spark.core.decode import decode_candidates, decode_scores, sigmoid
 from gliner_spark.core.spans import Span, enumerate_spans
 from gliner_spark.core.tokenization import tokenize_with_offsets
 
@@ -222,27 +222,21 @@ class GlinerSparkModel:
             )
         return self._kfw
 
-    def _probs_grid(self, tokens: List[str], span_idx: np.ndarray,
-                    valid: np.ndarray) -> np.ndarray:
-        """(S, C) sigmoid grid — gather-equivalent of the dense score head."""
-        sig, base = self._sig_table()
-        S = span_idx.shape[0]
-        probs = np.full((S, sig.shape[0]), base, dtype=np.float64)
-        low = [t.lower() for t in tokens]
+    def _touched_cells(self, low: List[str], valid: np.ndarray):
+        """Yield (row, basis_dim) for every valid span whose surface is a
+        known gazetteer surface, in row-major span order — the sparse
+        support of _probs_grid (every other cell holds the constant
+        `base`). Shared by the dense grid and the sparse decode fast path
+        so the two can never diverge."""
         n = len(low)
         K = self.config.max_width
         mkw = min(self.max_known_width, K)
         lookup = self.known_surfaces.get
         first_words = self._known_first_words
-        # only spans of width <= max gazetteer width can score above base;
-        # build each start's surface incrementally (no re-join per width).
-        # `valid` is already implied by e = s+w <= n-1 here; an explicit
-        # caller-restricted mask (allowed_spans) is applied by the caller
-        # on the decoded grid via `valid`, which decode_scores consults.
         for s in range(n):
             surface = low[s]
             if surface not in first_words:
-                continue  # no known surface opens here — all widths stay base
+                continue  # no known surface opens here
             row = s * K
             for w in range(min(mkw, n - s)):
                 if w:
@@ -251,7 +245,21 @@ class GlinerSparkModel:
                     continue
                 k = lookup(surface)
                 if k is not None:
-                    probs[row + w] = sig[:, k]
+                    yield row + w, k
+
+    def _probs_grid(self, tokens: List[str], span_idx: np.ndarray,
+                    valid: np.ndarray) -> np.ndarray:
+        """(S, C) sigmoid grid — gather-equivalent of the dense score head."""
+        sig, base = self._sig_table()
+        S = span_idx.shape[0]
+        probs = np.full((S, sig.shape[0]), base, dtype=np.float64)
+        low = [t.lower() for t in tokens]
+        # only spans of width <= max gazetteer width can score above base;
+        # `valid` is already implied by e = s+w <= n-1 here; an explicit
+        # caller-restricted mask (allowed_spans) is applied by the caller
+        # on the decoded grid via `valid`, which decode_scores consults.
+        for row, k in self._touched_cells(low, valid):
+            probs[row] = sig[:, k]
         return probs
 
     # ----- NER (per document) ------------------------------------------
@@ -290,20 +298,54 @@ class GlinerSparkModel:
                 [(int(s), int(e)) in allow for s, e in span_idx], dtype=bool
             )
             valid = valid & mask
-        probs = self._probs_grid(tokens, span_idx, valid)
+        thr = cfg.threshold if threshold is None else threshold
+        sig, base = self._sig_table()
         if labels is not None:
             use = list(dict.fromkeys(labels))  # order-preserving dedup
             cols = [self.labels.index(l) for l in use if l in self.labels]
-            probs = probs[:, cols]
             id_to_class = [self.labels[c] for c in cols]
         else:
+            cols = None
             id_to_class = self.labels
-        decoded = decode_scores(
-            probs, span_idx, valid, id_to_class,
-            threshold=cfg.threshold if threshold is None else threshold,
-            flat_ner=cfg.flat_ner,
-            multi_label=cfg.multi_label,
-        )
+        if top_k_probs == 0 and base <= thr:
+            # Sparse decode fast path: every grid cell outside the gather
+            # support holds the constant `base`, and `probs > thr` (strict)
+            # excludes those cells whenever base <= thr — so the candidate
+            # set is exactly the touched cells' above-threshold classes.
+            # Emission stays row-major (rows ascending from _touched_cells,
+            # classes ascending from nonzero), the same order the dense
+            # grid's np.nonzero produces; decode_candidates is the shared
+            # tail, so ordering and tie-breaks are bit-identical (asserted
+            # by the fast-path==dense parity test and the oracle gates).
+            low = [t.lower() for t in tokens]
+            sig_sel = sig[cols, :] if cols is not None else sig
+            s_l: list = []
+            c_l: list = []
+            p_l: list = []
+            for row, k in self._touched_cells(low, valid):
+                col = sig_sel[:, k]
+                for c in np.nonzero(col > thr)[0]:
+                    s_l.append(row)
+                    c_l.append(int(c))
+                    p_l.append(col[c])
+            decoded = decode_candidates(
+                np.array(s_l, dtype=np.int64),
+                np.array(c_l, dtype=np.int64),
+                np.array(p_l, dtype=np.float64),
+                span_idx, id_to_class,
+                flat_ner=cfg.flat_ner, multi_label=cfg.multi_label,
+            )
+            probs = None
+        else:
+            probs = self._probs_grid(tokens, span_idx, valid)
+            if cols is not None:
+                probs = probs[:, cols]
+            decoded = decode_scores(
+                probs, span_idx, valid, id_to_class,
+                threshold=thr,
+                flat_ner=cfg.flat_ner,
+                multi_label=cfg.multi_label,
+            )
         if top_k_probs:
             for sp in decoded:
                 row = probs[sp.start * cfg.max_width + (sp.end - sp.start)]
@@ -352,7 +394,10 @@ class GlinerSparkModel:
 
     # ----- prompted (composite-label) second pass -----------------------
     def predict_doc_composite(
-        self, text: str, composite_labels: Sequence[str]
+        self,
+        text: str,
+        composite_labels: Sequence[str],
+        pretokenized: Optional[Tuple[List[str], List[int], List[int]]] = None,
     ) -> List[dict]:
         """Second pass of the prompt-based RE pipeline (reference
         GLiNERRelationExtractor, multitask/relation_extraction.py:82-127):
@@ -369,7 +414,11 @@ class GlinerSparkModel:
         the reference's return_index shift (relation_extraction.py:99-121)
         is identity here.
         """
-        tokens, starts, ends = tokenize_with_offsets(text)
+        tokens, starts, ends = (
+            pretokenized
+            if pretokenized is not None
+            else tokenize_with_offsets(text)
+        )
         if not tokens:
             return []
         low = [t.lower() for t in tokens]
@@ -378,37 +427,63 @@ class GlinerSparkModel:
         out: List[dict] = []
         lookup = self.known_surfaces.get
         mkw = self.max_known_width
+        thr = self.config.rel_threshold
+        if not hasattr(self, "_rel_index"):
+            # O(1) relation lookup + pre-split connective patterns (the
+            # per-label .index()/.split() calls dominated the old loop)
+            self._rel_index = {r: i for i, r in enumerate(self.relations)}
+            self._pat_toks = [
+                (p.split(), k) for p, k in self.known_patterns.items()
+            ]
+        rel_index = self._rel_index
+        # group the composite labels by source so each source's token
+        # scan and each occurrence's connective/target matching runs ONCE
+        # and fans out over that source's relations — the emitted row
+        # MULTISET is identical to the per-label loop (same conjunction
+        # of conditions per (label, occurrence, phrase, width)), only the
+        # emission order changes, which no consumer observes (rows are
+        # set-compared / sorted downstream).
+        by_src: Dict[str, List[Tuple[str, int]]] = {}
         for lab in dict.fromkeys(composite_labels):  # order-preserving dedup
             if "<>" not in lab:
                 continue
             src_raw, rel_raw = lab.split("<>", 1)
             src, rel = normalize_surface(src_raw), rel_raw.strip()
-            if rel not in self.relations or not src:
+            ri = rel_index.get(rel)
+            if ri is None or not src:
                 continue
-            ri = self.relations.index(rel)
+            by_src.setdefault(src, []).append((rel, ri))
+        for src, rels in by_src.items():
             st = src.split()
-            for i in range(n - len(st) + 1):
-                if low[i : i + len(st)] != st:
+            L = len(st)
+            for i in range(n - L + 1):
+                if low[i : i + L] != st:
                     continue
-                j = i + len(st)
-                for phrase, k in self.known_patterns.items():
-                    if sig[ri, k] <= self.config.rel_threshold:
-                        continue
-                    pt = phrase.split()
+                j = i + L
+                for pt, k in self._pat_toks:
                     if low[j : j + len(pt)] != pt:
                         continue
                     t0 = j + len(pt)
+                    targets = []
                     for w in range(1, min(mkw, n - t0) + 1):
                         surf = " ".join(low[t0 : t0 + w])
                         if lookup(surf) is not None:
+                            targets.append((surf, starts[t0], ends[t0 + w - 1]))
+                    if not targets:
+                        continue
+                    for rel, ri in rels:
+                        sc = sig[ri, k]
+                        if sc <= thr:
+                            continue
+                        for surf, s0, e0 in targets:
                             out.append(
                                 {
                                     "source": src,
                                     "relation": rel,
                                     "target": surf,
-                                    "score": float(sig[ri, k]),
-                                    "start": starts[t0],
-                                    "end": ends[t0 + w - 1],
+                                    "score": float(sc),
+                                    "start": s0,
+                                    "end": e0,
                                 }
                             )
         return out

@@ -22,10 +22,12 @@ def tokenize_with_offsets(text: str) -> Tuple[List[str], List[int], List[int]]:
     toks: List[str] = []
     starts: List[int] = []
     ends: List[int] = []
+    ta, sa, ea = toks.append, starts.append, ends.append
     for m in WORD_RE.finditer(text):
-        toks.append(m.group())
-        starts.append(m.start())
-        ends.append(m.end())
+        ta(m.group())
+        s, e = m.span()
+        sa(s)
+        ea(e)
     return toks, starts, ends
 
 

@@ -25,6 +25,67 @@ PR_DAMP = 850         # damping * 1000
 PR_ITERS = 3
 TWO_HOP_MAX_FANOUT = 64
 
+# r7 adaptive small-graph gate (the _cc_driver design generalized): at or
+# below this many DISTINCT edges the iterative centrality/community
+# operators run their loop on the driver from ONE bounded collect —
+# arithmetic-identical pure-integer replays, parity-tested against the
+# distributed plans, which remain the >bound (100 TB) path. Env-tunable
+# for clusters with small drivers; 0 disables every driver path.
+import os as _os
+
+GRAPH_DRIVER_MAX_EDGES = int(
+    _os.environ.get("GS_GRAPH_DRIVER_MAX_EDGES", "500000")
+)
+
+
+def _collected_edges(df: DataFrame, cols, max_edges: int | None):
+    """One bounded collect of an edge frame: rows if |rows| <= bound,
+    else None (caller falls back to the distributed plan). The limit
+    caps driver memory the same way _cc_driver's edge collect does."""
+    bound = GRAPH_DRIVER_MAX_EDGES if max_edges is None else max_edges
+    if bound <= 0:
+        return None
+    rows = df.select(*cols).limit(bound + 1).collect()
+    if len(rows) > bound:
+        return None
+    return rows
+
+
+def _fold_hash_py(s: str) -> int:
+    """functions/text.fold_hash replayed in python (ascii('') = 0 makes
+    the empty string hash 0, like the one-element sequence the JVM
+    expression folds)."""
+    if not s:
+        return 0
+    h = 0
+    for ch in s:
+        h = (h * 1000003 + ord(ch)) % 2147483647
+    return h
+
+
+def _adj_from_und(rows):
+    """Symmetric adjacency dict from collected undirected (a, b) rows."""
+    adj: dict = {}
+    for r in rows:
+        a, b = r[0], r[1]
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    return adj
+
+
+def _driver_seeds(adj, n_seeds: int):
+    """The n_seeds nodes with the smallest (fold_hash(id), id) — the same
+    deterministic hash-scrambled sample the distributed TakeOrdered
+    picks."""
+    import heapq
+
+    return [
+        n
+        for _h, n in heapq.nsmallest(
+            n_seeds, ((_fold_hash_py(n), n) for n in adj)
+        )
+    ]
+
 
 def _duckdb_round6(x):
     """round(x, 6) with DuckDB's double semantics: std::round(x*1e6)/1e6 —
@@ -810,6 +871,7 @@ def bfs_distances(
     triples: DataFrame,
     seed_prefix: str = "person:",
     depth: int = BFS_DEPTH,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Minimum directed-hop distance from any SEED entity (id starts with
     `seed_prefix`) within `depth` hops over the distinct edge set — the
@@ -828,50 +890,98 @@ def bfs_distances(
     the plan is a fixed pipeline, not a data-dependent recursion."""
     from gliner_spark.cache import forward_caches
 
+    erows = _collected_edges(
+        graph_edges(triples), ("src", "dst"), driver_max_edges
+    )
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): multi-source
+        # directed BFS replay over one bounded edge collect
+        adj_d: dict = {}
+        node_set = set()
+        for r in erows:
+            adj_d.setdefault(r[0], []).append(r[1])
+            node_set.add(r[0])
+            node_set.add(r[1])
+        dist_d = {n: 0 for n in node_set if n.startswith(seed_prefix)}
+        frontier = list(dist_d)
+        for d in range(1, depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj_d.get(u, ()):
+                    if v not in dist_d:
+                        dist_d[v] = d
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        out = triples.sparkSession.createDataFrame(
+            list(dist_d.items()), "node string, dist long"
+        ).orderBy("dist", "node")
+        return forward_caches(out, triples)
     e = graph_edges(triples).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    dist = nodes.filter(F.col("node").startswith(seed_prefix)).select(
-        "node", F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint()
-    frontier = dist.select("node")
-    prev_frontier = None
+    # r7 (guide §2.4): one lazy fixed-depth plan instead of a per-level
+    # localCheckpoint + anti-join + empty-frontier probe (4 jobs/level):
+    # level d = level d-1 expanded one directed hop (join + distinct),
+    # tagged with d; dist = min d per node == first-reach BFS distance
+    # (min walk length is the shortest-path length; levels past the true
+    # reach are empty and contribute nothing, like the old early exit).
+    lev0 = (
+        nodes.filter(F.col("node").startswith(seed_prefix))
+        .select("node")
+        .localCheckpoint()
+    )
+    lev = lev0
+    parts = [lev0.select("node", F.lit(0).cast("long").alias("dist"))]
     for d in range(1, depth + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
+        lev = (
+            lev.join(e, lev["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
-            .select("node", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint()
         )
-        if nxt.limit(1).count() == 0:
-            nxt.unpersist()
-            break
-        prev = dist
-        dist = dist.union(nxt).localCheckpoint()
-        prev.unpersist()
-        # the previous frontier's blocks are dead once this round's nxt
-        # (its only consumer) is materialized — same loop hygiene as the
-        # dangling-PageRank / kcore iterates
-        if prev_frontier is not None:
-            prev_frontier.unpersist()
-        prev_frontier = nxt
-        frontier = nxt.select("node")
-    if prev_frontier is not None:
-        prev_frontier.unpersist()  # dist is independently checkpointed
-    return forward_caches(dist.orderBy("dist", "node"), triples)
+        parts.append(lev.select("node", F.lit(d).cast("long").alias("dist")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    dist = allp.groupBy("node").agg(F.min("dist").cast("long").alias("dist"))
+    from gliner_spark.cache import attach_caches
+
+    # e / seed-level checkpoints ride the output as releasable handles
+    # (ADVICE r6: loop operators should expose their surviving
+    # checkpoints to release_caches instead of pinning blocks until GC)
+    return attach_caches(
+        forward_caches(dist.orderBy("dist", "node"), triples), e, lev0
+    )
 
 
 LPA_ROUNDS = 4
 
 
+def _lpa_driver(adj, rounds: int) -> dict:
+    """Synchronous LPA replay: plurality neighbor label, ties -> min
+    label — exactly the grouped-count + (desc c, asc lbl) row_number
+    pick of the distributed rounds."""
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for node, nbrs in adj.items():
+            cnt: dict = {}
+            for v in nbrs:
+                lab = labels[v]
+                cnt[lab] = cnt.get(lab, 0) + 1
+            new[node] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
 def lpa_communities(
     triples: DataFrame, rounds: int = LPA_ROUNDS,
     und: DataFrame | None = None, sort: bool = True,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan,
     Albert & Kumara 2007, made deterministic): every node starts labeled
@@ -882,8 +992,8 @@ def lpa_communities(
     A fixed `rounds` bound replaces "iterate to consensus": synchronous
     LPA need not converge at all (bipartite structures oscillate), so
     bounded rounds IS the spec, not an approximation of it — and a round
-    that changes no label is a fixpoint (new = f(old)), so the early
-    exit below equals the oracle's full unroll.
+    that changes no label is a fixpoint (new = f(old)), so the full
+    unroll run here equals the oracle's round CTEs exactly.
 
     Communities complement the other graph gates: connected components
     give reachability-level grouping, k-core gives density nuclei; LPA
@@ -898,16 +1008,34 @@ def lpa_communities(
     row_number window over those counts (partition size <= the node's
     distinct neighbor-label count <= its degree; the same hub exposure
     as the degree aggregate itself, no C(deg,2) blowup anywhere).
-    localCheckpoint + previous-iterate unpersist per round, the
-    CC/kcore/BFS loop hygiene. `und`: a caller-materialized canonical
-    undirected edge set to share (partition_modularity passes its own so
-    one query runs the distinct once — the clustering_coefficients
-    lesson); `sort=False` skips the output sort for composing
-    consumers."""
-    from gliner_spark.cache import forward_caches
+    r7 (guide §2.4): the fixed `rounds` unroll is ONE lazy plan — the
+    old per-round localCheckpoint + changed-probe pair (2 jobs/round)
+    existed only to drive the early exit, and a no-change round is a
+    fixpoint (new = f(old)), so running the full unroll lazily computes
+    the identical labels in a single action; each round references its
+    predecessor exactly once, so lineage stays linear. `und`: a
+    caller-materialized canonical undirected edge set to share
+    (partition_modularity passes its own so one query runs the distinct
+    once — the clustering_coefficients lesson); `sort=False` skips the
+    output sort for composing consumers."""
+    from gliner_spark.cache import attach_caches, forward_caches
 
+    own_und = None
     if und is None:
-        und = undirected_edges(triples).localCheckpoint()
+        rows = _collected_edges(
+            undirected_edges(triples), ("a", "b"), driver_max_edges
+        )
+        if rows is not None:
+            # driver path (GRAPH_DRIVER_MAX_EDGES gate): _lpa_driver is
+            # the exact synchronous-LPA replay over one bounded collect
+            labels_d = _lpa_driver(_adj_from_und(rows), rounds)
+            out = triples.sparkSession.createDataFrame(
+                list(labels_d.items()), "entity string, community string"
+            )
+            if sort:
+                out = out.orderBy("entity")
+            return forward_caches(out, triples)
+        und = own_und = undirected_edges(triples).localCheckpoint()
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
@@ -915,11 +1043,10 @@ def lpa_communities(
         sym.select("node")
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
     )
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(rounds):
-        nxt = (
+        labels = (
             sym.join(
                 labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
             )
@@ -928,26 +1055,39 @@ def lpa_communities(
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint()
         )
-        changed = (
-            nxt.join(labels, ["node", "lbl"], "left_anti").limit(1).count()
-        )
-        if changed == 0:
-            nxt.unpersist()
-            break
-        labels.unpersist()
-        labels = nxt
     out = labels.select(
         F.col("node").alias("entity"), F.col("lbl").alias("community")
     )
     if sort:
         out = out.orderBy("entity")
-    return forward_caches(out, triples)
+    out = forward_caches(out, triples)
+    if own_und is not None:
+        out = attach_caches(out, own_und)  # releasable (ADVICE r6)
+    return out
+
+
+def _duckdb_round6_py(x: float) -> float:
+    """Python replay of _duckdb_round6 (std::round(x*1e6)/1e6, half away
+    from zero on the binary double, -0.0 preserved)."""
+    import math
+
+    y = x * 1e6
+    a = abs(y)
+    t = math.floor(a)
+    mag = t + (1.0 if a - t >= 0.5 else 0.0)
+    if y < 0:
+        r = -mag
+    elif y > 0:
+        r = mag
+    else:
+        r = y
+    return r / 1e6
 
 
 def partition_modularity(
-    triples: DataFrame, rounds: int = LPA_ROUNDS
+    triples: DataFrame, rounds: int = LPA_ROUNDS,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Newman modularity decomposition of the LPA partition — the
     standard "are these communities real" score, per community and in
@@ -957,9 +1097,10 @@ def partition_modularity(
         q_c = e_c/m - (d_c/(2m))^2 = (4*m*e_c - d_c^2) / (4*m^2)
 
     and Q = sum_c q_c (in [-1/2, 1]; ~0 means the partition is no better
-    than random). Numerator and denominator are exact bigints here, so
-    the single rounded division replays bit-for-bit in the kg_modularity
-    oracle. (Bigint validity bound: 4*m*e_c needs m*e_c < 2^61 — fine up
+    than random). Numerator and denominator are exact bigints here, and
+    the single rounded division reproduces DuckDB's round() on the
+    binary double (_duckdb_round6, incl. -0.0), so the kg_modularity
+    oracle replays it bit-for-bit. (Bigint validity bound: 4*m*e_c needs m*e_c < 2^61 — fine up
     to ~1.5e9 edges; past that a consumer switches the final division to
     doubles, the standard practice at that scale.)
 
@@ -971,8 +1112,52 @@ def partition_modularity(
     candidates."""
     from gliner_spark.cache import forward_caches
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): LPA + the exact
+        # integer modularity decomposition over one bounded edge collect;
+        # the one double division replays DuckDB's round via
+        # _duckdb_round6_py (same floats: int->double exact below 2^53,
+        # IEEE division both engines)
+        adj = _adj_from_und(rows)
+        labels_d = _lpa_driver(adj, rounds)
+        m = len(rows)
+        e_intra: dict = {}
+        for r in rows:
+            ca = labels_d[r[0]]
+            if ca == labels_d[r[1]]:
+                e_intra[ca] = e_intra.get(ca, 0) + 1
+        comm: dict = {}
+        for node, c in labels_d.items():
+            n_nodes, d_total = comm.get(c, (0, 0))
+            comm[c] = (n_nodes + 1, d_total + len(adj[node]))
+        data = [
+            (
+                c,
+                n_nodes,
+                e_intra.get(c, 0),
+                d_total,
+                _duckdb_round6_py(
+                    float(4 * m * e_intra.get(c, 0) - d_total * d_total)
+                    / float(4 * m * m)
+                ),
+            )
+            for c, (n_nodes, d_total) in comm.items()
+        ]
+        out = triples.sparkSession.createDataFrame(
+            data,
+            "community string, n_nodes long, e_intra long, d_total long, "
+            "q_contrib double",
+        ).orderBy("community")
+        return forward_caches(out, triples)
     und = undirected_edges(triples).localCheckpoint()
+    # the LPA unroll is lazy (r7); this operator reads it three times
+    # (both intra-edge endpoints + the degree-sum join), so materialize
+    # the final labels once
     labels = lpa_communities(triples, rounds, und=und, sort=False)
+    labels = labels.localCheckpoint()
     la = labels.select(F.col("entity").alias("a"), F.col("community").alias("ca"))
     lb = labels.select(F.col("entity").alias("b"), F.col("community").alias("cb"))
     intra = (
@@ -1015,7 +1200,9 @@ def partition_modularity(
         )
         .orderBy("community")
     )
-    return forward_caches(out, triples)
+    from gliner_spark.cache import attach_caches
+
+    return attach_caches(forward_caches(out, triples), und, labels)
 
 
 def schema_profile(triples: DataFrame) -> DataFrame:
@@ -1315,7 +1502,10 @@ def metapath_counts(
 WL_ROUNDS = 3
 
 
-def wl_colors(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+def wl_colors(
+    triples: DataFrame, rounds: int = WL_ROUNDS,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
     """1-dimensional Weisfeiler-Leman color refinement over the
     undirected entity graph (Weisfeiler & Leman 1968; the WL-kernel
     relabeling of Shervashidze et al. 2011): every entity starts with a
@@ -1348,6 +1538,33 @@ def wl_colors(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
     from gliner_spark.cache import forward_caches
     from gliner_spark.functions.text import FOLD_M, P31, fold_hash
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): the refinement hash
+        # is pure bigint arithmetic — replayed exactly (fold_hash of the
+        # type prefix, sorted neighbor colors, same FOLD_M/P31 folds)
+        adj = _adj_from_und(rows)
+        cols_d = {
+            n: _fold_hash_py(n.split(":", 1)[0]) for n in adj
+        }
+        for _ in range(rounds):
+            new = {}
+            for node, nbrs in adj.items():
+                acc = 0
+                for c in sorted(cols_d[v] for v in nbrs):
+                    acc = (acc * FOLD_M + c) % P31
+                new[node] = (cols_d[node] * FOLD_M + acc) % P31
+            cols_d = new
+        sizes: dict = {}
+        for c in cols_d.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        out = triples.sparkSession.createDataFrame(
+            [(n, c, sizes[c]) for n, c in cols_d.items()],
+            "entity string, wl_color long, class_size long",
+        ).orderBy("entity")
+        return forward_caches(out, triples)
     und = undirected_edges(triples).localCheckpoint()
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
@@ -1361,9 +1578,12 @@ def wl_colors(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
             .cast("long")
             .alias("color"),
         )
-        .localCheckpoint()
     )
-    prev = colors
+    # r7 (guide §2.4): the fixed-round refinement is ONE lazy plan — the
+    # old per-round localCheckpoint job existed only for loop hygiene;
+    # each round reads its predecessor twice (neighbor + own color), and
+    # those two identical subtrees share their shuffle via ReusedExchange
+    # at runtime, so nothing is computed twice.
     for _ in range(rounds):
         nb = (
             sym.join(
@@ -1397,17 +1617,16 @@ def wl_colors(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
                 .cast("long")
                 .alias("color"),
             )
-            .localCheckpoint()
         )
-        prev.unpersist()
-        prev = colors
     w = Window.partitionBy("color")
     out = colors.select(
         "entity",
         F.col("color").alias("wl_color"),
         F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
     ).orderBy("entity")
-    return forward_caches(out, triples)
+    from gliner_spark.cache import attach_caches
+
+    return attach_caches(forward_caches(out, triples), und)
 
 
 def degree_histogram(triples: DataFrame) -> DataFrame:
@@ -1469,16 +1688,46 @@ HC_UNIT = 1_000_000
 
 
 
+def _seed_bfs_driver(adj, seeds, depth: int) -> dict:
+    """{(seed, node): first-reach dist} per-seed BFS to `depth` — the
+    pure-python replay of _seed_bfs for driver-gated small graphs."""
+    out = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        for node, d in dist.items():
+            out[(s, node)] = d
+    return out
+
+
 def _seed_bfs(triples: DataFrame, n_seeds: int, depth: int) -> DataFrame:
-    """Shared multi-source level-synchronous BFS over the undirected
-    entity graph: (seed, node, dist) for the n_seeds hash-chosen seeds,
-    dist <= depth, first reach = min dist. One equi-join + distinct +
-    anti-join per round over the localCheckpointed symmetric edge list,
-    superseded checkpoints released each round (CC loop hygiene). The
-    returned frame is localCheckpointed — callers attach it to their
-    output as a releasable cache handle. Used by harmonic_centrality
-    and distance_profile (stress_centrality carries path counts, so it
-    keeps its own Brandes variant)."""
+    """Shared multi-source BFS over the undirected entity graph:
+    (seed, node, dist) for the n_seeds hash-chosen seeds, dist <= depth,
+    first reach = min dist. Used by harmonic_centrality and
+    distance_profile (stress_centrality carries path counts, so it keeps
+    its own Brandes variant).
+
+    r7 (guide §2.4): the per-level localCheckpoint + anti-join +
+    empty-frontier-probe loop (4 jobs per level) is replaced by ONE lazy
+    fixed-depth plan: level d's reachable set is the previous level
+    expanded one hop (join + distinct), every level is tagged with its
+    d, and dist = min d per (seed, node) — identical to first-reach BFS
+    (min walk length == shortest-path length), with empty levels beyond
+    the true eccentricity contributing nothing, exactly like the old
+    early exit. 3 jobs total (und + seeds checkpoints + the caller's
+    action); the repeated level subtrees share their shuffles via
+    ReusedExchange. The returned frame is localCheckpointed — callers
+    attach it to their output as a releasable cache handle."""
     from gliner_spark.functions.text import fold_hash
 
     und = undirected_edges(triples).localCheckpoint()
@@ -1494,34 +1743,25 @@ def _seed_bfs(triples: DataFrame, n_seeds: int, depth: int) -> DataFrame:
         .select(F.col("node").alias("seed"))
         .localCheckpoint()
     )
-    dist = seeds.select(
-        "seed",
-        F.col("seed").alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint()
-    frontier = dist.select("seed", "node")
-    prev_frontier = None
+    lev = seeds.select("seed", F.col("seed").alias("node"))
+    parts = [lev.select("seed", "node", F.lit(0).cast("long").alias("dist"))]
     for d in range(1, depth + 1):
-        nxt = (
-            frontier.join(sym, "node")
+        lev = (
+            lev.join(sym, "node")
             .select("seed", F.col("nbr").alias("node"))
             .distinct()
-            .join(dist, ["seed", "node"], "left_anti")
-            .select("seed", "node", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint()
         )
-        if nxt.limit(1).count() == 0:
-            nxt.unpersist()
-            break
-        prev = dist
-        dist = dist.union(nxt).localCheckpoint()
-        prev.unpersist()
-        if prev_frontier is not None:
-            prev_frontier.unpersist()
-        prev_frontier = nxt
-        frontier = nxt.select("seed", "node")
-    if prev_frontier is not None:
-        prev_frontier.unpersist()
+        parts.append(
+            lev.select("seed", "node", F.lit(d).cast("long").alias("dist"))
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    dist = (
+        allp.groupBy("seed", "node")
+        .agg(F.min("dist").cast("long").alias("dist"))
+        .localCheckpoint()
+    )
     seeds.unpersist()
     und.unpersist()
     return dist
@@ -1531,6 +1771,7 @@ def harmonic_centrality(
     triples: DataFrame,
     n_seeds: int = HC_SEEDS,
     depth: int = HC_DEPTH,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Seed-sampled harmonic centrality over the undirected entity graph
     (Boldi & Vigna 2014's preferred centrality; estimated from a fixed
@@ -1557,6 +1798,26 @@ def harmonic_centrality(
     materialized)."""
     from gliner_spark.cache import attach_caches, forward_caches
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): one bounded collect
+        # of the distinct undirected edges, integer BFS + harmonic sums
+        # in python — arithmetic-identical (HC_UNIT DIV dist == // for
+        # nonneg), parity-tested against the distributed plan below
+        adj = _adj_from_und(rows)
+        seeds = _driver_seeds(adj, n_seeds)
+        acc: dict = {}
+        for (s, node), d in _seed_bfs_driver(adj, seeds, depth).items():
+            if d > 0:
+                h, c = acc.get(node, (0, 0))
+                acc[node] = (h + HC_UNIT // d, c + 1)
+        out = triples.sparkSession.createDataFrame(
+            [(n, h, c) for n, (h, c) in acc.items()],
+            "entity string, harmonic long, n_seeds_reached long",
+        ).orderBy(F.desc("harmonic"), "entity")
+        return forward_caches(out, triples)
     dist = _seed_bfs(triples, n_seeds, depth)
     out = (
         dist.filter(F.col("dist") > 0)
@@ -1577,7 +1838,10 @@ HITS_ROUNDS = 2
 HITS_UNIT = 1_000_000
 
 
-def hits(triples: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
+def hits(
+    triples: DataFrame, rounds: int = HITS_ROUNDS,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
     """Integer HITS hubs-and-authorities over the distinct directed edge
     set (Kleinberg 1999): fixed `rounds` of mutual reinforcement —
     authority(v) = sum of hub over in-neighbors, hub(v) = sum of the new
@@ -1602,6 +1866,36 @@ def hits(triples: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
     the logical plan stays flat."""
     from gliner_spark.cache import forward_caches
 
+    if rounds < 1:
+        raise ValueError("hits needs rounds >= 1 (0 rounds would have "
+                         "no authority scores to return)")
+    erows = _collected_edges(
+        graph_edges(triples), ("src", "dst"), driver_max_edges
+    )
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): the integer HITS
+        # rounds replayed exactly ((UNIT * s) DIV max == // for nonneg,
+        # max floored at 1 like the greatest(max, 1) aggregate)
+        edges_d = [(r[0], r[1]) for r in erows]
+        nodes_d = sorted({x for ed in edges_d for x in ed})
+        hub_d = {n: HITS_UNIT for n in nodes_d}
+        auth_d: dict = {}
+        for _ in range(rounds):
+            s = {n: 0 for n in nodes_d}
+            for u, v in edges_d:
+                s[v] += hub_d[u]
+            mx = max(max(s.values(), default=0), 1)
+            auth_d = {n: (HITS_UNIT * s[n]) // mx for n in nodes_d}
+            s2 = {n: 0 for n in nodes_d}
+            for u, v in edges_d:
+                s2[u] += auth_d[v]
+            mx2 = max(max(s2.values(), default=0), 1)
+            hub_d = {n: (HITS_UNIT * s2[n]) // mx2 for n in nodes_d}
+        out = triples.sparkSession.createDataFrame(
+            [(n, auth_d[n], hub_d[n]) for n in nodes_d],
+            "entity string, authority long, hub long",
+        ).orderBy(F.desc("authority"), "entity")
+        return forward_caches(out, triples)
     e = graph_edges(triples).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -1612,17 +1906,22 @@ def hits(triples: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
     hub = nodes.select(
         "node", F.lit(HITS_UNIT).cast("long").alias("score")
     )
-    if rounds < 1:
-        raise ValueError("hits needs rounds >= 1 (0 rounds would have "
-                         "no authority scores to return)")
     auth = None
     prev = []
 
-    def _normalized(raw):
-        """nodes left-joined to raw sums, renormalized to HITS_UNIT."""
+    def _normalized(raw, prev_list):
+        """nodes left-joined to raw sums, renormalized to HITS_UNIT.
+
+        r7: the checkpoint sits on the RAW per-node sums (one execution
+        of the half-round), not on the normalized frame — the old shape
+        checkpointed AFTER the broadcast-max crossJoin, so the max
+        aggregate's broadcast job and the checkpoint job each executed
+        the full join+sum lineage (2x per half-round). The max and the
+        normalization projection now both read the checkpointed sums."""
         full = nodes.join(raw, "node", "left").select(
             "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
-        )
+        ).localCheckpoint()
+        prev_list.append(full)
         mx = full.agg(F.greatest(F.max("s"), F.lit(1)).alias("_mx"))
         return full.crossJoin(F.broadcast(mx)).select(
             "node",
@@ -1630,28 +1929,31 @@ def hits(triples: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
         )
 
     for _ in range(rounds):
+        cur = []
         a_raw = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("score").alias("s"))
         )
-        auth = _normalized(a_raw).localCheckpoint()
+        auth = _normalized(a_raw, cur)
         h_raw = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("score").alias("s"))
         )
-        hub = _normalized(h_raw).localCheckpoint()
+        hub = _normalized(h_raw, cur)
         for p in prev:
             p.unpersist()
-        prev = [auth, hub]
+        prev = cur
     out = (
         auth.withColumnRenamed("score", "authority")
         .join(hub.withColumnRenamed("score", "hub"), "node")
         .select(F.col("node").alias("entity"), "authority", "hub")
         .orderBy(F.desc("authority"), "entity")
     )
-    return forward_caches(out, triples)
+    from gliner_spark.cache import attach_caches
+
+    return attach_caches(forward_caches(out, triples), e, nodes, *prev)
 
 
 def reciprocity(triples: DataFrame) -> DataFrame:
@@ -1761,10 +2063,59 @@ STRESS_SEEDS = 8
 STRESS_DEPTH = 4
 
 
+def _stress_driver(adj, seeds, depth: int) -> dict:
+    """{node: [stress_sum, n_seeds_reached]} — per-seed two-phase
+    Brandes with integer path counts, the driver replay of the
+    distributed plan below (sigma = sum of level-(d-1) predecessor
+    sigmas; g = 1 + sum of g over one-level-deeper neighbors; through =
+    sigma * (g - 1) for dist >= 1)."""
+    stress: dict = {}
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        frontier = [s]
+        for d in range(1, depth + 1):
+            nxt = []
+            for u in frontier:
+                su = sigma[u]
+                for v in adj[u]:
+                    dv = dist.get(v)
+                    if dv is None:
+                        dist[v] = d
+                        sigma[v] = su
+                        nxt.append(v)
+                    elif dv == d:
+                        sigma[v] += su
+            if not nxt:
+                break
+            levels.append(nxt)
+            frontier = nxt
+        g: dict = {}
+        for li in range(len(levels) - 1, -1, -1):
+            for v in levels[li]:
+                gv = 1
+                for w in adj[v]:
+                    if dist.get(w) == li + 1:
+                        gv += g[w]
+                g[v] = gv
+        for li in range(1, len(levels)):
+            for v in levels[li]:
+                thr = sigma[v] * (g[v] - 1)
+                e = stress.get(v)
+                if e is None:
+                    stress[v] = [thr, 1]
+                else:
+                    e[0] += thr
+                    e[1] += 1
+    return stress
+
+
 def stress_centrality(
     triples: DataFrame,
     n_seeds: int = STRESS_SEEDS,
     depth: int = STRESS_DEPTH,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Seed-sampled stress centrality over the undirected entity graph —
     the INTEGER member of the betweenness family (Shimbel 1953;
@@ -1807,6 +2158,22 @@ def stress_centrality(
     from gliner_spark.cache import forward_caches
     from gliner_spark.functions.text import fold_hash
 
+    from gliner_spark.cache import attach_caches
+
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): pure-integer Brandes
+        # replay over one bounded edge collect (_stress_driver)
+        adj = _adj_from_und(rows)
+        seeds = _driver_seeds(adj, n_seeds)
+        st = _stress_driver(adj, seeds, depth)
+        out = triples.sparkSession.createDataFrame(
+            [(n, v[0], v[1]) for n, v in st.items()],
+            "entity string, stress long, n_seeds_reached long",
+        ).orderBy(F.desc("stress"), "entity")
+        return forward_caches(out, triples)
     und = undirected_edges(triples).localCheckpoint()
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
@@ -1818,36 +2185,64 @@ def stress_centrality(
         .orderBy("h", "node")
         .limit(n_seeds)
         .select(F.col("node").alias("seed"))
+        .localCheckpoint()
     )
-    lev0 = seeds.select(
-        "seed", F.col("seed").alias("node"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint()
-    levels = [lev0]
-    visited = lev0.select("seed", "node").localCheckpoint()
-    for _ in range(depth):
-        cand = (
-            levels[-1].join(sym, "node")
+    # r7 (guide §2.4): ONE checkpointed distance frame from the lazy
+    # tagged-min BFS (min walk length == shortest distance; the same
+    # reformulation as _seed_bfs), then the sigma and g chains are built
+    # LAZILY over dist's per-level filters — level sets are cheap scans
+    # of the checkpoint, every chain step references its predecessor
+    # once, and one final action executes the whole two-phase Brandes
+    # instead of ~4 jobs per level.
+    lev = seeds.select("seed", F.col("seed").alias("node"))
+    parts = [lev.select("seed", "node", F.lit(0).cast("long").alias("dist"))]
+    for d in range(1, depth + 1):
+        lev = (
+            lev.join(sym, "node")
+            .select("seed", F.col("nbr").alias("node"))
+            .distinct()
+        )
+        parts.append(
+            lev.select("seed", "node", F.lit(d).cast("long").alias("dist"))
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    dist = (
+        allp.groupBy("seed", "node")
+        .agg(F.min("dist").cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    levels = [
+        dist.filter(F.col("dist") == d).select("seed", "node")
+        for d in range(depth + 1)
+    ]
+    # forward sigma: sigma(level d) = per-(seed, node) sum of level d-1
+    # predecessor sigmas over the shortest-path DAG (the inner join with
+    # level d replaces the old anti-join-vs-visited: both keep exactly
+    # the first-reached pairs)
+    sig = [
+        levels[0].select("seed", "node", F.lit(1).cast("long").alias("sigma"))
+    ]
+    for d in range(1, depth + 1):
+        sig.append(
+            sig[d - 1].join(sym, "node")
             .groupBy("seed", F.col("nbr").alias("node"))
             .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(levels[d], ["seed", "node"])
         )
-        nxt = cand.join(
-            visited, ["seed", "node"], "left_anti"
-        ).localCheckpoint()
-        if nxt.limit(1).count() == 0:
-            nxt.unpersist()
-            break
-        prev_visited = visited
-        visited = visited.union(nxt.select("seed", "node")).localCheckpoint()
-        prev_visited.unpersist()
-        levels.append(nxt)
-    # backward accumulation, deepest level up: g = 1 + sum of
-    # successor g along the shortest-path DAG (edge + one level deeper)
-    g = levels[-1].select("seed", "node", F.lit(1).cast("long").alias("g"))
-    per_level_g = {len(levels) - 1: g}
-    for li in range(len(levels) - 2, -1, -1):
+    # backward accumulation, deepest level up: g = 1 + sum of successor
+    # g along the shortest-path DAG (edge + one level deeper); levels
+    # past the true reach are empty frames and contribute nothing,
+    # exactly like the old early exit
+    per_level_g = {
+        depth: levels[depth].select(
+            "seed", "node", F.lit(1).cast("long").alias("g")
+        )
+    }
+    for li in range(depth - 1, -1, -1):
         succ = (
-            levels[li].select("seed", "node")
+            levels[li]
             .join(sym, "node")
             .join(
                 per_level_g[li + 1].select(
@@ -1860,32 +2255,23 @@ def stress_centrality(
             .agg(F.sum("gn").alias("sg"))
         )
         per_level_g[li] = (
-            levels[li].select("seed", "node")
+            levels[li]
             .join(succ, ["seed", "node"], "left")
             .select(
                 "seed", "node",
                 (F.lit(1) + F.coalesce(F.col("sg"), F.lit(0)))
                 .cast("long").alias("g"),
             )
-            .localCheckpoint()
         )
     through = None
-    for li in range(1, len(levels)):
-        part = levels[li].join(
+    for li in range(1, depth + 1):
+        part = sig[li].join(
             per_level_g[li], ["seed", "node"]
         ).select(
             "seed", "node",
             (F.col("sigma") * (F.col("g") - F.lit(1))).alias("thr"),
         )
         through = part if through is None else through.union(part)
-    if through is None:  # no seed reached anything
-        spark = triples.sparkSession
-        return forward_caches(
-            spark.createDataFrame(
-                [], "entity string, stress long, n_seeds_reached long"
-            ),
-            triples,
-        )
     out = (
         through.groupBy("node")
         .agg(
@@ -1895,13 +2281,14 @@ def stress_centrality(
         .select(F.col("node").alias("entity"), "stress", "n_seeds_reached")
         .orderBy(F.desc("stress"), "entity")
     )
-    return forward_caches(out, triples)
+    return attach_caches(forward_caches(out, triples), und, seeds, dist)
 
 
 def distance_profile(
     triples: DataFrame,
     n_seeds: int = HC_SEEDS,
     depth: int = HC_DEPTH,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Seed-sampled shortest-distance distribution of the undirected
     entity graph — the effective-diameter readout (the d50/d90 "six
@@ -1921,6 +2308,30 @@ def distance_profile(
     unrolled levels and the permille division exactly."""
     from gliner_spark.cache import attach_caches, forward_caches
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate) — same BFS replay as
+        # harmonic_centrality; the histogram/cumulative/permille are
+        # exact integer folds (1000 * cum DIV total == // for nonneg)
+        adj = _adj_from_und(rows)
+        seeds = _driver_seeds(adj, n_seeds)
+        hist_d: dict = {}
+        for d in _seed_bfs_driver(adj, seeds, depth).values():
+            if d > 0:
+                hist_d[d] = hist_d.get(d, 0) + 1
+        total = sum(hist_d.values())
+        data, cum = [], 0
+        for d in sorted(hist_d):
+            cum += hist_d[d]
+            data.append((d, hist_d[d], cum, 1000 * cum // total))
+        out = triples.sparkSession.createDataFrame(
+            data,
+            "dist long, n_pairs long, cum_pairs long, "
+            "reached_permille long",
+        ).orderBy("dist")
+        return forward_caches(out, triples)
     dist = _seed_bfs(triples, n_seeds, depth)
     hist = (
         dist.filter(F.col("dist") > 0)

@@ -347,6 +347,138 @@ def closure_clusters(
     )
 
 
+def _canonicalize_driver_rows(rows, cfg: PipelineConfig):
+    """Pure-python replay of the LSH -> verify -> CC -> representative
+    pipeline for a SMALL collected surface table — arithmetic-identical
+    to the distributed path (same shingle fold hash, minhash perms, band
+    fold, block cap, double-division Jaccard, ranking and md5 ids), so
+    the output rows are byte-equal (asserted by
+    test_canonicalize_driver_parity and the kg_entities/kg_triples
+    oracles). The distributed plan's per-stage jobs (LSH self-join,
+    bounded edge collect, CC, window rank, cluster joins) collapse into
+    one python pass over a few hundred Zipf-collapsed surfaces — the
+    same adaptive-small-graph design as connected_components'
+    _cc_driver (guide §1.2: the fastest shuffle is no shuffle).
+
+    rows: collected (label, norm, n_mentions) Rows.
+    Returns (surface_map_rows, entities_rows, audit_row) as plain
+    tuples + the audit dict for the LSH block-cap guard."""
+    import hashlib as _hashlib
+
+    k = cfg.link_shingle_size
+    assert k == 3, "char-fold hash is specialized for k=3"
+    rows_n, bands = cfg.link_minhash_rows, cfg.link_minhash_bands
+    per_band = rows_n // bands
+    P = _P31
+    perms = []
+    for j in range(rows_n):
+        a = 2 * ((j * 0x9E3779B1) % (P // 2 - 1)) + 1
+        b = (j * 0x85EBCA77) % P
+        perms.append((a, b))
+
+    def _cp(s: str, i: int) -> int:
+        # F.ascii(F.substring(s, i, 1)): codepoint of char i (1-based),
+        # 0 when the substring is empty
+        return ord(s[i - 1]) if i <= len(s) else 0
+
+    def _fold(s: str) -> int:
+        h = _cp(s, 1)
+        for i in (2, 3):
+            h = (h * 1000003 + _cp(s, i)) % P
+        return h
+
+    surf = []  # (label, norm, n_mentions, shingle_set, [band_sigs])
+    for r in rows:
+        label, norm, n_m = r[0], r[1], int(r[2])
+        pad = f" {norm} "
+        n_sh = max(len(pad) - (k - 1), 1)
+        shingles = list(dict.fromkeys(pad[i : i + k] for i in range(n_sh)))
+        hashes = [_fold(s) for s in shingles]
+        mh = [min(((h * a) + b) % P for h in hashes) for a, b in perms]
+        sigs = []
+        for bb in range(bands):
+            sig = 0
+            for j in range(bb * per_band, (bb + 1) * per_band):
+                sig = (sig * 1000003 + mh[j]) % P
+            sigs.append(sig)
+        surf.append((label, norm, n_m, set(shingles), sigs))
+
+    # LSH blocks + the audited block cap (capped_filter semantics: every
+    # row of an over-cap block is dropped from pair generation)
+    blocks: dict = {}
+    for idx, (label, _n, _m, _sh, sigs) in enumerate(surf):
+        for bb, sig in enumerate(sigs):
+            blocks.setdefault((label, bb, sig), []).append(idx)
+    cap = int(cfg.link_max_block_size)
+    n_dropped = 0
+    max_block = 0
+    pairs = set()
+    for members in blocks.values():
+        sz = len(members)
+        max_block = max(max_block, sz)
+        if sz > cap:
+            n_dropped += sz
+            continue
+        for i in range(sz):
+            for j in range(i + 1, sz):
+                a, b = members[i], members[j]
+                if surf[a][1] == surf[b][1]:
+                    continue
+                pairs.add((a, b) if surf[a][1] < surf[b][1] else (b, a))
+
+    thr = cfg.link_jaccard_threshold
+    parent = list(range(len(surf)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        sa, sb = surf[a][3], surf[b][3]
+        inter = len(sa & sb)
+        # same IEEE double division as F.size/F.size in the JVM
+        if inter / len(sa | sb) >= thr:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict = {}
+    for idx in range(len(surf)):
+        comps.setdefault(find(idx), []).append(idx)
+
+    surface_map = []
+    entities: dict = {}
+    for members in comps.values():
+        # representative: most mentions, then shortest, then lexic. min
+        rep = min(members, key=lambda i: (-surf[i][2], len(surf[i][1]), surf[i][1]))
+        canon_label, canonical = surf[rep][0], surf[rep][1]
+        digest = _hashlib.md5(
+            f"{canon_label}\x00{canonical}".encode("utf-8")
+        ).hexdigest()[:16]
+        entity_id = f"{canon_label}:{digest}"
+        total = 0
+        for i in members:
+            surface_map.append(
+                (surf[i][0], surf[i][1], entity_id, canonical, surf[i][2])
+            )
+            total += surf[i][2]
+        entities[(entity_id, canonical)] = (canon_label, total)
+
+    entities_rows = [
+        (eid, canonical, label, n)
+        for (eid, canonical), (label, n) in entities.items()
+    ]
+    audit = {
+        "guard": "linking_lsh_block_cap",
+        "n_dropped_rows": n_dropped,
+        "max_group_size": max_block,
+        "cap": cap,
+    }
+    return surface_map, entities_rows, audit
+
+
 def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     """mentions -> (entities DF, surface->entity map DF).
 
@@ -367,8 +499,48 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     # partition — every per-round shuffle becomes a single-task exchange
     # (the count is already paid: it materializes the persist).
     n_surfaces = surfaces.count()
-    if n_surfaces <= 100_000:
-        surfaces = surfaces.coalesce(1)
+    if n_surfaces <= cfg.link_driver_max_surfaces:
+        # r7 adaptive small-vocabulary path (guide §1.2 / §2.4): below the
+        # bound the whole LSH -> verify -> CC -> representative pipeline
+        # runs on the driver over ONE bounded collect of the persisted
+        # surface table (_canonicalize_driver_rows is arithmetic-identical
+        # to the distributed plan; parity test + oracles gate it). This
+        # replaces ~6 sequential driver-visible jobs (LSH self-join,
+        # bounded edge collect, CC, window rank, two cluster joins) with
+        # collect + createDataFrame — the same gated design as
+        # connected_components' _cc_driver. Above the bound the
+        # distributed plan below is unchanged (the 100 TB path).
+        from gliner_spark.cache import attach_caches
+        from gliner_spark.metrics import attach_audits
+
+        spark = mentions.sparkSession
+        smap_rows, ent_rows, audit = _canonicalize_driver_rows(
+            surfaces.collect(), cfg
+        )
+        audit_df = spark.createDataFrame(
+            [
+                (
+                    audit["guard"], audit["n_dropped_rows"],
+                    audit["max_group_size"], audit["cap"],
+                )
+            ],
+            "guard string, n_dropped_rows long, max_group_size long, "
+            "cap long",
+        )
+        entities = spark.createDataFrame(
+            ent_rows,
+            "entity_id string, canonical string, label string, "
+            "n_mentions long",
+        )
+        smap_out = spark.createDataFrame(
+            smap_rows,
+            "label string, norm string, entity_id string, "
+            "canonical string, n_mentions long",
+        )
+        entities = attach_caches(attach_audits(entities, audit_df), surfaces)
+        smap_out = attach_caches(smap_out, surfaces)
+        return entities, smap_out
+    surfaces = surfaces.coalesce(1) if n_surfaces <= 100_000 else surfaces
     edges_s = similarity_edges(surfaces, cfg)
 
     keyed = surfaces.withColumn("id", F.xxhash64("label", "norm"))

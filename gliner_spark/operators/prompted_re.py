@@ -53,13 +53,16 @@ def extract_relations_prompted(
                     sp["text"] for sp in spans if sp["kind"] == "text"
                 )
                 # pass 1: NER
-                mentions, _, _, _ = m.predict_doc(text, labels=entities)
+                mentions, toks, st, en = m.predict_doc(text, labels=entities)
                 # per-doc composite labels (prepare_source_relation :82-92;
                 # unique entity texts × relations)
                 uniq = list(dict.fromkeys(mn["text"] for mn in mentions))
                 comp = [f"{ent} <> {rel}" for rel in rel_list for ent in uniq]
-                # pass 2: composite-label scoring + parse-back
-                for r in m.predict_doc_composite(text, comp):
+                # pass 2: composite-label scoring + parse-back (pass-1
+                # tokens reused — same splitter, same text)
+                for r in m.predict_doc_composite(
+                    text, comp, pretokenized=(toks, st, en)
+                ):
                     rows.append({"doc_id": doc_id, **r})
             yield pd.DataFrame(
                 rows,

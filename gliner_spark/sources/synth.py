@@ -37,14 +37,20 @@ def _zipf_probs(n: int, a: float = 1.1) -> np.ndarray:
 _ZIPF = {t: _zipf_probs(len(s)) for t, s in _SURFACES.items()}
 # inverse-CDF sampling: rng.choice(p=...) re-validates the probability
 # vector on every call (~30us); searchsorted against the precomputed CDF is
-# ~1us with the identical distribution
-_ZIPF_CDF = {t: np.cumsum(p) for t, p in _ZIPF.items()}
+# ~1us with the identical distribution. r7: bisect on the same CDF values
+# (as python floats — bit-identical IEEE doubles, so the comparisons and
+# hence the picked index are unchanged) drops the per-call numpy dispatch.
+_ZIPF_CDF = {t: list(map(float, np.cumsum(p))) for t, p in _ZIPF.items()}
+
+from bisect import bisect_right
 
 
 def _pick(rng: Generator, etype: str) -> str:
-    i = int(np.searchsorted(_ZIPF_CDF[etype], rng.random(), side="right"))
-    i = min(i, len(_SURFACES[etype]) - 1)
-    return _SURFACES[etype][i]
+    surfaces = _SURFACES[etype]
+    i = bisect_right(_ZIPF_CDF[etype], rng.random())
+    if i >= len(surfaces):
+        i = len(surfaces) - 1
+    return surfaces[i]
 
 
 def gen_doc(i: int, seed: int = 42) -> dict:

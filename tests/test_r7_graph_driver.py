@@ -1,0 +1,80 @@
+"""r7: the driver-gated small-graph paths must be row-identical to the
+distributed plans for every operator that gained one (the _cc_driver
+adaptive design generalized). Each op runs twice — driver path (default
+gate) vs forced-distributed (driver_max_edges=0) — on a random graph
+with hubs, chains and isolated cliques."""
+
+import random
+
+import pytest
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(f"d{i}", s, p, o, "t", "t", 0.9) for i, (s, p, o) in enumerate(rows)],
+        "doc_id string, subj string, pred string, obj string, "
+        "subj_type string, obj_type string, score double",
+    )
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rng = random.Random(17)
+    names = [f"person:{i:03d}" for i in range(30)] + [
+        f"org:{i:03d}" for i in range(30)
+    ]
+    rows = list(
+        {
+            (rng.choice(names), rng.choice(["r", "s"]), rng.choice(names))
+            for _ in range(220)
+        }
+    )
+    # a chain (exercises depth) and an isolated clique
+    rows += [(f"chain:{i}", "r", f"chain:{i+1}") for i in range(8)]
+    rows += [
+        (f"cliq:{a}", "r", f"cliq:{b}") for a in range(4) for b in range(4)
+        if a < b
+    ]
+    return _triples(spark, rows)
+
+
+def _rows(df):
+    from gliner_spark.cache import release_caches
+
+    out = sorted(tuple(r) for r in df.collect())
+    release_caches(df)
+    return out
+
+
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "lpa", "modularity", "wl", "hits", "bfs", "harmonic",
+        "distances", "stress",
+    ],
+)
+def test_driver_paths_match_distributed(spark, graph, name):
+    import gliner_spark.operators.graph_analytics as ga
+
+    fns = {
+        "lpa": lambda d: ga.lpa_communities(graph, driver_max_edges=d),
+        "modularity": lambda d: ga.partition_modularity(
+            graph, driver_max_edges=d
+        ),
+        "wl": lambda d: ga.wl_colors(graph, driver_max_edges=d),
+        "hits": lambda d: ga.hits(graph, driver_max_edges=d),
+        "bfs": lambda d: ga.bfs_distances(graph, driver_max_edges=d),
+        "harmonic": lambda d: ga.harmonic_centrality(
+            graph, driver_max_edges=d
+        ),
+        "distances": lambda d: ga.distance_profile(
+            graph, driver_max_edges=d
+        ),
+        "stress": lambda d: ga.stress_centrality(graph, driver_max_edges=d),
+    }
+    drv = _rows(fns[name](10_000_000))
+    dist = _rows(fns[name](0))
+    assert drv == dist, f"{name}: driver path diverges from distributed"
+    assert len(drv) > 0
