@@ -183,7 +183,9 @@ def two_hop_paths(
     return forward_caches(attach_audits(out, audit), triples)
 
 
-def entity_components(triples: DataFrame, cfg=None) -> DataFrame:
+def entity_components(
+    triples: DataFrame, cfg=None, driver_max_edges: int | None = None
+) -> DataFrame:
     """Connected components of the (undirected) entity graph — the
     community/link-structure query KG consumers run right after degree
     profiles. Reuses the adaptive CC machinery from entity linking
@@ -201,6 +203,51 @@ def entity_components(triples: DataFrame, cfg=None) -> DataFrame:
     if cfg is None:
         cfg = PipelineConfig()
     e = graph_edges(triples)
+    erows = _collected_edges(e, ("src", "dst"), driver_max_edges)
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): the node set here IS
+        # the edge endpoints, so one bounded edge collect feeds the same
+        # union-by-min union-find _cc_driver runs — without the separate
+        # nodes.count / nodes.collect / edge-collect jobs (UTF-8 byte
+        # order == codepoint order, so python string min matches the
+        # JVM's binary string comparison)
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in erows:
+            for n in (r[0], r[1]):
+                if n not in parent:
+                    parent[n] = n
+        for r in erows:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                if a < b:
+                    parent[b] = a
+                else:
+                    parent[a] = b
+        comp_d: dict = {}
+        for n in parent:
+            comp_d.setdefault(find(n), []).append(n)
+        data = [
+            (n, c, len(members))
+            for c, members in comp_d.items()
+            for n in members
+        ]
+        from gliner_spark.cache import forward_caches
+
+        return forward_caches(
+            triples.sparkSession.createDataFrame(
+                data, "entity string, component string, component_size long"
+            ).orderBy(
+                F.desc("component_size"), F.asc("component"), F.asc("entity")
+            ),
+            triples,
+        )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -327,6 +374,7 @@ def pagerank(
     checkpoint_dir: str = "",
     dangling: bool = False,
     seed_prefix: str = "",
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Integer PageRank over the distinct edge set: fixed `iters` rounds of
     r'(v) = (1-d) + d * sum_{u->v} (r(u) DIV out_deg(u)),
@@ -364,6 +412,65 @@ def pagerank(
     if seed_prefix and dangling:
         raise ValueError("personalized + dangling redistribution is not "
                          "defined here; pick one")
+    if not reliable_checkpoint:
+        erows = _collected_edges(
+            graph_edges(triples), ("src", "dst"), driver_max_edges
+        )
+        if erows is not None:
+            # driver path (GRAPH_DRIVER_MAX_EDGES gate): the bigint
+            # PageRank rounds replayed exactly (DIV == // for the
+            # nonneg operands here) for all three variants
+            from gliner_spark.cache import forward_caches
+
+            edges_d = [(r[0], r[1]) for r in erows]
+            nodes_d = sorted({x for ed in edges_d for x in ed})
+            if dangling and not nodes_d:
+                return forward_caches(
+                    triples.sparkSession.createDataFrame(
+                        [], "node string, rank long"
+                    ),
+                    triples,
+                )
+            od_d: dict = {}
+            for u, _v in edges_d:
+                od_d[u] = od_d.get(u, 0) + 1
+            base_d = PR_UNIT * (1000 - damping) // 1000
+            if seed_prefix:
+                ranks_d = {
+                    n: PR_UNIT if n.startswith(seed_prefix) else 0
+                    for n in nodes_d
+                }
+            else:
+                ranks_d = {n: PR_UNIT for n in nodes_d}
+            n_nodes_d = len(nodes_d)
+            for _ in range(iters):
+                s = {n: 0 for n in nodes_d}
+                for u, v in edges_d:
+                    s[v] += ranks_d[u] // od_d[u]
+                if dangling:
+                    dt = sum(r for n, r in ranks_d.items() if n not in od_d)
+                    share = dt // n_nodes_d
+                    ranks_d = {
+                        n: base_d + (damping * (s[n] + share)) // 1000
+                        for n in nodes_d
+                    }
+                elif seed_prefix:
+                    ranks_d = {
+                        n: (base_d if n.startswith(seed_prefix) else 0)
+                        + (damping * s[n]) // 1000
+                        for n in nodes_d
+                    }
+                else:
+                    ranks_d = {
+                        n: base_d + (damping * s[n]) // 1000
+                        for n in nodes_d
+                    }
+            return forward_caches(
+                triples.sparkSession.createDataFrame(
+                    list(ranks_d.items()), "node string, rank long"
+                ).orderBy(F.desc("rank"), F.asc("node")),
+                triples,
+            )
     e = graph_edges(triples)
     if reliable_checkpoint:
         sc = e.sparkSession.sparkContext
@@ -719,6 +826,7 @@ def kcore(
     triples: DataFrame,
     k: int = KCORE_K,
     max_rounds: int = KCORE_MAX_ROUNDS,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """k-core of the undirected entity graph: the maximal subgraph in
     which every member keeps degree >= k WITHIN the subgraph — the
@@ -746,6 +854,40 @@ def kcore(
     depth equals the longest chain of cascading removals, not |V|."""
     from gliner_spark.cache import forward_caches
 
+    erows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): the same confluent
+        # peel over one bounded edge collect, including the bounded-round
+        # non-convergence contract
+        eset = {(r[0], r[1]) for r in erows}
+        done = False
+        for _ in range(max_rounds):
+            deg: dict = {}
+            for a, b in eset:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                done = True
+                break
+            eset = {(a, b) for a, b in eset if a not in bad and b not in bad}
+        if not done:
+            raise RuntimeError(
+                f"kcore(k={k}) did not converge within {max_rounds} "
+                "rounds; raise max_rounds (peel depth exceeds the bound)"
+            )
+        deg = {}
+        for a, b in eset:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return forward_caches(
+            triples.sparkSession.createDataFrame(
+                sorted(deg.items()), "entity string, core_degree long"
+            ).orderBy("entity"),
+            triples,
+        )
     edges = undirected_edges(triples).localCheckpoint()
     prev = edges
     converged = False
@@ -1354,11 +1496,62 @@ TRUSS_K = 4            # every surviving edge sits in >= k-2 triangles
 TRUSS_MAX_ROUNDS = 8
 
 
+def _ktruss_driver(erows, k, max_rounds, max_fanout):
+    """Driver replay of the audited-cap edge peel: per round, wedges come
+    only from pivots whose canonical forward-degree is <= max_fanout
+    (capped_filter over Window.partitionBy('a')), closure checks the
+    UNCAPPED edge set, support < k-2 edges peel — confluent, bounded
+    rounds. Returns (survivor rows, per-round audit dicts)."""
+    eset = {(r[0], r[1]) for r in erows}
+    audits = []
+    for r in range(max_rounds + 1):
+        fwd: dict = {}
+        for a, b in eset:
+            fwd.setdefault(a, []).append(b)
+        n_dropped = 0
+        max_fan = 0
+        sup = {e: 0 for e in eset}
+        for a, bs in fwd.items():
+            fan = len(bs)
+            max_fan = max(max_fan, fan)
+            if fan > max_fanout:
+                n_dropped += fan
+                continue
+            bss = sorted(bs)
+            for i in range(len(bss)):
+                for j in range(i + 1, len(bss)):
+                    x, y = bss[i], bss[j]
+                    if (x, y) in eset:
+                        sup[(a, x)] += 1
+                        sup[(a, y)] += 1
+                        sup[(x, y)] += 1
+        audits.append(
+            {
+                "guard": f"truss_pivot_cap_{r}",
+                "n_dropped_rows": n_dropped,
+                "max_group_size": max_fan,
+                "cap": int(max_fanout),
+            }
+        )
+        bad = {e for e in eset if sup[e] < k - 2}
+        if not bad:
+            return (
+                sorted((a, b, sup[(a, b)]) for a, b in eset),
+                audits,
+            )
+        eset -= bad
+    raise RuntimeError(
+        f"ktruss(k={k}) did not converge within {max_rounds} rounds; "
+        "raise max_rounds (peel depth exceeds the bound)"
+    )
+
+
 def ktruss(
     triples: DataFrame,
     k: int = TRUSS_K,
     max_rounds: int = TRUSS_MAX_ROUNDS,
     max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """k-truss of the undirected entity graph: the maximal subgraph in
     which every EDGE participates in >= k-2 triangles within the
@@ -1386,6 +1579,29 @@ def ktruss(
     round unpersisted (CC loop hygiene)."""
     from gliner_spark.cache import forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
+
+    erows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate) — _ktruss_driver
+        # replays the audited peel; per-round cap audits ride the output
+        # as local 1-row frames so skew_metrics keeps working
+        data, audit_dicts = _ktruss_driver(erows, k, max_rounds, max_fanout)
+        spark = triples.sparkSession
+        out = spark.createDataFrame(
+            data, "a string, b string, support long"
+        ).orderBy("a", "b")
+        audit_frames = [
+            spark.createDataFrame(
+                [(d["guard"], d["n_dropped_rows"], d["max_group_size"],
+                  d["cap"])],
+                "guard string, n_dropped_rows long, max_group_size long, "
+                "cap long",
+            )
+            for d in audit_dicts
+        ]
+        return forward_caches(attach_audits(out, *audit_frames), triples)
 
     def support(edges, tag):
         w = Window.partitionBy("a")
@@ -2608,7 +2824,8 @@ WPR_ITERS = PR_ITERS
 
 
 def pagerank_weighted(
-    triples: DataFrame, iters: int = WPR_ITERS, damping: int = PR_DAMP
+    triples: DataFrame, iters: int = WPR_ITERS, damping: int = PR_DAMP,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Support-weighted integer PageRank: edge weight = number of
     DISTINCT documents asserting any triple on that (src, dst) edge, so
@@ -2627,7 +2844,7 @@ def pagerank_weighted(
     unweighted loop."""
     from gliner_spark.cache import forward_caches
 
-    ew = (
+    ew_frame = (
         triples.filter(F.col("subj") != F.col("obj"))
         .select(
             F.col("subj").alias("src"), F.col("obj").alias("dst"), "doc_id"
@@ -2635,8 +2852,32 @@ def pagerank_weighted(
         .distinct()
         .groupBy("src", "dst")
         .agg(F.countDistinct("doc_id").cast("long").alias("w"))
-        .localCheckpoint()
     )
+    wrows = _collected_edges(ew_frame, ("src", "dst", "w"), driver_max_edges)
+    if wrows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): weighted bigint
+        # rounds replayed exactly ((rank * w) DIV out_w == // nonneg)
+        edges_d = [(r[0], r[1], int(r[2])) for r in wrows]
+        nodes_d = sorted({x for u, v, _w in edges_d for x in (u, v)})
+        ow_d: dict = {}
+        for u, _v, w_ in edges_d:
+            ow_d[u] = ow_d.get(u, 0) + w_
+        base_d = PR_UNIT * (1000 - damping) // 1000
+        ranks_d = {n: PR_UNIT for n in nodes_d}
+        for _ in range(iters):
+            s = {n: 0 for n in nodes_d}
+            for u, v, w_ in edges_d:
+                s[v] += (ranks_d[u] * w_) // ow_d[u]
+            ranks_d = {
+                n: base_d + (damping * s[n]) // 1000 for n in nodes_d
+            }
+        return forward_caches(
+            triples.sparkSession.createDataFrame(
+                list(ranks_d.items()), "node string, rank long"
+            ).orderBy(F.desc("rank"), F.asc("node")),
+            triples,
+        )
+    ew = ew_frame.localCheckpoint()
     nodes = (
         ew.select(F.col("src").alias("node"))
         .union(ew.select(F.col("dst").alias("node")))

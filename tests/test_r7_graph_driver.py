@@ -52,7 +52,8 @@ def _rows(df):
     "name",
     [
         "lpa", "modularity", "wl", "hits", "bfs", "harmonic",
-        "distances", "stress",
+        "distances", "stress", "components", "kcore", "truss",
+        "pagerank", "pagerank_dangling", "ppr", "pagerank_weighted",
     ],
 )
 def test_driver_paths_match_distributed(spark, graph, name):
@@ -73,6 +74,21 @@ def test_driver_paths_match_distributed(spark, graph, name):
             graph, driver_max_edges=d
         ),
         "stress": lambda d: ga.stress_centrality(graph, driver_max_edges=d),
+        "components": lambda d: ga.entity_components(
+            graph, driver_max_edges=d
+        ),
+        "kcore": lambda d: ga.kcore(graph, driver_max_edges=d),
+        "truss": lambda d: ga.ktruss(graph, driver_max_edges=d),
+        "pagerank": lambda d: ga.pagerank(graph, driver_max_edges=d),
+        "pagerank_dangling": lambda d: ga.pagerank(
+            graph, dangling=True, driver_max_edges=d
+        ),
+        "ppr": lambda d: ga.pagerank(
+            graph, seed_prefix="person:", driver_max_edges=d
+        ),
+        "pagerank_weighted": lambda d: ga.pagerank_weighted(
+            graph, driver_max_edges=d
+        ),
     }
     drv = _rows(fns[name](10_000_000))
     dist = _rows(fns[name](0))
