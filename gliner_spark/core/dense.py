@@ -42,9 +42,15 @@ P31 = 2147483647
 FOLD_M = 1000003
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def fold_hash_py(s: str) -> int:
     """Codepoint-fold hash — same arithmetic as functions/text.fold_hash
-    (Spark) and the DuckDB list_reduce idiom, so all three engines agree."""
+    (Spark) and the DuckDB list_reduce idiom, so all three engines agree.
+    Memoized: the corpus vocabulary is bounded, so per-token calls are
+    dominated by repeats (pure function — a cache changes nothing)."""
     h = 0
     for ch in s:
         h = (h * FOLD_M + ord(ch)) % P31
@@ -216,16 +222,19 @@ def predict_spans_dense(text: str, ckpt: DenseCheckpoint) -> List[dict]:
     """Scored span grid above threshold (undedoded candidates — the decode
     stage is shared with the gather path and oracle-gated separately)."""
     span_idx, valid, probs = score_doc_dense(text, ckpt)
-    out = []
-    for i in np.nonzero(valid)[0]:
-        row = probs[i]
-        for c in np.nonzero(row >= ckpt.threshold)[0]:
-            out.append(
-                {
-                    "word_start": int(span_idx[i, 0]),
-                    "word_end": int(span_idx[i, 1]),
-                    "label": ckpt.labels[int(c)],
-                    "score": float(row[c]),
-                }
-            )
-    return out
+    if probs.size == 0:
+        return []
+    # one vectorized mask instead of a nonzero call per valid row; the
+    # row-major (row, class) emission order is unchanged
+    keep = valid[:, None] & (probs >= ckpt.threshold)
+    s_i, c_i = np.nonzero(keep)
+    labels = ckpt.labels
+    return [
+        {
+            "word_start": int(span_idx[s, 0]),
+            "word_end": int(span_idx[s, 1]),
+            "label": labels[c],
+            "score": float(probs[s, c]),
+        }
+        for s, c in zip(s_i, c_i)
+    ]

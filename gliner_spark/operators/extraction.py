@@ -508,18 +508,21 @@ def extract_spans_encoder(docs: DataFrame, ckpt_path) -> DataFrame:
                 span_idx, valid, probs = enc.score_text(
                     text, marker, lm, ckpt.scale, ckpt.bias, ckpt.max_width
                 )
-                for i in np.nonzero(valid)[0]:
-                    row = probs[i]
-                    for c in np.nonzero(row >= ckpt.threshold)[0]:
-                        rows.append(
-                            {
-                                "doc_id": doc_id,
-                                "word_start": int(span_idx[i, 0]),
-                                "word_end": int(span_idx[i, 1]),
-                                "label": ckpt.labels[int(c)],
-                                "score": float(row[c]),
-                            }
-                        )
+                if probs.size == 0:
+                    continue
+                # one vectorized mask instead of a nonzero per valid row
+                # (row-major emission order unchanged)
+                keep = valid[:, None] & (probs >= ckpt.threshold)
+                for i, c in zip(*np.nonzero(keep)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "word_start": int(span_idx[i, 0]),
+                            "word_end": int(span_idx[i, 1]),
+                            "label": ckpt.labels[int(c)],
+                            "score": float(probs[i, c]),
+                        }
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "word_start", "word_end", "label", "score"],

@@ -184,7 +184,7 @@ def rpq_match(
     )
     moves = fwd.union(inv).localCheckpoint()
 
-    acc = set(accepting)
+    acc = sorted(set(accepting))
     nodes = (
         e.select(F.col("subj").alias("node"))
         .union(e.select("obj"))
@@ -193,60 +193,43 @@ def rpq_match(
     start = nodes.select(
         F.col("node").alias("src"), "node", F.lit(0).alias("state")
     ).localCheckpoint()
-    # frontier checkpoints stay persisted until the caller's
-    # release_caches: each round's accepting hits reference them until
-    # the final aggregate runs, and their union is exactly the visited
-    # set — no extra storage class. Superseded VISITED checkpoints are
-    # released inline (their data is folded into the next checkpoint
-    # eagerly, and nothing lazy references them).
-    frontier, visited, results = start, start, None
-    ckpts = [moves, start]
+    # r7 (guide §2.4): tagged-min lazy unroll replaces the per-hop
+    # localCheckpoint + anti-join + empty-frontier probe (4 jobs/hop).
+    # Level h = distinct product states reachable in exactly h moves;
+    # min_hops = min h with an accepting arrival per (src, dst) — equal
+    # to the old first-reach BFS (min product-walk length == shortest
+    # product path; the anti-join only suppressed re-visits the min now
+    # absorbs). One action; repeated level subtrees share shuffles via
+    # ReusedExchange; `moves`/`start` are the checkpointed leaves.
+    lev = start
+    parts = []
     for h in range(1, max_hops + 1):
-        step = (
-            frontier.join(
+        lev = (
+            lev.join(
                 moves,
-                (frontier["node"] == moves["node_from"])
-                & (frontier["state"] == moves["q1"]),
+                (lev["node"] == moves["node_from"])
+                & (lev["state"] == moves["q1"]),
             )
             .select("src", F.col("node_to").alias("node"),
                     F.col("q2").alias("state"))
             .distinct()
-            .join(visited, ["src", "node", "state"], "left_anti")
-            .localCheckpoint()
         )
-        frontier = step
-        ckpts.append(step)
-        if frontier.limit(1).count() == 0:
-            break
-        new_visited = visited.union(frontier).localCheckpoint()
-        # start doubles as round-1's visited; its rows are folded into
-        # new_visited (eager) and no hit references it, so it releases
-        # like any superseded visited — but keep the handle releasable
-        # rather than unpersisting, since it is also the round-1
-        # frontier variable history
-        if visited is not start:
-            visited.unpersist()
-        visited = new_visited
-        hit = frontier.filter(F.col("state").isin(acc)).select(
-            "src",
-            F.col("node").alias("dst"),
-            F.lit(h).cast("long").alias("min_hops"),
+        parts.append(
+            lev.filter(F.col("state").isin(acc)).select(
+                "src",
+                F.col("node").alias("dst"),
+                F.lit(h).cast("long").alias("min_hops"),
+            )
         )
-        results = hit if results is None else results.union(hit)
     from gliner_spark.cache import attach_caches
 
-    if results is None:
-        out = spark.createDataFrame(
-            [], "src string, dst string, min_hops long"
-        )
-    else:
-        out = (
-            results.groupBy("src", "dst")
-            .agg(F.min("min_hops").alias("min_hops"))
-            .orderBy("src", "dst")
-        )
-    # final visited + all frontier/move checkpoints ride the output as
-    # releasable cache handles — release_caches(out) frees every block
-    if visited is not start:
-        ckpts.append(visited)
-    return attach_caches(forward_caches(out, triples), *ckpts)
+    results = parts[0]
+    for p in parts[1:]:
+        results = results.union(p)
+    out = (
+        results.groupBy("src", "dst")
+        .agg(F.min("min_hops").alias("min_hops"))
+        .orderBy("src", "dst")
+    )
+    # moves/start checkpoints ride the output as releasable handles
+    return attach_caches(forward_caches(out, triples), moves, start)

@@ -748,8 +748,84 @@ def _hp_band_keys(q_col, dim: int, planes: int = HP_PLANES,
     return keys
 
 
+import os as _os
+
+# r7 adaptive small-corpus gate for the SRP near-dup family (the
+# GRAPH_DRIVER_MAX_EDGES design applied to vectors): at or below this
+# many vectors the banding/cap/verify pipeline runs on the driver from
+# one bounded collect of the SPARK-computed quantized vectors (so the
+# round-to-int quantization stays engine-exact by construction); the
+# final sim rounding is applied back IN Spark with the same F.round
+# expression. 0 disables. Distributed plan unchanged above the bound.
+SIM_DRIVER_MAX_VECTORS = int(
+    _os.environ.get("GS_SIM_DRIVER_MAX_VECTORS", "20000")
+)
+
+
+def _neardup_driver_pairs(qrows, dim: int, threshold: float):
+    """(pairs, audit) — python/numpy replay of the SRP banding + bucket
+    cap + exact integer-cosine verify. Integer dots are exact; the sim
+    double is float(dot)/sqrt(float(na*nb)), the same IEEE ops as the
+    JVM's cast-to-double + sqrt + divide."""
+    import math
+
+    import numpy as np
+
+    n = len(qrows)
+    vec_ids = [r[0] for r in qrows]
+    Q = np.array([r[1] for r in qrows], dtype=np.int64).reshape(n, dim)
+    norm2 = [int(r[2]) for r in qrows]
+    rows_per_band = HP_PLANES // HP_BANDS
+    H = np.array(
+        [
+            [hyperplane_component(p, d, dim) for d in range(dim)]
+            for p in range(HP_PLANES)
+        ],
+        dtype=np.int64,
+    )
+    S = Q @ H.T  # (n, planes) exact integer dots
+    bits = S >= 0
+    buckets: dict = {}
+    for b in range(HP_BANDS):
+        key_vec = np.zeros(n, dtype=np.int64)
+        for j in range(rows_per_band):
+            key_vec += bits[:, b * rows_per_band + j] << j
+        for i in range(n):
+            buckets.setdefault((b, int(key_vec[i])), []).append(i)
+    cap = HP_MAX_BUCKET
+    n_dropped = 0
+    max_bucket = 0
+    pair_set = set()
+    for members in buckets.values():
+        sz = len(members)
+        max_bucket = max(max_bucket, sz)
+        if sz > cap:
+            n_dropped += sz
+            continue
+        ms = sorted(members, key=lambda i: vec_ids[i])
+        for x in range(sz):
+            for y in range(x + 1, sz):
+                a, b2 = ms[x], ms[y]
+                if vec_ids[a] != vec_ids[b2]:
+                    pair_set.add((a, b2))
+    pairs = []
+    for a, b2 in pair_set:
+        dot = int(Q[a] @ Q[b2])
+        sim = float(dot) / math.sqrt(float(norm2[a] * norm2[b2]))
+        if sim >= threshold:
+            pairs.append((vec_ids[a], vec_ids[b2], sim))
+    audit = {
+        "guard": "neardup_srp_bucket_cap",
+        "n_dropped_rows": n_dropped,
+        "max_group_size": max_bucket,
+        "cap": cap,
+    }
+    return pairs, audit
+
+
 def embedding_neardup(
-    emb: DataFrame, threshold: float = 0.95, sort: bool = True
+    emb: DataFrame, threshold: float = 0.95, sort: bool = True,
+    driver_max_vectors: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, blocked by hyperplane
     LSH (sign-random-projection): sign-bit signatures against fixed
@@ -762,6 +838,48 @@ def embedding_neardup(
     SRP collision probability per plane is 1 - theta/pi, so recall rises
     steeply with similarity (~0.99 at cosine 0.95 with 6 bands x 4 bits).
     Recall vs the unblocked baseline is reported in BENCH.md."""
+    from gliner_spark.metrics import attach_audits as _attach
+
+    bound = (
+        SIM_DRIVER_MAX_VECTORS
+        if driver_max_vectors is None
+        else driver_max_vectors
+    )
+    if bound > 0:
+        qrows = (
+            _quantized(emb).select("vec_id", "q", "norm2")
+            .limit(bound + 1).collect()
+        )
+        if len(qrows) <= bound:
+            spark = emb.sparkSession
+            if not qrows:
+                out = spark.createDataFrame(
+                    [], "vec_a long, vec_b long, sim double"
+                )
+            else:
+                dim_d = len(qrows[0][1])
+                pairs, audit = _neardup_driver_pairs(qrows, dim_d, threshold)
+                out = spark.createDataFrame(
+                    pairs, "vec_a long, vec_b long, sim double"
+                ).select(
+                    "vec_a", "vec_b", F.round("sim", 6).alias("sim")
+                )
+                audit_df = spark.createDataFrame(
+                    [
+                        (
+                            audit["guard"], audit["n_dropped_rows"],
+                            audit["max_group_size"], audit["cap"],
+                        )
+                    ],
+                    "guard string, n_dropped_rows long, "
+                    "max_group_size long, cap long",
+                )
+                if sort:
+                    out = out.orderBy("vec_a", "vec_b")
+                return _attach(out, audit_df)
+            if sort:
+                out = out.orderBy("vec_a", "vec_b")
+            return out
     qz = _quantized(emb)
     dim = len(emb.select("embedding").first()[0])
     keys = _hp_band_keys(F.col("q"), dim)
