@@ -50,11 +50,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    return _t(spark, sf_dir, "documents").count() * 10
+
+
 def _synth(spark: SparkSession, sf_dir: str, with_gold: bool = False):
     from gliner_spark.sources.synth import synth_docs
 
-    n = _t(spark, sf_dir, "documents").count() * 10
-    return synth_docs(spark, n, with_gold=with_gold, partitions=32)
+    return synth_docs(
+        spark, _n_docs(spark, sf_dir), with_gold=with_gold, partitions=32
+    )
+
+
+def _graph(spark: SparkSession, sf_dir: str, model, labels=None):
+    """Fused synth+extract (r7): one mapInArrow runs gen_doc and the
+    model forward per id — identical rows to
+    extract_graph(_synth(...), model), minus the corpus's
+    Python->JVM->Python round trip between the two stages."""
+    from gliner_spark.operators.extraction import synth_extract_graph
+
+    return synth_extract_graph(
+        spark, _n_docs(spark, sf_dir), model, labels=labels
+    )
 
 
 def _model():
@@ -67,18 +84,16 @@ def _model():
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved docs -> mentions+triples -> canonical graph."""
     from gliner_spark.operators.extraction import (
-        extract_graph,
         mentions_table,
         triples_raw_table,
     )
     from gliner_spark.operators.linking import canonicalize, rewrite_triples
 
     model = _model()
-    docs = _synth(spark, SF_DEFAULT)
     # persist: the nested graph feeds two branches (mentions -> linking,
     # triples) and the iterative CC loop — without it every downstream
     # action re-runs the extraction UDF
-    graph = extract_graph(docs, model).persist()
+    graph = _graph(spark, SF_DEFAULT, model).persist()
     mentions = mentions_table(graph)
     _, surface_map = canonicalize(mentions, model.config)
     return rewrite_triples(triples_raw_table(graph), surface_map)
@@ -88,14 +103,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_kg_mentions(spark, sf_dir):
     from gliner_spark.operators.extraction import extract_graph, mentions_table
 
-    df = mentions_table(extract_graph(_synth(spark, sf_dir), _model()))
+    df = mentions_table(_graph(spark, sf_dir, _model()))
     return df.withColumn("score", F.round("score", 6))
 
 
 def q_kg_triples_raw(spark, sf_dir):
     from gliner_spark.operators.extraction import extract_graph, triples_raw_table
 
-    df = triples_raw_table(extract_graph(_synth(spark, sf_dir), _model()))
+    df = triples_raw_table(_graph(spark, sf_dir, _model()))
     return df.withColumn("score", F.round("score", 6))
 
 
@@ -106,7 +121,7 @@ def q_kg_entities(spark, sf_dir):
     from gliner_spark.cache import attach_caches
 
     model = _model()
-    mentions = mentions_table(extract_graph(_synth(spark, sf_dir), model)).persist()
+    mentions = mentions_table(_graph(spark, sf_dir, model)).persist()
     entities, _ = canonicalize(mentions, model.config)
     return attach_caches(entities.orderBy("entity_id"), entities, mentions)
 
@@ -122,7 +137,7 @@ def q_kg_triples(spark, sf_dir):
     from gliner_spark.cache import attach_caches
 
     model = _model()
-    graph = extract_graph(_synth(spark, sf_dir), model).persist()
+    graph = _graph(spark, sf_dir, model).persist()
     _, smap = canonicalize(mentions_table(graph), model.config)
     df = rewrite_triples(triples_raw_table(graph), smap)
     # forward the canonicalize branch-point persists (riding smap) plus
@@ -456,9 +471,7 @@ def q_kg_linking_eval(spark, sf_dir):
     from gliner_spark.cache import attach_caches
 
     model = _model()
-    mentions = mentions_table(
-        extract_graph(_synth(spark, sf_dir), model)
-    ).persist()
+    mentions = mentions_table(_graph(spark, sf_dir, model)).persist()
     _, surface_map = canonicalize(mentions, model.config)
     return attach_caches(linking_quality(surface_map), mentions)
 
@@ -839,10 +852,11 @@ def q_kg_span_f1(spark, sf_dir):
 
 def q_kg_mentions_zeroshot(spark, sf_dir):
     """Per-request label subset (zero-shot surface): persons+locations only."""
-    from gliner_spark.operators.extraction import extract_mentions_only
+    from gliner_spark.operators.extraction import synth_extract_mentions_only
 
-    df = extract_mentions_only(
-        _synth(spark, sf_dir), _model(), labels=["person", "location"]
+    df = synth_extract_mentions_only(
+        spark, _n_docs(spark, sf_dir), _model(),
+        labels=["person", "location"],
     )
     return df.withColumn("score", F.round("score", 6))
 
@@ -904,9 +918,11 @@ def q_kg_mentions_dense(spark, sf_dir):
     """Dense-encoder scoring stage: hash-bucket embedding -> SpanMarkerV0
     (reference span_rep.py:464-511) -> mean-pooled label prompts ->
     matmul/sigmoid head (base.py:474); weights shipped via sc.broadcast."""
-    from gliner_spark.operators.extraction import extract_spans_dense
+    from gliner_spark.operators.extraction import synth_extract_spans_dense
 
-    df = extract_spans_dense(_synth(spark, sf_dir), _dense_ckpt())
+    df = synth_extract_spans_dense(
+        spark, _n_docs(spark, sf_dir), _dense_ckpt()
+    )
     return df.withColumn("score", F.round("score", 6))
 
 
@@ -921,11 +937,11 @@ def q_kg_mentions_encoder(spark, sf_dir):
     import os
     import tempfile
 
-    from gliner_spark.operators.extraction import extract_spans_encoder
+    from gliner_spark.operators.extraction import synth_extract_spans_encoder
 
     p = os.path.join(tempfile.gettempdir(), "gs_encoder_seam_ckpt.npz")
     _dense_ckpt().save_npz(p)  # deterministic weights — rewrite is a no-op
-    df = extract_spans_encoder(_synth(spark, sf_dir), p)
+    df = synth_extract_spans_encoder(spark, _n_docs(spark, sf_dir), p)
     return df.withColumn("score", F.round("score", 6))
 
 
@@ -950,9 +966,13 @@ def q_kg_relations_prompted(spark, sf_dir):
     multitask/relation_extraction.py:13-181): pass-1 NER -> per-doc
     composite labels '{entity} <> {relation}' -> pass-2 scoring -> parsed
     (source, relation, target) rows. Both passes fused in one mapInPandas."""
-    from gliner_spark.operators.prompted_re import extract_relations_prompted
+    from gliner_spark.operators.prompted_re import (
+        synth_extract_relations_prompted,
+    )
 
-    df = extract_relations_prompted(_synth(spark, sf_dir), _model())
+    df = synth_extract_relations_prompted(
+        spark, _n_docs(spark, sf_dir), _model()
+    )
     return df.withColumn("score", F.round("score", 6))
 
 
@@ -960,16 +980,20 @@ def q_kg_triples_spans(spark, sf_dir):
     """Word-span-annotated relation triples — the relex evaluator's strict
     matching input (reference evaluator.py:210-255 matches exact
     (rel_label, h_span, t_span) tuples; operators/evaluation.relex_prf)."""
-    from gliner_spark.operators.extraction import extract_triples_with_spans
+    from gliner_spark.operators.extraction import (
+        synth_extract_triples_with_spans,
+    )
 
-    df = extract_triples_with_spans(_synth(spark, sf_dir), _model())
+    df = synth_extract_triples_with_spans(
+        spark, _n_docs(spark, sf_dir), _model()
+    )
     return df.withColumn("score", F.round("score", 6))
 
 
 def _mentions(spark, sf_dir):
     from gliner_spark.operators.extraction import extract_graph, mentions_table
 
-    return mentions_table(extract_graph(_synth(spark, sf_dir), _model()))
+    return mentions_table(_graph(spark, sf_dir, _model()))
 
 
 # planted label set for constrained generation (multi-word labels with a
@@ -1086,7 +1110,7 @@ def q_kg_triples_scored(spark, sf_dir):
     from gliner_spark.operators.extraction import extract_graph, triples_raw_table
     from gliner_spark.operators.kg_scoring import score_triples
 
-    tr = triples_raw_table(extract_graph(_synth(spark, sf_dir), _model()))
+    tr = triples_raw_table(_graph(spark, sf_dir, _model()))
     df = score_triples(
         tr.select("doc_id", "subj", "pred", "obj"), interactions=_KG_SCORERS
     )

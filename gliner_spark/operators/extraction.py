@@ -130,15 +130,7 @@ def _process_batches(bc_model, labels=None):
     return fn
 
 
-def _graph_arrow_fn(bc_model, labels=None):
-    """Columnar (mapInArrow) inner loop for the flagship mentions+triples
-    pass (VERDICT r4 ask #1). Per-doc model calls are unchanged — greedy
-    decode is inherently per-doc — but every OUTPUT value is appended to a
-    flat python list and the nested mentions[]/triples[] columns are built
-    ONCE per batch as pyarrow ListArray(StructArray) via offsets: no
-    per-row dicts, no pandas block manager (the same shape
-    extract_mentions_arrow measured 1.3-1.5x on, tools/bench_arrow_ab.py).
-    Values are bit-identical to the row path (test_arrow_graph_parity)."""
+def _graph_arrow_types():
     import pyarrow as pa
 
     mention_t = pa.struct(
@@ -163,9 +155,128 @@ def _graph_arrow_fn(bc_model, labels=None):
             ("triples", pa.list_(triple_t)),
         ]
     )
+    return mention_t, triple_t, out_schema
 
-    import hashlib
 
+class _GraphBatchAccum:
+    """Per-batch columnar accumulator for the mentions+triples pass:
+    every output value is appended to a flat python list and the nested
+    mentions[]/triples[] columns are built ONCE per batch as pyarrow
+    ListArray(StructArray) via offsets — no per-row dicts, no pandas
+    block manager. Shared by the Arrow-docs path (_graph_arrow_fn) and
+    the fused synth+extract path (synth_extract_graph) so the two can
+    never drift (values bit-identical to the row path —
+    test_arrow_graph_parity)."""
+
+    def __init__(self, model, labels=None):
+        self.model = model
+        self.labels = labels
+        self.o_doc, self.o_fp = [], []
+        self.m_off = [0]
+        self.m_idx, self.m_s, self.m_e = [], [], []
+        self.m_text, self.m_label, self.m_score, self.m_norm = [], [], [], []
+        self.t_off = [0]
+        self.t_subj, self.t_pred, self.t_obj = [], [], []
+        self.t_st, self.t_ot, self.t_sc = [], [], []
+
+    def add_doc(self, doc_id, kinds, texts, refs):
+        """kinds/texts/refs: the doc's span fields, in span order."""
+        import hashlib
+
+        text = " ".join(
+            t for kd, t in zip(kinds, texts) if kd == "text"
+        )
+        mentions, tokens, _, _ = self.model.predict_doc(
+            text, labels=self.labels
+        )
+        rels = self.model.predict_relations_doc(tokens, mentions)
+        norms, labs = [], []
+        for k, m in enumerate(mentions):
+            n = normalize_surface(m["text"])
+            self.m_idx.append(k)
+            self.m_s.append(m["start"])
+            self.m_e.append(m["end"])
+            self.m_text.append(m["text"])
+            self.m_label.append(m["label"])
+            self.m_score.append(m["score"])
+            self.m_norm.append(n)
+            norms.append(n)
+            labs.append(m["label"])
+        self.m_off.append(len(self.m_idx))
+        for r in rels:
+            self.t_subj.append(norms[r["head_idx"]])
+            self.t_pred.append(r["relation"])
+            self.t_obj.append(norms[r["tail_idx"]])
+            self.t_st.append(labs[r["head_idx"]])
+            self.t_ot.append(labs[r["tail_idx"]])
+            self.t_sc.append(r["score"])
+        if norms:  # media spans participate as triple objects
+            for kd, ref in zip(kinds, refs):
+                if kd == "media":
+                    self.t_subj.append(norms[0])
+                    self.t_pred.append("depicts")
+                    self.t_obj.append(ref)
+                    self.t_st.append(labs[0])
+                    self.t_ot.append("media")
+                    self.t_sc.append(1.0)
+        self.t_off.append(len(self.t_subj))
+        self.o_doc.append(doc_id)
+        # identical bytes to span_fingerprint() over dict rows —
+        # _span_fp_bytes is the single shared encoding
+        h = hashlib.blake2b(digest_size=16)
+        for kd, t, ref in zip(kinds, texts, refs):
+            h.update(_span_fp_bytes(kd, t, ref))
+        self.o_fp.append(h.hexdigest())
+
+    def finish(self):
+        import pyarrow as pa
+
+        mention_t, triple_t, out_schema = _graph_arrow_types()
+        mentions_arr = pa.ListArray.from_arrays(
+            pa.array(self.m_off, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(self.m_idx, pa.int32()),
+                    pa.array(self.m_s, pa.int32()),
+                    pa.array(self.m_e, pa.int32()),
+                    pa.array(self.m_text, pa.string()),
+                    pa.array(self.m_label, pa.string()),
+                    pa.array(self.m_score, pa.float64()),
+                    pa.array(self.m_norm, pa.string()),
+                ],
+                fields=list(mention_t),
+            ),
+        )
+        triples_arr = pa.ListArray.from_arrays(
+            pa.array(self.t_off, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(self.t_subj, pa.string()),
+                    pa.array(self.t_pred, pa.string()),
+                    pa.array(self.t_obj, pa.string()),
+                    pa.array(self.t_st, pa.string()),
+                    pa.array(self.t_ot, pa.string()),
+                    pa.array(self.t_sc, pa.float64()),
+                ],
+                fields=list(triple_t),
+            ),
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(self.o_doc, pa.string()),
+                pa.array(self.o_fp, pa.string()),
+                mentions_arr,
+                triples_arr,
+            ],
+            schema=out_schema,
+        )
+
+
+def _graph_arrow_fn(bc_model, labels=None):
+    """Columnar (mapInArrow) inner loop for the flagship mentions+triples
+    pass (VERDICT r4 ask #1). Per-doc model calls are unchanged — greedy
+    decode is inherently per-doc; output assembly lives in
+    _GraphBatchAccum (shared with the fused synth path)."""
     import pyarrow.compute as pc  # explicit: pa.compute is NOT auto-loaded
 
     def fn(batches):
@@ -184,101 +295,61 @@ def _graph_arrow_fn(bc_model, labels=None):
             kinds = flat.field("kind").to_pylist()
             texts = flat.field("text").to_pylist()
             refs = flat.field("media_ref").to_pylist()
-            o_doc, o_fp = [], []
-            m_off = [0]
-            m_idx, m_s, m_e = [], [], []
-            m_text, m_label, m_score, m_norm = [], [], [], []
-            t_off = [0]
-            t_subj, t_pred, t_obj = [], [], []
-            t_st, t_ot, t_sc = [], [], []
+            acc = _GraphBatchAccum(model, labels=labels)
             pos = 0
             for doc_id, n_spans in zip(doc_ids.to_pylist(), lengths):
                 lo, hi = pos, pos + (n_spans or 0)
                 pos = hi
-                text = " ".join(
-                    texts[j] for j in range(lo, hi) if kinds[j] == "text"
+                acc.add_doc(
+                    doc_id, kinds[lo:hi], texts[lo:hi], refs[lo:hi]
                 )
-                mentions, tokens, _, _ = model.predict_doc(
-                    text, labels=labels
-                )
-                rels = model.predict_relations_doc(tokens, mentions)
-                norms, labs = [], []
-                for k, m in enumerate(mentions):
-                    n = normalize_surface(m["text"])
-                    m_idx.append(k)
-                    m_s.append(m["start"])
-                    m_e.append(m["end"])
-                    m_text.append(m["text"])
-                    m_label.append(m["label"])
-                    m_score.append(m["score"])
-                    m_norm.append(n)
-                    norms.append(n)
-                    labs.append(m["label"])
-                m_off.append(len(m_idx))
-                for r in rels:
-                    t_subj.append(norms[r["head_idx"]])
-                    t_pred.append(r["relation"])
-                    t_obj.append(norms[r["tail_idx"]])
-                    t_st.append(labs[r["head_idx"]])
-                    t_ot.append(labs[r["tail_idx"]])
-                    t_sc.append(r["score"])
-                if norms:  # media spans participate as triple objects
-                    for j in range(lo, hi):
-                        if kinds[j] == "media":
-                            t_subj.append(norms[0])
-                            t_pred.append("depicts")
-                            t_obj.append(refs[j])
-                            t_st.append(labs[0])
-                            t_ot.append("media")
-                            t_sc.append(1.0)
-                t_off.append(len(t_subj))
-                o_doc.append(doc_id)
-                # identical bytes to span_fingerprint() over dict rows —
-                # _span_fp_bytes is the single shared encoding
-                h = hashlib.blake2b(digest_size=16)
-                for j in range(lo, hi):
-                    h.update(_span_fp_bytes(kinds[j], texts[j], refs[j]))
-                o_fp.append(h.hexdigest())
-            mentions_arr = pa.ListArray.from_arrays(
-                pa.array(m_off, pa.int32()),
-                pa.StructArray.from_arrays(
-                    [
-                        pa.array(m_idx, pa.int32()),
-                        pa.array(m_s, pa.int32()),
-                        pa.array(m_e, pa.int32()),
-                        pa.array(m_text, pa.string()),
-                        pa.array(m_label, pa.string()),
-                        pa.array(m_score, pa.float64()),
-                        pa.array(m_norm, pa.string()),
-                    ],
-                    fields=list(mention_t),
-                ),
-            )
-            triples_arr = pa.ListArray.from_arrays(
-                pa.array(t_off, pa.int32()),
-                pa.StructArray.from_arrays(
-                    [
-                        pa.array(t_subj, pa.string()),
-                        pa.array(t_pred, pa.string()),
-                        pa.array(t_obj, pa.string()),
-                        pa.array(t_st, pa.string()),
-                        pa.array(t_ot, pa.string()),
-                        pa.array(t_sc, pa.float64()),
-                    ],
-                    fields=list(triple_t),
-                ),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(o_doc, pa.string()),
-                    pa.array(o_fp, pa.string()),
-                    mentions_arr,
-                    triples_arr,
-                ],
-                schema=out_schema,
-            )
+            yield acc.finish()
 
     return fn
+
+
+def synth_extract_graph(
+    spark,
+    n_docs: int,
+    model: GlinerSparkModel,
+    seed: int = 42,
+    partitions: int = 32,
+    labels=None,
+) -> DataFrame:
+    """Fused corpus synthesis + extraction (r7, guide §4.1): ONE
+    mapInArrow over spark.range ids runs gen_doc AND the model forward
+    per document, so the synthetic spans never cross the Python->JVM->
+    Python boundary between a synth stage and an extract stage — the
+    rows are identical to extract_graph(synth_docs(...), model) by
+    construction (same gen_doc, same _GraphBatchAccum assembly; parity
+    test + every kg_* oracle gate). range(0, n, 1, partitions) replaces
+    synth_docs' round-robin repartition: one fewer exchange, identical
+    row multiset (every doc is a pure function of its id)."""
+    from gliner_spark.sources.synth import gen_doc
+
+    bc = spark.sparkContext.broadcast(model)
+
+    def fn(batches):
+        model_v = bc.value
+        for rb in batches:
+            acc = _GraphBatchAccum(model_v, labels=labels)
+            for i in rb.column(0).to_pylist():
+                d = gen_doc(int(i), seed)
+                spans = d["spans"]
+                acc.add_doc(
+                    d["doc_id"],
+                    [sp["kind"] for sp in spans],
+                    [sp["text"] for sp in spans],
+                    [sp["media_ref"] for sp in spans],
+                )
+            yield acc.finish()
+
+    rng = (
+        spark.range(0, n_docs, 1, partitions)
+        if partitions
+        else spark.range(n_docs)
+    )
+    return rng.mapInArrow(fn, schema=GRAPH_DDL)
 
 
 def extract_graph(
@@ -323,6 +394,30 @@ def extract_graph(
             _graph_arrow_fn(bc, labels=labels), schema=GRAPH_DDL
         )
     return src.mapInPandas(_process_batches(bc, labels=labels), schema=GRAPH_DDL)
+
+
+def _synth_range(spark, n_docs: int, partitions: int):
+    """spark.range source for the fused synth+X operators: contiguous id
+    ranges per partition (one fewer exchange than synth_docs' round-robin
+    repartition; identical row multiset — every doc is a pure function of
+    its id)."""
+    return (
+        spark.range(0, n_docs, 1, partitions)
+        if partitions
+        else spark.range(n_docs)
+    )
+
+
+def _synth_doc_texts(pdf, seed: int):
+    """(doc_id, assembled_text) per range id — the shared per-batch input
+    iterator of the fused mapInPandas operators."""
+    from gliner_spark.sources.synth import gen_doc
+
+    for i in pdf["id"]:
+        d = gen_doc(int(i), seed)
+        yield d["doc_id"], " ".join(
+            sp["text"] for sp in d["spans"] if sp["kind"] == "text"
+        )
 
 
 MENTIONS_DDL = (
@@ -371,6 +466,47 @@ def extract_mentions_only(
             )
 
     return docs.select("doc_id", "spans").mapInPandas(fn, schema=MENTIONS_DDL)
+
+
+def synth_extract_mentions_only(
+    spark, n_docs: int, model: GlinerSparkModel, labels=None,
+    seed: int = 42, partitions: int = 32,
+) -> DataFrame:
+    """Fused synth + NER-only extraction (r7): same rows as
+    extract_mentions_only(synth_docs(...)) without the synth stage's
+    Python->JVM->Python round trip."""
+    bc = spark.sparkContext.broadcast(model)
+
+    def fn(batches):
+        m = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, text in _synth_doc_texts(pdf, seed):
+                mentions, _, _, _ = m.predict_doc(text, labels=labels)
+                for k, mn in enumerate(mentions):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ent_idx": k,
+                            "start": mn["start"],
+                            "end": mn["end"],
+                            "text": mn["text"],
+                            "label": mn["label"],
+                            "score": mn["score"],
+                            "norm": normalize_surface(mn["text"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ent_idx", "start", "end", "text", "label",
+                    "score", "norm",
+                ],
+            )
+
+    return _synth_range(spark, n_docs, partitions).mapInPandas(
+        fn, schema=MENTIONS_DDL
+    )
 
 
 DENSE_SPANS_DDL = (
@@ -467,6 +603,55 @@ def extract_spans_dense(docs: DataFrame, ckpt) -> DataFrame:
     )
 
 
+def synth_extract_spans_dense(
+    spark, n_docs: int, ckpt, seed: int = 42, partitions: int = 32
+) -> DataFrame:
+    """Fused synth + dense-encoder scoring (r7): same rows as
+    extract_spans_dense(synth_docs(...), ckpt) without the synth stage's
+    Python->JVM->Python round trip."""
+    import os as _os
+
+    from gliner_spark.core.dense import (
+        load_checkpoint_sparkfile,
+        predict_spans_dense,
+    )
+
+    if isinstance(ckpt, (str, _os.PathLike)):
+        name = _ship_checkpoint(spark.sparkContext, ckpt)
+
+        def get_ckpt():
+            return load_checkpoint_sparkfile(name)
+    else:
+        bc = spark.sparkContext.broadcast(ckpt)
+
+        def get_ckpt():
+            return bc.value
+
+    def fn(batches):
+        w = get_ckpt()
+        for pdf in batches:
+            rows = []
+            for doc_id, text in _synth_doc_texts(pdf, seed):
+                for m in predict_spans_dense(text, w):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "word_start": m["word_start"],
+                            "word_end": m["word_end"],
+                            "label": m["label"],
+                            "score": m["score"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "word_start", "word_end", "label", "score"],
+            )
+
+    return _synth_range(spark, n_docs, partitions).mapInPandas(
+        fn, schema=DENSE_SPANS_DDL
+    )
+
+
 def extract_spans_encoder(docs: DataFrame, ckpt_path) -> DataFrame:
     """Scored span grid through the pluggable `SpanEncoder` BACKEND
     protocol (core/encoders.py) — the seam a real trained GLiNER drops
@@ -529,6 +714,56 @@ def extract_spans_encoder(docs: DataFrame, ckpt_path) -> DataFrame:
             )
 
     return docs.select("doc_id", "spans").mapInPandas(
+        fn, schema=DENSE_SPANS_DDL
+    )
+
+
+def synth_extract_spans_encoder(
+    spark, n_docs: int, ckpt_path, seed: int = 42, partitions: int = 32
+) -> DataFrame:
+    """Fused synth + SpanEncoder-backend scoring (r7): same rows as
+    extract_spans_encoder(synth_docs(...), ckpt_path) without the synth
+    stage's Python->JVM->Python round trip."""
+    import numpy as np
+
+    name = _ship_checkpoint(spark.sparkContext, ckpt_path)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gliner_spark.core.dense import load_checkpoint_sparkfile
+        from gliner_spark.core.encoders import (
+            DenseCheckpointBackend,
+            SpanEncoder,
+        )
+
+        ckpt = load_checkpoint_sparkfile(name)
+        enc = SpanEncoder(DenseCheckpointBackend(ckpt))
+        lm = enc.encode_labels(ckpt.labels)
+        marker = ckpt.marker()
+        for pdf in batches:
+            rows = []
+            for doc_id, text in _synth_doc_texts(pdf, seed):
+                span_idx, valid, probs = enc.score_text(
+                    text, marker, lm, ckpt.scale, ckpt.bias, ckpt.max_width
+                )
+                if probs.size == 0:
+                    continue
+                keep = valid[:, None] & (probs >= ckpt.threshold)
+                for i, c in zip(*np.nonzero(keep)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "word_start": int(span_idx[i, 0]),
+                            "word_end": int(span_idx[i, 1]),
+                            "label": ckpt.labels[int(c)],
+                            "score": float(probs[i, c]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "word_start", "word_end", "label", "score"],
+            )
+
+    return _synth_range(spark, n_docs, partitions).mapInPandas(
         fn, schema=DENSE_SPANS_DDL
     )
 
@@ -642,6 +877,49 @@ def extract_triples_with_spans(docs: DataFrame, model: GlinerSparkModel) -> Data
             )
 
     return docs.select("doc_id", "spans").mapInPandas(
+        fn, schema=TRIPLES_SPANS_DDL
+    )
+
+
+def synth_extract_triples_with_spans(
+    spark, n_docs: int, model: GlinerSparkModel,
+    seed: int = 42, partitions: int = 32,
+) -> DataFrame:
+    """Fused synth + word-span triple extraction (r7): same rows as
+    extract_triples_with_spans(synth_docs(...), model) without the synth
+    stage's Python->JVM->Python round trip."""
+    bc = spark.sparkContext.broadcast(model)
+
+    def fn(batches):
+        m = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, text in _synth_doc_texts(pdf, seed):
+                mentions, tokens, _, _ = m.predict_doc(text)
+                for r in m.predict_relations_doc(tokens, mentions):
+                    h, t = mentions[r["head_idx"]], mentions[r["tail_idx"]]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "subj": normalize_surface(h["text"]),
+                            "pred": r["relation"],
+                            "obj": normalize_surface(t["text"]),
+                            "h_ws": h["word_start"],
+                            "h_we": h["word_end"],
+                            "t_ws": t["word_start"],
+                            "t_we": t["word_end"],
+                            "score": r["score"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subj", "pred", "obj",
+                    "h_ws", "h_we", "t_ws", "t_we", "score",
+                ],
+            )
+
+    return _synth_range(spark, n_docs, partitions).mapInPandas(
         fn, schema=TRIPLES_SPANS_DDL
     )
 

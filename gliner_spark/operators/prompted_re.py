@@ -75,3 +75,45 @@ def extract_relations_prompted(
     return docs.select("doc_id", "spans").mapInPandas(
         fn, schema=PROMPTED_RE_DDL
     )
+
+
+def synth_extract_relations_prompted(
+    spark,
+    n_docs: int,
+    model: GlinerSparkModel,
+    relations: Optional[Sequence[str]] = None,
+    entities: Optional[Sequence[str]] = None,
+    seed: int = 42,
+    partitions: int = 32,
+) -> DataFrame:
+    """Fused synth + two-pass prompted RE (r7): same rows as
+    extract_relations_prompted(synth_docs(...), model) without the synth
+    stage's Python->JVM->Python round trip."""
+    from gliner_spark.operators.extraction import _synth_doc_texts, _synth_range
+
+    rel_list: List[str] = list(relations) if relations else list(model.relations)
+    bc = spark.sparkContext.broadcast(model)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, text in _synth_doc_texts(pdf, seed):
+                mentions, toks, st, en = m.predict_doc(text, labels=entities)
+                uniq = list(dict.fromkeys(mn["text"] for mn in mentions))
+                comp = [f"{ent} <> {rel}" for rel in rel_list for ent in uniq]
+                for r in m.predict_doc_composite(
+                    text, comp, pretokenized=(toks, st, en)
+                ):
+                    rows.append({"doc_id": doc_id, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "source", "relation", "target", "score",
+                    "start", "end",
+                ],
+            )
+
+    return _synth_range(spark, n_docs, partitions).mapInPandas(
+        fn, schema=PROMPTED_RE_DDL
+    )
