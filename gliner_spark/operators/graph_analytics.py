@@ -151,7 +151,8 @@ def entity_degrees(triples: DataFrame) -> DataFrame:
 
 
 def two_hop_paths(
-    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(src, dst, n_paths) over 2-hop walks src -> mid -> dst (src != dst),
     counted over the DISTINCT edge set.
@@ -164,6 +165,46 @@ def two_hop_paths(
     from gliner_spark.metrics import attach_audits, capped_filter
 
     e = graph_edges(triples)
+    erows = _collected_edges(e, ("src", "dst"), driver_max_edges)
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): hop join replay with
+        # the audited mid-node out-fanout cap, exact integer counts
+        fwd: dict = {}
+        for r in erows:
+            fwd.setdefault(r[0], []).append(r[1])
+        n_dropped = 0
+        max_fan = 0
+        for src_n, ds in fwd.items():
+            fan = len(ds)
+            max_fan = max(max_fan, fan)
+            if fan > max_fanout:
+                n_dropped += fan
+        counts: dict = {}
+        for r in erows:
+            s, mid = r[0], r[1]
+            ds = fwd.get(mid)
+            if ds is None or len(ds) > max_fanout:
+                continue
+            for d in ds:
+                if s != d:
+                    key = (s, d)
+                    counts[key] = counts.get(key, 0) + 1
+        audit = {
+            "guard": "two_hop_hub_cap",
+            "n_dropped_rows": n_dropped,
+            "max_group_size": max_fan,
+            "cap": int(max_fanout),
+        }
+        spark = triples.sparkSession
+        out = spark.createDataFrame(
+            [(s, d, n) for (s, d), n in sorted(counts.items())],
+            "src string, dst string, n_paths long",
+        ).orderBy("src", "dst")
+        from gliner_spark.cache import forward_caches
+
+        return forward_caches(
+            attach_audits(out, _audit_frame(spark, audit)), triples
+        )
     w = Window.partitionBy("src")
     ok_mid, audit = capped_filter(
         e.withColumn("fan", F.count(F.lit(1)).over(w)),
@@ -616,6 +657,7 @@ def triangle_counts(
     triples: DataFrame,
     max_fanout: int = TWO_HOP_MAX_FANOUT,
     und: DataFrame | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Per-entity triangle participation counts over the UNDIRECTED
     distinct entity graph — the clustering-coefficient numerator and the
@@ -643,6 +685,22 @@ def triangle_counts(
     from gliner_spark.metrics import attach_audits, capped_filter
 
     if und is None:
+        rows = _collected_edges(
+            undirected_edges(triples), ("a", "b"), driver_max_edges
+        )
+        if rows is not None:
+            # driver path (GRAPH_DRIVER_MAX_EDGES gate): _tri_driver is
+            # the audited-cap compact-forward replay
+            counts, audit = _tri_driver(
+                {(r[0], r[1]) for r in rows}, max_fanout
+            )
+            spark = triples.sparkSession
+            out = spark.createDataFrame(
+                sorted(counts.items()), "entity string, n_triangles long"
+            ).orderBy("entity")
+            return forward_caches(
+                attach_audits(out, _audit_frame(spark, audit)), triples
+            )
         und = undirected_edges(triples)
     w = Window.partitionBy("a")
     capped, audit = capped_filter(
@@ -671,7 +729,8 @@ def triangle_counts(
 
 
 def clustering_coefficients(
-    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Local clustering coefficient per entity over the undirected
     distinct graph: cc(v) = 2*T(v) / (k(v)*(k(v)-1)), with T(v) the
@@ -697,6 +756,57 @@ def clustering_coefficients(
     from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): triangle replay +
+        # degree/capped bookkeeping in python; the one double division is
+        # computed raw and rounded back IN Spark with the same F.round
+        eset = {(r[0], r[1]) for r in rows}
+        adj = _adj_from_und(rows)
+        counts, audit = _tri_driver(eset, max_fanout)
+        fwd_deg: dict = {}
+        for a, _b in eset:
+            fwd_deg[a] = fwd_deg.get(a, 0) + 1
+        capped_piv = {a for a, d in fwd_deg.items() if d > max_fanout}
+        affected = set(capped_piv)
+        for a, b in eset:
+            if a in capped_piv:
+                affected.add(b)
+        data = [
+            (
+                n,
+                len(nbrs),
+                counts.get(n, 0),
+                (
+                    float(2 * counts.get(n, 0))
+                    / float(len(nbrs) * (len(nbrs) - 1))
+                )
+                if len(nbrs) >= 2
+                else 0.0,
+                n in affected,
+            )
+            for n, nbrs in adj.items()
+        ]
+        spark = triples.sparkSession
+        out = (
+            spark.createDataFrame(
+                data,
+                "entity string, k long, n_triangles long, _raw double, "
+                "capped boolean",
+            )
+            .select(
+                "entity", "k", "n_triangles",
+                F.when(F.col("k") >= 2, F.round("_raw", 6))
+                .otherwise(F.lit(0.0)).alias("clustering"),
+                "capped",
+            )
+            .orderBy("entity")
+        )
+        return forward_caches(
+            attach_audits(out, _audit_frame(spark, audit)), triples
+        )
     und = undirected_edges(triples).persist()
     deg = (
         und.select(F.col("a").alias("entity"))
@@ -749,7 +859,8 @@ def clustering_coefficients(
 
 
 def node_similarity(
-    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Neighborhood Jaccard for every canonical undirected entity edge
     (a, b): J = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the undirected
@@ -772,6 +883,59 @@ def node_similarity(
     from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): full-neighborhood
+        # wedge counting with the audited pivot cap; the Jaccard double
+        # is computed raw and rounded back IN Spark with the same F.round
+        eset = {(r[0], r[1]) for r in rows}
+        adj = _adj_from_und(rows)
+        common: dict = {}
+        n_dropped = 0
+        max_fan = 0
+        for node, nbrs in adj.items():
+            fan = len(nbrs)
+            max_fan = max(max_fan, fan)
+            if fan > max_fanout:
+                n_dropped += fan
+                continue
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    key = (ns[i], ns[j])
+                    common[key] = common.get(key, 0) + 1
+        data = [
+            (
+                a, b, common.get((a, b), 0), len(adj[a]), len(adj[b]),
+                float(common.get((a, b), 0))
+                / float(len(adj[a]) + len(adj[b]) - common.get((a, b), 0)),
+            )
+            for a, b in eset
+        ]
+        audit = {
+            "guard": "nodesim_pivot_cap",
+            "n_dropped_rows": n_dropped,
+            "max_group_size": max_fan,
+            "cap": int(max_fanout),
+        }
+        spark = triples.sparkSession
+        out = (
+            spark.createDataFrame(
+                data,
+                "a string, b string, common long, k_a long, k_b long, "
+                "_raw double",
+            )
+            .select(
+                "a", "b", "common", "k_a", "k_b",
+                F.round("_raw", 6).alias("jaccard"),
+            )
+            .orderBy("a", "b")
+        )
+        return forward_caches(
+            attach_audits(out, _audit_frame(spark, audit)), triples
+        )
     und = undirected_edges(triples).persist()
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
@@ -940,6 +1104,7 @@ def link_prediction(
     triples: DataFrame,
     top: int = LP_TOP,
     max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Missing-link candidates by Resource Allocation index (Zhou,
     Lü & Zhang 2009 — the strongest of the classic local similarity
@@ -961,6 +1126,50 @@ def link_prediction(
     from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): RA wedges with the
+        # audited pivot cap, non-edge filter, integer micro-unit scores,
+        # deterministic top-N — all exact (LP_UNIT DIV deg == // nonneg)
+        eset = {(r[0], r[1]) for r in rows}
+        adj = _adj_from_und(rows)
+        scores: dict = {}
+        n_dropped = 0
+        max_fan = 0
+        for node, nbrs in adj.items():
+            fan = len(nbrs)
+            max_fan = max(max_fan, fan)
+            if fan > max_fanout:
+                n_dropped += fan
+                continue
+            ra = LP_UNIT // fan
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    key = (ns[i], ns[j])
+                    if key in eset:
+                        continue  # existing edges are not candidates
+                    s, c = scores.get(key, (0, 0))
+                    scores[key] = (s + ra, c + 1)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1][0], kv[0][0], kv[0][1])
+        )[:top]
+        audit = {
+            "guard": "linkpred_pivot_cap",
+            "n_dropped_rows": n_dropped,
+            "max_group_size": max_fan,
+            "cap": int(max_fanout),
+        }
+        spark = triples.sparkSession
+        out = spark.createDataFrame(
+            [(a, b, c, s) for (a, b), (s, c) in ranked],
+            "a string, b string, common long, ra_score long",
+        )
+        return forward_caches(
+            attach_audits(out, _audit_frame(spark, audit)), triples
+        )
     und = undirected_edges(triples).persist()
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
@@ -1904,6 +2113,54 @@ HC_UNIT = 1_000_000
 
 
 
+def _tri_driver(eset: set, cap: int):
+    """Compact-forward triangle counting replay with the audited pivot
+    cap: wedges only from pivots with canonical forward-degree <= cap;
+    closure checks the UNCAPPED edge set. Returns ({entity: n_triangles},
+    audit dict)."""
+    fwd: dict = {}
+    for a, b in eset:
+        fwd.setdefault(a, []).append(b)
+    counts: dict = {}
+    n_dropped = 0
+    max_fan = 0
+    for a, bs in fwd.items():
+        fan = len(bs)
+        max_fan = max(max_fan, fan)
+        if fan > cap:
+            n_dropped += fan
+            continue
+        bss = sorted(bs)
+        for i in range(len(bss)):
+            for j in range(i + 1, len(bss)):
+                x, y = bss[i], bss[j]
+                if (x, y) in eset:
+                    counts[a] = counts.get(a, 0) + 1
+                    counts[x] = counts.get(x, 0) + 1
+                    counts[y] = counts.get(y, 0) + 1
+    audit = {
+        "guard": "triangle_pivot_cap",
+        "n_dropped_rows": n_dropped,
+        "max_group_size": max_fan,
+        "cap": int(cap),
+    }
+    return counts, audit
+
+
+def _audit_frame(spark, audit: dict):
+    """1-row audit frame from a driver-path guard dict (the capped_filter
+    audit schema, so skew_metrics reads both identically)."""
+    return spark.createDataFrame(
+        [
+            (
+                audit["guard"], audit["n_dropped_rows"],
+                audit["max_group_size"], audit["cap"],
+            )
+        ],
+        "guard string, n_dropped_rows long, max_group_size long, cap long",
+    )
+
+
 def _seed_bfs_driver(adj, seeds, depth: int) -> dict:
     """{(seed, node): first-reach dist} per-seed BFS to `depth` — the
     pure-python replay of _seed_bfs for driver-gated small graphs."""
@@ -2222,7 +2479,8 @@ def reciprocity(triples: DataFrame) -> DataFrame:
 
 
 def square_counts(
-    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Per-entity 4-cycle (square) participation counts over the
     undirected distinct entity graph — the bipartite-ish clustering
@@ -2245,6 +2503,46 @@ def square_counts(
     from gliner_spark.cache import forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
+    rows = _collected_edges(
+        undirected_edges(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): diagonal-wedge
+        # square counting with the audited pivot cap, exact integers
+        adj = _adj_from_und(rows)
+        common: dict = {}
+        n_dropped = 0
+        max_fan = 0
+        for node, nbrs in adj.items():
+            fan = len(nbrs)
+            max_fan = max(max_fan, fan)
+            if fan > max_fanout:
+                n_dropped += fan
+                continue
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    key = (ns[i], ns[j])
+                    common[key] = common.get(key, 0) + 1
+        sq_counts: dict = {}
+        for (x, y), w_ in common.items():
+            if w_ >= 2:
+                sq = (w_ * (w_ - 1)) // 2
+                sq_counts[x] = sq_counts.get(x, 0) + sq
+                sq_counts[y] = sq_counts.get(y, 0) + sq
+        audit = {
+            "guard": "square_pivot_cap",
+            "n_dropped_rows": n_dropped,
+            "max_group_size": max_fan,
+            "cap": int(max_fanout),
+        }
+        spark = triples.sparkSession
+        out = spark.createDataFrame(
+            sorted(sq_counts.items()), "entity string, n_squares long"
+        ).orderBy("entity")
+        return forward_caches(
+            attach_audits(out, _audit_frame(spark, audit)), triples
+        )
     und = undirected_edges(triples)
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")

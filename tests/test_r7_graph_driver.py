@@ -54,6 +54,8 @@ def _rows(df):
         "lpa", "modularity", "wl", "hits", "bfs", "harmonic",
         "distances", "stress", "components", "kcore", "truss",
         "pagerank", "pagerank_dangling", "ppr", "pagerank_weighted",
+        "triangles", "clustering", "node_similarity", "link_prediction",
+        "squares", "two_hop",
     ],
 )
 def test_driver_paths_match_distributed(spark, graph, name):
@@ -89,8 +91,66 @@ def test_driver_paths_match_distributed(spark, graph, name):
         "pagerank_weighted": lambda d: ga.pagerank_weighted(
             graph, driver_max_edges=d
         ),
+        "triangles": lambda d: ga.triangle_counts(
+            graph, driver_max_edges=d
+        ),
+        "clustering": lambda d: ga.clustering_coefficients(
+            graph, driver_max_edges=d
+        ),
+        "node_similarity": lambda d: ga.node_similarity(
+            graph, driver_max_edges=d
+        ),
+        "link_prediction": lambda d: ga.link_prediction(
+            graph, driver_max_edges=d
+        ),
+        "squares": lambda d: ga.square_counts(graph, driver_max_edges=d),
+        "two_hop": lambda d: ga.two_hop_paths(graph, driver_max_edges=d),
     }
     drv = _rows(fns[name](10_000_000))
     dist = _rows(fns[name](0))
     assert drv == dist, f"{name}: driver path diverges from distributed"
     assert len(drv) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["triangles", "clustering", "node_similarity", "link_prediction",
+     "squares", "two_hop", "truss"],
+)
+def test_driver_paths_match_with_firing_caps(spark, graph, name):
+    """Same row identity with a tiny pivot cap so the audited drop
+    branches execute on both sides."""
+    import gliner_spark.operators.graph_analytics as ga
+
+    fns = {
+        "triangles": lambda d: ga.triangle_counts(
+            graph, max_fanout=4, driver_max_edges=d
+        ),
+        "clustering": lambda d: ga.clustering_coefficients(
+            graph, max_fanout=4, driver_max_edges=d
+        ),
+        "node_similarity": lambda d: ga.node_similarity(
+            graph, max_fanout=4, driver_max_edges=d
+        ),
+        "link_prediction": lambda d: ga.link_prediction(
+            graph, max_fanout=4, driver_max_edges=d
+        ),
+        "squares": lambda d: ga.square_counts(
+            graph, max_fanout=4, driver_max_edges=d
+        ),
+        "two_hop": lambda d: ga.two_hop_paths(
+            graph, max_fanout=2, driver_max_edges=d
+        ),
+        "truss": lambda d: ga.ktruss(
+            graph, max_fanout=4, driver_max_edges=d
+        ),
+    }
+    from gliner_spark.metrics import skew_metrics
+
+    drv_df = fns[name](10_000_000)
+    m = skew_metrics(drv_df)
+    drv = _rows(drv_df)
+    dist = _rows(fns[name](0))
+    assert drv == dist, f"{name}: capped driver path diverges"
+    # the cap genuinely fired on this graph
+    assert any(v["n_dropped_rows"] > 0 for v in m.values()), m
