@@ -69,7 +69,15 @@ def conjunctive_match(
         # (matched=true) when every atom holds, 0 rows otherwise
         out = bound.select(F.lit(True).alias("matched")).limit(1)
     else:
-        out = bound.select(*out_cols).distinct().orderBy(*out_cols)
+        # r7 (guide §2.4, "a distinct on data that is already unique"):
+        # every atom frame is DISTINCT and the chain only ever
+        # equi-joins on shared variables, so each variable-binding
+        # combination appears exactly once in `bound`; the projection
+        # keeps EVERY bound variable (out_cols == bound_vars, ground
+        # markers are constant <=1-row gates), so a final distinct was a
+        # full extra shuffle+aggregate of the result set that removed
+        # nothing. The output row SET is unchanged.
+        out = bound.select(*out_cols).orderBy(*out_cols)
     return forward_caches(out, triples)
 
 
@@ -179,17 +187,20 @@ def optional_match(
                 "outside the well-designed fragment"
             )
         introduced |= new_vars
-        # distinct before the left join: SPARQL set semantics per group,
-        # and it keeps the left-join multiplicity at exactly one row per
-        # (required binding x optional binding)
-        bound = bound.join(g.distinct(), shared, "left")
+        # the group's bindings are already DISTINCT (atom frames are
+        # distinct, equi-joins on shared variables preserve uniqueness),
+        # so the left-join multiplicity is exactly one row per
+        # (required binding x optional binding) with no extra shuffle
+        bound = bound.join(g, shared, "left")
         bound_vars |= gvars
     for a, b in neq:
         bound = bound.filter(F.col(a) != F.col(b))
     out_cols = sorted(v for v in bound_vars)
-    out = (
-        bound.select(*out_cols)
-        .distinct()
-        .orderBy(*[F.col(c).asc_nulls_last() for c in out_cols])
+    # r7: the final distinct was a no-op for the same reason (see
+    # conjunctive_match) — required x optional combinations are unique,
+    # NULL-extensions included; dropping it removes a full shuffle +
+    # aggregate of the (fan-out sized) result set
+    out = bound.select(*out_cols).orderBy(
+        *[F.col(c).asc_nulls_last() for c in out_cols]
     )
     return forward_caches(out, triples)
