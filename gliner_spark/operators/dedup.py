@@ -163,8 +163,77 @@ def _jaccard_verify(
     return out.orderBy("doc_a", "doc_b") if sort else out
 
 
+import os as _os
+
+# r7 adaptive small-corpus gate (the SIM_DRIVER_MAX_VECTORS design for
+# token-set dedup): at or below this many documents the minhash banding /
+# bucket cap / exact-Jaccard verify runs on the driver from one bounded
+# collect of the SPARK-computed token-id arrays (token hashing stays
+# engine-exact by construction); the Jaccard double is the same
+# int/int IEEE division in python. 0 disables; distributed plan
+# unchanged above the bound.
+DD_DRIVER_MAX_DOCS = int(_os.environ.get("GS_DD_DRIVER_MAX_DOCS", "20000"))
+
+
+def _minhash_driver_pairs(rows, threshold: float):
+    """(pairs, audit) — python replay of signature banding + bucket cap +
+    exact token-set Jaccard. rows: collected (doc_id, _ids)."""
+    P = P31
+    per = MINHASH_ROWS // MINHASH_BANDS
+    perms = [(2 * j + 3, j + 1) for j in range(MINHASH_ROWS)]
+    doc_ids = []
+    id_sets = []
+    sigs = []
+    for r in rows:
+        doc_ids.append(r[0])
+        ids = list(dict.fromkeys(r[1]))  # array_distinct order-preserving
+        id_sets.append(set(ids))
+        mh = [min((x * a + b) % P for x in ids) for a, b in perms]
+        bks = []
+        for bb in range(MINHASH_BANDS):
+            key = 0
+            for j in range(bb * per, (bb + 1) * per):
+                key = (key * 1000003 + mh[j]) % P
+            bks.append(key)
+        sigs.append(bks)
+    buckets: dict = {}
+    for i in range(len(doc_ids)):
+        for bb, key in enumerate(sigs[i]):
+            buckets.setdefault((bb, key), []).append(i)
+    n_dropped = 0
+    max_bucket = 0
+    pair_set = set()
+    for members in buckets.values():
+        sz = len(members)
+        max_bucket = max(max_bucket, sz)
+        if sz > MAX_BUCKET:
+            n_dropped += sz
+            continue
+        ms = sorted(members, key=lambda i: doc_ids[i])
+        for x in range(sz):
+            for y in range(x + 1, sz):
+                if doc_ids[ms[x]] != doc_ids[ms[y]]:
+                    pair_set.add((ms[x], ms[y]))
+    pairs = []
+    for a, b in pair_set:
+        inter = len(id_sets[a] & id_sets[b])
+        if inter == 0:
+            continue  # the verify join is INNER on shared items
+        jac = inter / (len(id_sets[a]) + len(id_sets[b]) - inter)
+        if jac >= threshold:
+            pairs.append((doc_ids[a], doc_ids[b], jac))
+    audit = {
+        "guard": "dedup_lsh_bucket_cap",
+        "n_dropped_rows": n_dropped,
+        "max_group_size": max_bucket,
+        "cap": int(MAX_BUCKET),
+    }
+    return pairs, audit
+
+
 def minhash_dedup(
-    docs: DataFrame, threshold: float = 0.5, sort: bool = True
+    docs: DataFrame, threshold: float = 0.5, sort: bool = True,
+    driver_max_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact token-set Jaccard.
 
@@ -176,6 +245,31 @@ def minhash_dedup(
     from gliner_spark.cache import attach_caches
     from gliner_spark.metrics import attach_audits
 
+    bound = DD_DRIVER_MAX_DOCS if driver_max_docs is None else driver_max_docs
+    if bound > 0:
+        rows = staged_token_ids(docs).limit(bound + 1).collect()
+        if len(rows) <= bound:
+            spark = docs.sparkSession
+            data, audit = _minhash_driver_pairs(rows, threshold)
+            # doc id type follows the input table (bigint in the
+            # fixture corpora; string in kg chains)
+            id_t = dict(docs.dtypes)["doc_id"]
+            out = spark.createDataFrame(
+                data, f"doc_a {id_t}, doc_b {id_t}, jaccard double"
+            )
+            if sort:
+                out = out.orderBy("doc_a", "doc_b")
+            audit_df = spark.createDataFrame(
+                [
+                    (
+                        audit["guard"], audit["n_dropped_rows"],
+                        audit["max_group_size"], audit["cap"],
+                    )
+                ],
+                "guard string, n_dropped_rows long, max_group_size long, "
+                "cap long",
+            )
+            return attach_audits(out, audit_df)
     staged = staged_token_ids(docs).persist()
     ids = staged.select(
         "doc_id", F.explode(F.array_distinct("_ids")).alias("item")
