@@ -82,7 +82,12 @@ def test_dedup_verify_path_scans_corpus_once(spark):
     from gliner_spark.operators.dedup import minhash_dedup, ngram_jaccard_dedup
 
     docs = spark.read.parquet(DOCS)
-    for df in (minhash_dedup(docs), ngram_jaccard_dedup(docs)):
+    # minhash_dedup: driver_max_docs=0 asserts the DISTRIBUTED plan (the
+    # r7 driver gate would otherwise collapse this corpus to a local scan)
+    for df in (
+        minhash_dedup(docs, driver_max_docs=0),
+        ngram_jaccard_dedup(docs),
+    ):
         p = _plan(df)
         # every InMemoryTableScan prints its cached child plan (incl. the
         # FileScan it was built from); a FileScan NOT under a cache would
@@ -240,7 +245,9 @@ def test_clustering_builds_undirected_edges_once(spark):
         "doc_id string, subj string, pred string, obj string, "
         "subj_type string, obj_type string, score double",
     )
-    df = clustering_coefficients(triples)
+    # driver_max_edges=0: assert the DISTRIBUTED plan (the r7 driver
+    # gate would otherwise collapse this tiny graph to a local scan)
+    df = clustering_coefficients(triples, driver_max_edges=0)
     p = _plan(df)
     n_least = len(re.findall(r"least\(", p))
     n_scan = len(re.findall(r"InMemoryTableScan", p))
@@ -313,7 +320,7 @@ def test_link_prediction_plan_has_no_cartesian(spark):
         "doc_id string, subj string, pred string, obj string, "
         "subj_type string, obj_type string, score double",
     )
-    df = link_prediction(triples)
+    df = link_prediction(triples, driver_max_edges=0)  # distributed plan
     p = _plan(df)
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
@@ -364,7 +371,7 @@ def test_lpa_round_has_no_cartesian_or_global_window(spark):
         "doc_id string, subj string, pred string, obj string, "
         "subj_type string, obj_type string, score double",
     )
-    df = lpa_communities(triples, rounds=1)
+    df = lpa_communities(triples, rounds=1, driver_max_edges=0)
     p = _plan(df)
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
