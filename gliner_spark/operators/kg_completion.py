@@ -43,8 +43,50 @@ COOC_DOC_CAP = 64       # per-doc entity-count cap for the pair self-join
 COOC_MIN_SUPPORT = 2    # min co-occurring docs to emit a candidate pair
 
 
+def _negatives_driver(rows, pool_cap: int):
+    """Python replay of the corruption protocol over collected distinct
+    positives (subj, pred, obj, obj_type): hash-ranked <=cap pool per
+    type (sorted), fold-hash pick with the true-object skip, filtered
+    against the true triple set. Exact: fold_hash replayed, pmod == %
+    for the nonneg hash."""
+    from gliner_spark.operators.graph_analytics import _fold_hash_py
+
+    pos = [(r[0], r[1], r[2], r[3]) for r in rows]
+    trues = {(s, p, o) for s, p, o, _t in pos}
+    ents: dict = {}
+    for _s, _p, o, t in pos:
+        ents.setdefault(t, set()).add(o)
+    import heapq
+
+    pools: dict = {}
+    for t, es in ents.items():
+        picked = [
+            e
+            for _h, e in heapq.nsmallest(
+                pool_cap, ((_fold_hash_py(e), e) for e in es)
+            )
+        ]
+        pools[t] = sorted(picked)
+    out = []
+    for s, p, o, t in pos:
+        pool = pools[t]
+        n = len(pool)
+        idx = _fold_hash_py(f"{s}|{p}|{o}") % n
+        c0 = pool[idx]
+        c1 = pool[(idx + 1) % n]
+        neg = c1 if c0 == o else c0
+        if neg == o:
+            continue
+        if (s, p, neg) in trues:
+            continue
+        out.append((s, p, o, neg, t))
+    out.sort()
+    return out
+
+
 def negative_samples(
-    triples: DataFrame, pool_cap: int = NEG_POOL_CAP
+    triples: DataFrame, pool_cap: int = NEG_POOL_CAP,
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """One type-consistent corrupted tail per distinct positive triple,
     filtered against the true triple set.
@@ -72,11 +114,27 @@ def negative_samples(
     # protocol must not double-count on inputs where it doesn't).
     # Persisted: trues/ents/cand all branch from it — without the
     # persist each branch would re-run the whole upstream chain.
-    pos = (
-        triples.groupBy("subj", "pred", "obj")
-        .agg(F.min("obj_type").alias("obj_type"))
-        .persist()
+    pos_frame = triples.groupBy("subj", "pred", "obj").agg(
+        F.min("obj_type").alias("obj_type")
     )
+    from gliner_spark.operators.graph_analytics import _collected_edges
+
+    rows = _collected_edges(
+        pos_frame, ("subj", "pred", "obj", "obj_type"), driver_max_rows
+    )
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate, here on distinct
+        # positives): _negatives_driver replays the protocol exactly;
+        # downstream scorers (transe_margin_eval family) then run over a
+        # local relation — one narrow stage instead of pool/broadcast/
+        # anti-join shuffles
+        out = triples.sparkSession.createDataFrame(
+            _negatives_driver(rows, pool_cap),
+            "subj string, pred string, pos_obj string, neg_obj string, "
+            "obj_type string",
+        ).orderBy("subj", "pred", "pos_obj", "neg_obj")
+        return forward_caches(out, triples)
+    pos = pos_frame.persist()
     trues = pos.select("subj", "pred", F.col("obj").alias("neg_obj"))
 
     ents = pos.select(
@@ -161,6 +219,7 @@ def cooc_candidates(
     triples: DataFrame,
     doc_cap: int = COOC_DOC_CAP,
     min_support: int = COOC_MIN_SUPPORT,
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """Document co-occurrence lift for entity pairs the extractor did
     NOT link — the distant-supervision / missing-relation candidate list
@@ -193,6 +252,75 @@ def cooc_candidates(
         )
         .distinct()
     )
+    from gliner_spark.operators.graph_analytics import (
+        _audit_frame,
+        _collected_edges,
+    )
+
+    erows = _collected_edges(ed, ("doc_id", "entity"), driver_max_rows)
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate, here on distinct
+        # (doc, entity) incidences): capped pair counting, marginals and
+        # the non-adjacency filter in python; the lift double is computed
+        # raw (exact int->double products, both < 2^53) and rounded back
+        # IN Spark with the same F.round
+        by_doc: dict = {}
+        for r in erows:
+            by_doc.setdefault(r[0], []).append(r[1])
+        n_dropped = 0
+        max_doc = 0
+        kept_docs = 0
+        marg: dict = {}
+        pair_n: dict = {}
+        for _doc, es in by_doc.items():
+            sz = len(es)
+            max_doc = max(max_doc, sz)
+            if sz > doc_cap:
+                n_dropped += sz
+                continue
+            kept_docs += 1
+            ess = sorted(es)
+            for e in ess:
+                marg[e] = marg.get(e, 0) + 1
+            for i in range(len(ess)):
+                for j in range(i + 1, len(ess)):
+                    key = (ess[i], ess[j])
+                    pair_n[key] = pair_n.get(key, 0) + 1
+        adj = {
+            (min(r[0], r[1]), max(r[0], r[1]))
+            for r in triples.filter(F.col("subj") != F.col("obj"))
+            .select("subj", "obj").distinct().collect()
+        }
+        data = [
+            (
+                a, b, n, marg[a], marg[b],
+                float(kept_docs * n) / float(marg[a] * marg[b]),
+            )
+            for (a, b), n in pair_n.items()
+            if n >= min_support and (a, b) not in adj
+        ]
+        audit = {
+            "guard": "cooc_doc_cap",
+            "n_dropped_rows": n_dropped,
+            "max_group_size": max_doc,
+            "cap": int(doc_cap),
+        }
+        spark = triples.sparkSession
+        out = (
+            spark.createDataFrame(
+                data,
+                "entity_a string, entity_b string, n_docs_pair long, "
+                "n_docs_a long, n_docs_b long, _raw double",
+            )
+            .select(
+                "entity_a", "entity_b", "n_docs_pair", "n_docs_a",
+                "n_docs_b", F.round("_raw", 6).alias("lift"),
+            )
+            .orderBy("entity_a", "entity_b")
+        )
+        return forward_caches(
+            attach_audits(out, _audit_frame(spark, audit)), triples
+        )
 
     w = Window.partitionBy("doc_id")
     capped, audit = capped_filter(
@@ -268,6 +396,7 @@ def walk_corpus(
     walks_per_node: int = WALKS_PER_NODE,
     length: int = WALK_LEN,
     nbr_cap: int = WALK_NBR_CAP,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Deterministic random-walk corpus over the undirected entity graph
     — the DeepWalk / node2vec(p=q=1) training-data generator (Perozzi et
@@ -291,9 +420,49 @@ def walk_corpus(
     adjacency co-shuffle on the node key each hop. An undirected edge
     guarantees every reached node has a non-empty pool, so walks never
     dead-end."""
-    from gliner_spark.operators.graph_analytics import undirected_edges
+    from gliner_spark.operators.graph_analytics import (
+        _adj_from_und,
+        _collected_edges,
+        _fold_hash_py,
+        undirected_edges,
+    )
 
     und = undirected_edges(triples)
+    rows = _collected_edges(und, ("a", "b"), driver_max_edges)
+    if rows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): the bounded pools
+        # and fold-hash walk steps replayed exactly (pmod == % for the
+        # nonneg hash; pools are hash-rank-capped then sorted, the same
+        # _hash_ranked_pool protocol)
+        import heapq
+
+        adj = _adj_from_und(rows)
+        pools = {
+            node: sorted(
+                nb
+                for _h, nb in heapq.nsmallest(
+                    nbr_cap, ((_fold_hash_py(nb), nb) for nb in nbrs)
+                )
+            )
+            for node, nbrs in adj.items()
+        }
+        data = []
+        for entity in pools:
+            for wid in range(walks_per_node):
+                cur = entity
+                walk = entity
+                for step in range(1, length):
+                    pool = pools[cur]
+                    idx = _fold_hash_py(
+                        f"{entity}|{wid}|{step}|{cur}"
+                    ) % len(pool)
+                    cur = pool[idx]
+                    walk = f"{walk}->{cur}"
+                data.append((entity, wid, walk))
+        out = triples.sparkSession.createDataFrame(
+            data, "entity string, walk_id long, walk string"
+        ).orderBy("entity", "walk_id")
+        return forward_caches(out, triples)
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
