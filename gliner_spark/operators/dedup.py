@@ -247,8 +247,12 @@ def minhash_dedup(
 
     bound = DD_DRIVER_MAX_DOCS if driver_max_docs is None else driver_max_docs
     if bound > 0:
-        rows = staged_token_ids(docs).limit(bound + 1).collect()
-        if len(rows) <= bound:
+        from gliner_spark.operators.graph_analytics import _collected_edges
+
+        rows = _collected_edges(
+            staged_token_ids(docs), ("doc_id", "_ids"), bound
+        )
+        if rows is not None:
             spark = docs.sparkSession
             data, audit = _minhash_driver_pairs(rows, threshold)
             # doc id type follows the input table (bigint in the

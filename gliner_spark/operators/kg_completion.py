@@ -258,7 +258,18 @@ def cooc_candidates(
     )
 
     erows = _collected_edges(ed, ("doc_id", "entity"), driver_max_rows)
-    if erows is not None:
+    adj_rows = (
+        _collected_edges(
+            triples.filter(F.col("subj") != F.col("obj"))
+            .select("subj", "obj")
+            .distinct(),
+            ("subj", "obj"),
+            driver_max_rows,
+        )
+        if erows is not None
+        else None
+    )
+    if erows is not None and adj_rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate, here on distinct
         # (doc, entity) incidences): capped pair counting, marginals and
         # the non-adjacency filter in python; the lift double is computed
@@ -286,11 +297,7 @@ def cooc_candidates(
                 for j in range(i + 1, len(ess)):
                     key = (ess[i], ess[j])
                     pair_n[key] = pair_n.get(key, 0) + 1
-        adj = {
-            (min(r[0], r[1]), max(r[0], r[1]))
-            for r in triples.filter(F.col("subj") != F.col("obj"))
-            .select("subj", "obj").distinct().collect()
-        }
+        adj = {(min(r[0], r[1]), max(r[0], r[1])) for r in adj_rows}
         data = [
             (
                 a, b, n, marg[a], marg[b],
@@ -437,28 +444,46 @@ def walk_corpus(
         import heapq
 
         adj = _adj_from_und(rows)
+        # fold_hash composes: fold(A+B) = (fold(A) * M^len(B) + fold(B))
+        # mod P (each char step is h -> h*M + c). Hash every node ONCE
+        # and compose walk keys f"{entity}|{wid}|{step}|{cur}" from the
+        # cached node folds — the per-char loop over every step key was
+        # the driver path's hot spot.
+        P = 2147483647
+        M = 1000003
+        fold_c = {n: _fold_hash_py(n) for n in adj}
+        node_len = {n: len(n) for n in adj}
+        powM = [1]
+        for _ in range(max(node_len.values(), default=1) + 8):
+            powM.append((powM[-1] * M) % P)
+        mids = {
+            (wid, step): (_fold_hash_py(m := f"|{wid}|{step}|"), len(m))
+            for wid in range(walks_per_node)
+            for step in range(1, length)
+        }
         pools = {
             node: sorted(
                 nb
                 for _h, nb in heapq.nsmallest(
-                    nbr_cap, ((_fold_hash_py(nb), nb) for nb in nbrs)
+                    nbr_cap, ((fold_c[nb], nb) for nb in nbrs)
                 )
             )
             for node, nbrs in adj.items()
         }
         data = []
         for entity in pools:
+            ent_f = fold_c[entity]
             for wid in range(walks_per_node):
                 cur = entity
-                walk = entity
+                parts = [entity]
                 for step in range(1, length):
                     pool = pools[cur]
-                    idx = _fold_hash_py(
-                        f"{entity}|{wid}|{step}|{cur}"
-                    ) % len(pool)
-                    cur = pool[idx]
-                    walk = f"{walk}->{cur}"
-                data.append((entity, wid, walk))
+                    mid_f, mid_len = mids[(wid, step)]
+                    h = (ent_f * powM[mid_len] + mid_f) % P
+                    h = (h * powM[node_len[cur]] + fold_c[cur]) % P
+                    cur = pool[h % len(pool)]
+                    parts.append(cur)
+                data.append((entity, wid, "->".join(parts)))
         out = triples.sparkSession.createDataFrame(
             data, "entity string, walk_id long, walk string"
         ).orderBy("entity", "walk_id")

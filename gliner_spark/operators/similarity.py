@@ -846,11 +846,12 @@ def embedding_neardup(
         else driver_max_vectors
     )
     if bound > 0:
-        qrows = (
-            _quantized(emb).select("vec_id", "q", "norm2")
-            .limit(bound + 1).collect()
+        from gliner_spark.operators.graph_analytics import _collected_edges
+
+        qrows = _collected_edges(
+            _quantized(emb), ("vec_id", "q", "norm2"), bound
         )
-        if len(qrows) <= bound:
+        if qrows is not None:
             spark = emb.sparkSession
             if not qrows:
                 out = spark.createDataFrame(
