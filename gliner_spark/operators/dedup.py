@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gliner_spark.operators.graph_analytics import _local_df
+
 from gliner_spark.functions.text import (
     MINHASH_BANDS,
     MINHASH_ROWS,
@@ -258,12 +260,12 @@ def minhash_dedup(
             # doc id type follows the input table (bigint in the
             # fixture corpora; string in kg chains)
             id_t = dict(docs.dtypes)["doc_id"]
-            out = spark.createDataFrame(
+            out = _local_df(spark,
                 data, f"doc_a {id_t}, doc_b {id_t}, jaccard double"
             )
             if sort:
                 out = out.orderBy("doc_a", "doc_b")
-            audit_df = spark.createDataFrame(
+            audit_df = _local_df(spark,
                 [
                     (
                         audit["guard"], audit["n_dropped_rows"],

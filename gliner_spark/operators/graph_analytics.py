@@ -38,6 +38,81 @@ GRAPH_DRIVER_MAX_EDGES = int(
 )
 
 
+# raw-tier cap for _collected_dedup: collect at most this many PRE-distinct
+# rows before degrading to the cluster-side distinct tier (bounds the extra
+# driver memory of the raw tier; the GATE condition — distinct rows <= bound
+# — is unchanged either way)
+RAW_COLLECT_CAP = int(
+    _os.environ.get("GS_GRAPH_RAW_COLLECT_CAP", "1000000")
+)
+
+
+def _collected_dedup(raw_df: DataFrame, cols, max_edges: int | None):
+    """_collected_edges over a PRE-distinct frame: collect the raw rows
+    through Arrow, dedup + sort them vectorized on the driver
+    (pyarrow group_by), and apply the SAME distinct-row bound as
+    _collected_edges. The cluster-side `.distinct()` was 0.5-0.6s of
+    every driver-gated operator at sf0.1 (32-partition exchange + AQE
+    round) while the raw Arrow collect + C++ dedup of the same rows is
+    ~0.3s (guide §1.2: remove the shuffle outright; §6: Arrow driver
+    transfers). Rows come back SORTED (deterministic; the old collect
+    order was partition-dependent and every caller is order-insensitive).
+
+    Tiering: raw rows <= RAW_COLLECT_CAP -> dedup here; else fall back
+    to the old distinct-collect tier (same gate condition) so huge raw
+    tables never flood the driver."""
+    bound = GRAPH_DRIVER_MAX_EDGES if max_edges is None else max_edges
+    if bound <= 0:
+        return None
+    lim = raw_df.select(*cols).limit(RAW_COLLECT_CAP + 1)
+    try:
+        tbl = lim.toArrow()
+    except Exception:  # older Spark / arrow-incompatible schema
+        tbl = None
+    if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
+        d = tbl.group_by(list(cols)).aggregate([])
+        if d.num_rows > bound:
+            return None
+        d = d.sort_by([(c, "ascending") for c in cols])
+        return list(
+            zip(*(d.column(i).to_pylist() for i in range(d.num_columns)))
+        )
+    return _collected_edges(raw_df.distinct(), cols, max_edges)
+
+
+def _local_df(spark, rows, ddl: str):
+    """spark.createDataFrame for driver-replay outputs, through a typed
+    pyarrow table (the Arrow createDataFrame path is ~2x faster than the
+    py4j tuple path even at a few thousand rows — guide §6 'Arrow for
+    driver transfers'). Bit-exact for the scalar types the replays emit
+    (string / int / long / double / boolean); any parse or conversion
+    surprise falls back to the tuple path, which is the old behavior."""
+    try:
+        import pyarrow as pa
+
+        pa_types = {
+            "string": pa.string(),
+            "int": pa.int32(),
+            "integer": pa.int32(),
+            "bigint": pa.int64(),
+            "long": pa.int64(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+        }
+        fields = []
+        for part in ddl.split(","):
+            name, typ = part.strip().split()
+            fields.append((name, pa_types[typ.lower()]))
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        tbl = pa.table(
+            {name: pa.array(list(col), type=typ)
+             for (name, typ), col in zip(fields, cols)}
+        )
+        return spark.createDataFrame(tbl)
+    except Exception:
+        return spark.createDataFrame(rows, ddl)
+
+
 def _collected_edges(df: DataFrame, cols, max_edges: int | None):
     """One bounded collect of an edge frame: row tuples if
     |rows| <= bound, else None (caller falls back to the distributed
@@ -71,6 +146,35 @@ def _fold_hash_py(s: str) -> int:
     return h
 
 
+def _fold_hash_many(strs):
+    """Vectorized _fold_hash_py over a list of strings (numpy int64
+    array result, identical values). numpy's 'U' dtype is UTF-32, so
+    viewing it as uint32 yields exactly the code points ord() folds;
+    padding NULs are masked out. h < 2^31 and m ~ 2^20 keep every
+    intermediate < 2^52, overflow-free in int64. The pure-python fold
+    was ~1 s of every kg_completion driver replay at sf0.1 (guide §1.2
+    order: this is per-task work, attacked after the shuffles)."""
+    import numpy as np
+
+    if len(strs) == 0:
+        return np.zeros(0, dtype=np.int64)
+    arr = np.asarray(strs, dtype="U")
+    maxlen = arr.dtype.itemsize // 4
+    if maxlen == 0:
+        return np.zeros(len(strs), dtype=np.int64)
+    codes = (
+        arr.view(np.uint32)
+        .reshape(len(strs), maxlen)
+        .astype(np.int64)
+    )
+    h = np.zeros(len(strs), dtype=np.int64)
+    for j in range(maxlen):
+        c = codes[:, j]
+        live = c > 0
+        h = np.where(live, (h * 1000003 + c) % 2147483647, h)
+    return h
+
+
 def _adj_from_und(rows):
     """Symmetric adjacency dict from collected undirected (a, b) rows."""
     adj: dict = {}
@@ -87,11 +191,10 @@ def _driver_seeds(adj, n_seeds: int):
     picks."""
     import heapq
 
+    nodes_l = list(adj)
+    hs = _fold_hash_many(nodes_l).tolist()
     return [
-        n
-        for _h, n in heapq.nsmallest(
-            n_seeds, ((_fold_hash_py(n), n) for n in adj)
-        )
+        n for _h, n in heapq.nsmallest(n_seeds, zip(hs, nodes_l))
     ]
 
 
@@ -117,13 +220,19 @@ def _duckdb_round6(x):
     return r / F.lit(1e6)
 
 
-def graph_edges(triples: DataFrame) -> DataFrame:
-    """Distinct directed (src, dst) edges from the canonical triples."""
+def graph_edges_raw(triples: DataFrame) -> DataFrame:
+    """graph_edges WITHOUT the final distinct — the raw tier of
+    _collected_dedup (the dedup runs vectorized on the driver). The
+    distributed plans keep using graph_edges."""
     return (
         triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
+
+
+def graph_edges(triples: DataFrame) -> DataFrame:
+    """Distinct directed (src, dst) edges from the canonical triples."""
+    return graph_edges_raw(triples).distinct()
 
 
 def entity_degrees(triples: DataFrame) -> DataFrame:
@@ -173,7 +282,9 @@ def two_hop_paths(
     from gliner_spark.metrics import attach_audits, capped_filter
 
     e = graph_edges(triples)
-    erows = _collected_edges(e, ("src", "dst"), driver_max_edges)
+    erows = _collected_dedup(
+        graph_edges_raw(triples), ("src", "dst"), driver_max_edges
+    )
     if erows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): hop join replay with
         # the audited mid-node out-fanout cap, exact integer counts
@@ -204,7 +315,7 @@ def two_hop_paths(
             "cap": int(max_fanout),
         }
         spark = triples.sparkSession
-        out = spark.createDataFrame(
+        out = _local_df(spark,
             [(s, d, n) for (s, d), n in sorted(counts.items())],
             "src string, dst string, n_paths long",
         ).orderBy("src", "dst")
@@ -252,7 +363,9 @@ def entity_components(
     if cfg is None:
         cfg = PipelineConfig()
     e = graph_edges(triples)
-    erows = _collected_edges(e, ("src", "dst"), driver_max_edges)
+    erows = _collected_dedup(
+        graph_edges_raw(triples), ("src", "dst"), driver_max_edges
+    )
     if erows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): the node set here IS
         # the edge endpoints, so one bounded edge collect feeds the same
@@ -290,7 +403,7 @@ def entity_components(
         from gliner_spark.cache import forward_caches
 
         return forward_caches(
-            triples.sparkSession.createDataFrame(
+            _local_df(triples.sparkSession,
                 data, "entity string, component string, component_size long"
             ).orderBy(
                 F.desc("component_size"), F.asc("component"), F.asc("entity")
@@ -462,8 +575,8 @@ def pagerank(
         raise ValueError("personalized + dangling redistribution is not "
                          "defined here; pick one")
     if not reliable_checkpoint:
-        erows = _collected_edges(
-            graph_edges(triples), ("src", "dst"), driver_max_edges
+        erows = _collected_dedup(
+            graph_edges_raw(triples), ("src", "dst"), driver_max_edges
         )
         if erows is not None:
             # driver path (GRAPH_DRIVER_MAX_EDGES gate): the bigint
@@ -475,7 +588,7 @@ def pagerank(
             nodes_d = sorted({x for ed in edges_d for x in ed})
             if dangling and not nodes_d:
                 return forward_caches(
-                    triples.sparkSession.createDataFrame(
+                    _local_df(triples.sparkSession,
                         [], "node string, rank long"
                     ),
                     triples,
@@ -515,7 +628,7 @@ def pagerank(
                         for n in nodes_d
                     }
             return forward_caches(
-                triples.sparkSession.createDataFrame(
+                _local_df(triples.sparkSession,
                     list(ranks_d.items()), "node string, rank long"
                 ).orderBy(F.desc("rank"), F.asc("node")),
                 triples,
@@ -552,7 +665,7 @@ def pagerank(
 
             nodes.unpersist()
             return forward_caches(
-                triples.sparkSession.createDataFrame(
+                _local_df(triples.sparkSession,
                     [], "node string, rank long"
                 ),
                 triples,
@@ -648,17 +761,19 @@ def pagerank(
     return forward_caches(out, triples)
 
 
+def undirected_edges_raw(triples: DataFrame) -> DataFrame:
+    """undirected_edges WITHOUT the final distinct — the raw tier of
+    _collected_dedup (driver-side vectorized dedup)."""
+    return graph_edges_raw(triples).select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    )
+
+
 def undirected_edges(triples: DataFrame) -> DataFrame:
     """Canonical UNDIRECTED distinct edge set (a < b) of the entity graph
     — the shared input of triangle_counts / clustering_coefficients."""
-    e = graph_edges(triples)
-    return (
-        e.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    return undirected_edges_raw(triples).distinct()
 
 
 def triangle_counts(
@@ -693,8 +808,8 @@ def triangle_counts(
     from gliner_spark.metrics import attach_audits, capped_filter
 
     if und is None:
-        rows = _collected_edges(
-            undirected_edges(triples), ("a", "b"), driver_max_edges
+        rows = _collected_dedup(
+            undirected_edges_raw(triples), ("a", "b"), driver_max_edges
         )
         if rows is not None:
             # driver path (GRAPH_DRIVER_MAX_EDGES gate): _tri_driver is
@@ -703,7 +818,7 @@ def triangle_counts(
                 {(r[0], r[1]) for r in rows}, max_fanout
             )
             spark = triples.sparkSession
-            out = spark.createDataFrame(
+            out = _local_df(spark,
                 sorted(counts.items()), "entity string, n_triangles long"
             ).orderBy("entity")
             return forward_caches(
@@ -764,8 +879,8 @@ def clustering_coefficients(
     from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): triangle replay +
@@ -799,7 +914,7 @@ def clustering_coefficients(
         ]
         spark = triples.sparkSession
         out = (
-            spark.createDataFrame(
+            _local_df(spark,
                 data,
                 "entity string, k long, n_triangles long, _raw double, "
                 "capped boolean",
@@ -891,8 +1006,8 @@ def node_similarity(
     from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): full-neighborhood
@@ -930,7 +1045,7 @@ def node_similarity(
         }
         spark = triples.sparkSession
         out = (
-            spark.createDataFrame(
+            _local_df(spark,
                 data,
                 "a string, b string, common long, k_a long, k_b long, "
                 "_raw double",
@@ -1026,8 +1141,8 @@ def kcore(
     depth equals the longest chain of cascading removals, not |V|."""
     from gliner_spark.cache import forward_caches
 
-    erows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    erows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if erows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): the same confluent
@@ -1055,7 +1170,7 @@ def kcore(
             deg[a] = deg.get(a, 0) + 1
             deg[b] = deg.get(b, 0) + 1
         return forward_caches(
-            triples.sparkSession.createDataFrame(
+            _local_df(triples.sparkSession,
                 sorted(deg.items()), "entity string, core_degree long"
             ).orderBy("entity"),
             triples,
@@ -1134,8 +1249,8 @@ def link_prediction(
     from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): RA wedges with the
@@ -1171,7 +1286,7 @@ def link_prediction(
             "cap": int(max_fanout),
         }
         spark = triples.sparkSession
-        out = spark.createDataFrame(
+        out = _local_df(spark,
             [(a, b, c, s) for (a, b), (s, c) in ranked],
             "a string, b string, common long, ra_score long",
         )
@@ -1249,8 +1364,8 @@ def bfs_distances(
     the plan is a fixed pipeline, not a data-dependent recursion."""
     from gliner_spark.cache import forward_caches
 
-    erows = _collected_edges(
-        graph_edges(triples), ("src", "dst"), driver_max_edges
+    erows = _collected_dedup(
+        graph_edges_raw(triples), ("src", "dst"), driver_max_edges
     )
     if erows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): multi-source
@@ -1273,7 +1388,7 @@ def bfs_distances(
             if not nxt:
                 break
             frontier = nxt
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             list(dist_d.items()), "node string, dist long"
         ).orderBy("dist", "node")
         return forward_caches(out, triples)
@@ -1381,14 +1496,14 @@ def lpa_communities(
 
     own_und = None
     if und is None:
-        rows = _collected_edges(
-            undirected_edges(triples), ("a", "b"), driver_max_edges
+        rows = _collected_dedup(
+            undirected_edges_raw(triples), ("a", "b"), driver_max_edges
         )
         if rows is not None:
             # driver path (GRAPH_DRIVER_MAX_EDGES gate): _lpa_driver is
             # the exact synchronous-LPA replay over one bounded collect
             labels_d = _lpa_driver(_adj_from_und(rows), rounds)
-            out = triples.sparkSession.createDataFrame(
+            out = _local_df(triples.sparkSession,
                 list(labels_d.items()), "entity string, community string"
             )
             if sort:
@@ -1471,8 +1586,8 @@ def partition_modularity(
     candidates."""
     from gliner_spark.cache import forward_caches
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): LPA + the exact
@@ -1505,7 +1620,7 @@ def partition_modularity(
             )
             for c, (n_nodes, d_total) in comm.items()
         ]
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             data,
             "community string, n_nodes long, e_intra long, d_total long, "
             "q_contrib double",
@@ -1797,8 +1912,8 @@ def ktruss(
     from gliner_spark.cache import forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
-    erows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    erows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if erows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate) — _ktruss_driver
@@ -1806,11 +1921,11 @@ def ktruss(
         # as local 1-row frames so skew_metrics keeps working
         data, audit_dicts = _ktruss_driver(erows, k, max_rounds, max_fanout)
         spark = triples.sparkSession
-        out = spark.createDataFrame(
+        out = _local_df(spark,
             data, "a string, b string, support long"
         ).orderBy("a", "b")
         audit_frames = [
-            spark.createDataFrame(
+            _local_df(spark,
                 [(d["guard"], d["n_dropped_rows"], d["max_group_size"],
                   d["cap"])],
                 "guard string, n_dropped_rows long, max_group_size long, "
@@ -1971,8 +2086,8 @@ def wl_colors(
     from gliner_spark.cache import forward_caches
     from gliner_spark.functions.text import FOLD_M, P31, fold_hash
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): the refinement hash
@@ -1993,7 +2108,7 @@ def wl_colors(
         sizes: dict = {}
         for c in cols_d.values():
             sizes[c] = sizes.get(c, 0) + 1
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             [(n, c, sizes[c]) for n, c in cols_d.items()],
             "entity string, wl_color long, class_size long",
         ).orderBy("entity")
@@ -2158,7 +2273,7 @@ def _tri_driver(eset: set, cap: int):
 def _audit_frame(spark, audit: dict):
     """1-row audit frame from a driver-path guard dict (the capped_filter
     audit schema, so skew_metrics reads both identically)."""
-    return spark.createDataFrame(
+    return _local_df(spark,
         [
             (
                 audit["guard"], audit["n_dropped_rows"],
@@ -2279,8 +2394,8 @@ def harmonic_centrality(
     materialized)."""
     from gliner_spark.cache import attach_caches, forward_caches
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): one bounded collect
@@ -2294,7 +2409,7 @@ def harmonic_centrality(
             if d > 0:
                 h, c = acc.get(node, (0, 0))
                 acc[node] = (h + HC_UNIT // d, c + 1)
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             [(n, h, c) for n, (h, c) in acc.items()],
             "entity string, harmonic long, n_seeds_reached long",
         ).orderBy(F.desc("harmonic"), "entity")
@@ -2350,8 +2465,8 @@ def hits(
     if rounds < 1:
         raise ValueError("hits needs rounds >= 1 (0 rounds would have "
                          "no authority scores to return)")
-    erows = _collected_edges(
-        graph_edges(triples), ("src", "dst"), driver_max_edges
+    erows = _collected_dedup(
+        graph_edges_raw(triples), ("src", "dst"), driver_max_edges
     )
     if erows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): the integer HITS
@@ -2372,7 +2487,7 @@ def hits(
                 s2[u] += auth_d[v]
             mx2 = max(max(s2.values(), default=0), 1)
             hub_d = {n: (HITS_UNIT * s2[n]) // mx2 for n in nodes_d}
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             [(n, auth_d[n], hub_d[n]) for n in nodes_d],
             "entity string, authority long, hub long",
         ).orderBy(F.desc("authority"), "entity")
@@ -2511,8 +2626,8 @@ def square_counts(
     from gliner_spark.cache import forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): diagonal-wedge
@@ -2545,7 +2660,7 @@ def square_counts(
             "cap": int(max_fanout),
         }
         spark = triples.sparkSession
-        out = spark.createDataFrame(
+        out = _local_df(spark,
             sorted(sq_counts.items()), "entity string, n_squares long"
         ).orderBy("entity")
         return forward_caches(
@@ -2682,8 +2797,8 @@ def stress_centrality(
 
     from gliner_spark.cache import attach_caches
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): pure-integer Brandes
@@ -2691,7 +2806,7 @@ def stress_centrality(
         adj = _adj_from_und(rows)
         seeds = _driver_seeds(adj, n_seeds)
         st = _stress_driver(adj, seeds, depth)
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             [(n, v[0], v[1]) for n, v in st.items()],
             "entity string, stress long, n_seeds_reached long",
         ).orderBy(F.desc("stress"), "entity")
@@ -2830,8 +2945,8 @@ def distance_profile(
     unrolled levels and the permille division exactly."""
     from gliner_spark.cache import attach_caches, forward_caches
 
-    rows = _collected_edges(
-        undirected_edges(triples), ("a", "b"), driver_max_edges
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
     )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate) — same BFS replay as
@@ -2848,7 +2963,7 @@ def distance_profile(
         for d in sorted(hist_d):
             cum += hist_d[d]
             data.append((d, hist_d[d], cum, 1000 * cum // total))
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             data,
             "dist long, n_pairs long, cum_pairs long, "
             "reached_permille long",
@@ -3178,7 +3293,7 @@ def pagerank_weighted(
                 n: base_d + (damping * s[n]) // 1000 for n in nodes_d
             }
         return forward_caches(
-            triples.sparkSession.createDataFrame(
+            _local_df(triples.sparkSession,
                 list(ranks_d.items()), "node string, rank long"
             ).orderBy(F.desc("rank"), F.asc("node")),
             triples,

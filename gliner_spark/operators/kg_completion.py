@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from gliner_spark.cache import forward_caches
 from gliner_spark.functions.text import fold_hash
+from gliner_spark.operators.graph_analytics import _local_df
 
 # Bounded deterministic candidate pool per entity type. At web scale the
 # per-type entity set is unbounded (millions of persons), so the sampler
@@ -49,7 +50,7 @@ def _negatives_driver(rows, pool_cap: int):
     type (sorted), fold-hash pick with the true-object skip, filtered
     against the true triple set. Exact: fold_hash replayed, pmod == %
     for the nonneg hash."""
-    from gliner_spark.operators.graph_analytics import _fold_hash_py
+    from gliner_spark.operators.graph_analytics import _fold_hash_many
 
     pos = [(r[0], r[1], r[2], r[3]) for r in rows]
     trues = {(s, p, o) for s, p, o, _t in pos}
@@ -60,18 +61,23 @@ def _negatives_driver(rows, pool_cap: int):
 
     pools: dict = {}
     for t, es in ents.items():
+        es_l = sorted(es)
+        hs = _fold_hash_many(es_l)
         picked = [
             e
             for _h, e in heapq.nsmallest(
-                pool_cap, ((_fold_hash_py(e), e) for e in es)
+                pool_cap, zip(hs.tolist(), es_l)
             )
         ]
         pools[t] = sorted(picked)
+    # vectorized fold of every selection key (identical values to the
+    # per-row _fold_hash_py fold of f"{s}|{p}|{o}")
+    keys = _fold_hash_many([f"{s}|{p}|{o}" for s, p, o, _t in pos]).tolist()
     out = []
-    for s, p, o, t in pos:
+    for (s, p, o, t), kh in zip(pos, keys):
         pool = pools[t]
         n = len(pool)
-        idx = _fold_hash_py(f"{s}|{p}|{o}") % n
+        idx = kh % n
         c0 = pool[idx]
         c1 = pool[(idx + 1) % n]
         neg = c1 if c0 == o else c0
@@ -117,18 +123,58 @@ def negative_samples(
     pos_frame = triples.groupBy("subj", "pred", "obj").agg(
         F.min("obj_type").alias("obj_type")
     )
-    from gliner_spark.operators.graph_analytics import _collected_edges
-
-    rows = _collected_edges(
-        pos_frame, ("subj", "pred", "obj", "obj_type"), driver_max_rows
+    from gliner_spark.operators.graph_analytics import (
+        GRAPH_DRIVER_MAX_EDGES,
+        RAW_COLLECT_CAP,
+        _collected_edges,
     )
+
+    # r7: collect the RAW fact rows and replay the groupBy-min on the
+    # driver (pyarrow hash_min over UTF-8 binary order == Spark's string
+    # min == python's codepoint min) — the cluster-side aggregate was a
+    # full 32-partition exchange per call; the gate condition (distinct
+    # positives <= bound) is unchanged, and raw tables past
+    # RAW_COLLECT_CAP degrade to the old aggregate-then-collect tier.
+    bound = (
+        GRAPH_DRIVER_MAX_EDGES if driver_max_rows is None
+        else driver_max_rows
+    )
+    rows = None
+    if bound > 0:
+        tbl = None
+        try:
+            tbl = (
+                triples.select("subj", "pred", "obj", "obj_type")
+                .limit(RAW_COLLECT_CAP + 1)
+                .toArrow()
+            )
+        except Exception:
+            tbl = None
+        if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
+            agg = tbl.group_by(["subj", "pred", "obj"]).aggregate(
+                [("obj_type", "min")]
+            )
+            if agg.num_rows <= bound:
+                rows = sorted(
+                    zip(
+                        agg.column("subj").to_pylist(),
+                        agg.column("pred").to_pylist(),
+                        agg.column("obj").to_pylist(),
+                        agg.column("obj_type_min").to_pylist(),
+                    )
+                )
+        else:
+            rows = _collected_edges(
+                pos_frame, ("subj", "pred", "obj", "obj_type"),
+                driver_max_rows,
+            )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate, here on distinct
         # positives): _negatives_driver replays the protocol exactly;
         # downstream scorers (transe_margin_eval family) then run over a
         # local relation — one narrow stage instead of pool/broadcast/
         # anti-join shuffles
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             _negatives_driver(rows, pool_cap),
             "subj string, pred string, pos_obj string, neg_obj string, "
             "obj_type string",
@@ -254,15 +300,19 @@ def cooc_candidates(
     )
     from gliner_spark.operators.graph_analytics import (
         _audit_frame,
-        _collected_edges,
+        _collected_dedup,
     )
 
-    erows = _collected_edges(ed, ("doc_id", "entity"), driver_max_rows)
+    ed_raw = triples.select("doc_id", F.col("subj").alias("entity")).union(
+        triples.filter(F.col("obj_type") != "media").select(
+            "doc_id", F.col("obj").alias("entity")
+        )
+    )
+    erows = _collected_dedup(ed_raw, ("doc_id", "entity"), driver_max_rows)
     adj_rows = (
-        _collected_edges(
+        _collected_dedup(
             triples.filter(F.col("subj") != F.col("obj"))
-            .select("subj", "obj")
-            .distinct(),
+            .select("subj", "obj"),
             ("subj", "obj"),
             driver_max_rows,
         )
@@ -314,7 +364,7 @@ def cooc_candidates(
         }
         spark = triples.sparkSession
         out = (
-            spark.createDataFrame(
+            _local_df(spark,
                 data,
                 "entity_a string, entity_b string, n_docs_pair long, "
                 "n_docs_a long, n_docs_b long, _raw double",
@@ -429,13 +479,17 @@ def walk_corpus(
     dead-end."""
     from gliner_spark.operators.graph_analytics import (
         _adj_from_und,
-        _collected_edges,
+        _collected_dedup,
+        _fold_hash_many,
         _fold_hash_py,
         undirected_edges,
+        undirected_edges_raw,
     )
 
     und = undirected_edges(triples)
-    rows = _collected_edges(und, ("a", "b"), driver_max_edges)
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
+    )
     if rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): the bounded pools
         # and fold-hash walk steps replayed exactly (pmod == % for the
@@ -451,7 +505,10 @@ def walk_corpus(
         # the driver path's hot spot.
         P = 2147483647
         M = 1000003
-        fold_c = {n: _fold_hash_py(n) for n in adj}
+        nodes_l = list(adj)
+        fold_c = dict(
+            zip(nodes_l, _fold_hash_many(nodes_l).tolist())
+        )
         node_len = {n: len(n) for n in adj}
         powM = [1]
         for _ in range(max(node_len.values(), default=1) + 8):
@@ -484,7 +541,7 @@ def walk_corpus(
                     cur = pool[h % len(pool)]
                     parts.append(cur)
                 data.append((entity, wid, "->".join(parts)))
-        out = triples.sparkSession.createDataFrame(
+        out = _local_df(triples.sparkSession,
             data, "entity string, walk_id long, walk string"
         ).orderBy("entity", "walk_id")
         return forward_caches(out, triples)

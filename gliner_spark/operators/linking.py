@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gliner_spark.operators.graph_analytics import _local_df
+
 from gliner_spark.config import PipelineConfig
 
 # affine rehash constants for minhash permutations (fixed, public constants;
@@ -517,7 +519,7 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
         smap_rows, ent_rows, audit = _canonicalize_driver_rows(
             surfaces.collect(), cfg
         )
-        audit_df = spark.createDataFrame(
+        audit_df = _local_df(spark,
             [
                 (
                     audit["guard"], audit["n_dropped_rows"],
@@ -527,12 +529,12 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
             "guard string, n_dropped_rows long, max_group_size long, "
             "cap long",
         )
-        entities = spark.createDataFrame(
+        entities = _local_df(spark,
             ent_rows,
             "entity_id string, canonical string, label string, "
             "n_mentions long",
         )
-        smap_out = spark.createDataFrame(
+        smap_out = _local_df(spark,
             smap_rows,
             "label string, norm string, entity_id string, "
             "canonical string, n_mentions long",

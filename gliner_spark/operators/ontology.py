@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gliner_spark.cache import forward_caches
+from gliner_spark.operators.graph_analytics import _local_df
 
 # subclass DAG (child -> parent). Multi-level chains exercise rdfs11
 # transitivity; the two-parent diamond would also be legal (dict of
@@ -82,7 +83,7 @@ def rdfs_types(triples: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    closure = spark.createDataFrame(
+    closure = _local_df(spark,
         _closure(SUBCLASS), "cls string, anc string, hops int"
     )
     direct = asserted.select(
@@ -112,7 +113,7 @@ def subproperty_triples(triples: DataFrame) -> DataFrame:
 
     Shape: broadcast axiom join + one distinct + one anti-join."""
     spark = triples.sparkSession
-    ax = spark.createDataFrame(
+    ax = _local_df(spark,
         sorted(SUBPROPERTY.items()), "pred string, super string"
     )
     base = triples.select(

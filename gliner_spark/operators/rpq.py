@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gliner_spark.cache import forward_caches
+from gliner_spark.operators.graph_analytics import _local_df
 
 RPQ_MAX_HOPS = 6
 
@@ -163,7 +164,7 @@ def rpq_match(
     # terminates). transitive_closure's self-pair EXCLUSION is that
     # operator's contract, not this one's.
     e = triples.select("subj", "pred", "obj").distinct()
-    tdf = spark.createDataFrame(
+    tdf = _local_df(spark,
         transitions, "q1 int, pred string, dir string, q2 int"
     )
     fwd = e.join(

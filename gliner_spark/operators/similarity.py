@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gliner_spark.operators.graph_analytics import _local_df
+
 QUANT = 10000
 
 
@@ -854,18 +856,18 @@ def embedding_neardup(
         if qrows is not None:
             spark = emb.sparkSession
             if not qrows:
-                out = spark.createDataFrame(
+                out = _local_df(spark,
                     [], "vec_a long, vec_b long, sim double"
                 )
             else:
                 dim_d = len(qrows[0][1])
                 pairs, audit = _neardup_driver_pairs(qrows, dim_d, threshold)
-                out = spark.createDataFrame(
+                out = _local_df(spark,
                     pairs, "vec_a long, vec_b long, sim double"
                 ).select(
                     "vec_a", "vec_b", F.round("sim", 6).alias("sim")
                 )
-                audit_df = spark.createDataFrame(
+                audit_df = _local_df(spark,
                     [
                         (
                             audit["guard"], audit["n_dropped_rows"],
