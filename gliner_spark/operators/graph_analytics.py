@@ -1341,6 +1341,33 @@ def link_prediction(
 BFS_DEPTH = 4
 
 
+def _bfs_dist_driver(edge_pairs, seed_prefix: str, depth: int) -> dict:
+    """Multi-source directed BFS replay over collected distinct
+    (src, dst) edge pairs: {node: first-reach distance} for every node
+    within `depth` hops of any seed (id startswith seed_prefix). The
+    level-order assignment is order-independent (first reach == min
+    dist). Shared by bfs_distances and egonet."""
+    adj_d: dict = {}
+    node_set = set()
+    for r in edge_pairs:
+        adj_d.setdefault(r[0], []).append(r[1])
+        node_set.add(r[0])
+        node_set.add(r[1])
+    dist_d = {n: 0 for n in node_set if n.startswith(seed_prefix)}
+    frontier = list(dist_d)
+    for d in range(1, depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj_d.get(u, ()):
+                if v not in dist_d:
+                    dist_d[v] = d
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist_d
+
+
 def bfs_distances(
     triples: DataFrame,
     seed_prefix: str = "person:",
@@ -1370,24 +1397,7 @@ def bfs_distances(
     if erows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): multi-source
         # directed BFS replay over one bounded edge collect
-        adj_d: dict = {}
-        node_set = set()
-        for r in erows:
-            adj_d.setdefault(r[0], []).append(r[1])
-            node_set.add(r[0])
-            node_set.add(r[1])
-        dist_d = {n: 0 for n in node_set if n.startswith(seed_prefix)}
-        frontier = list(dist_d)
-        for d in range(1, depth + 1):
-            nxt = []
-            for u in frontier:
-                for v in adj_d.get(u, ()):
-                    if v not in dist_d:
-                        dist_d[v] = d
-                        nxt.append(v)
-            if not nxt:
-                break
-            frontier = nxt
+        dist_d = _bfs_dist_driver(erows, seed_prefix, depth)
         out = _local_df(triples.sparkSession,
             list(dist_d.items()), "node string, dist long"
         ).orderBy("dist", "node")
@@ -2050,6 +2060,27 @@ def metapath_counts(
 WL_ROUNDS = 3
 
 
+def _wl_driver_colors(adj: dict, rounds: int) -> dict:
+    """WL refinement replay (the wl_colors driver-path core, shared with
+    summary_graph): init color = fold_hash(type prefix), update = own
+    color folded with the sorted neighbor-color multiset, FOLD_M/P31
+    arithmetic identical to the distributed rounds."""
+    from gliner_spark.functions.text import FOLD_M, P31
+
+    cols_d = {
+        n: _fold_hash_py(n.split(":", 1)[0]) for n in adj
+    }
+    for _ in range(rounds):
+        new = {}
+        for node, nbrs in adj.items():
+            acc = 0
+            for c in sorted(cols_d[v] for v in nbrs):
+                acc = (acc * FOLD_M + c) % P31
+            new[node] = (cols_d[node] * FOLD_M + acc) % P31
+        cols_d = new
+    return cols_d
+
+
 def wl_colors(
     triples: DataFrame, rounds: int = WL_ROUNDS,
     driver_max_edges: int | None = None,
@@ -2094,17 +2125,7 @@ def wl_colors(
         # is pure bigint arithmetic — replayed exactly (fold_hash of the
         # type prefix, sorted neighbor colors, same FOLD_M/P31 folds)
         adj = _adj_from_und(rows)
-        cols_d = {
-            n: _fold_hash_py(n.split(":", 1)[0]) for n in adj
-        }
-        for _ in range(rounds):
-            new = {}
-            for node, nbrs in adj.items():
-                acc = 0
-                for c in sorted(cols_d[v] for v in nbrs):
-                    acc = (acc * FOLD_M + c) % P31
-                new[node] = (cols_d[node] * FOLD_M + acc) % P31
-            cols_d = new
+        cols_d = _wl_driver_colors(adj, rounds)
         sizes: dict = {}
         for c in cols_d.values():
             sizes[c] = sizes.get(c, 0) + 1
@@ -3128,8 +3149,68 @@ def pred_association(
     return forward_caches(out, triples)
 
 
+def _triad_driver(erows, cap: int):
+    """Directed triad-census replay over one bounded collect of the
+    distinct DIRECTED edges: canonical undirected sides + audited pivot
+    cap exactly like _tri_driver, direction flags from the directed set,
+    the same reciprocity/cyclic CASE. Returns ({class: count}, audit)."""
+    eset_dir = set(erows)
+    und_set = set()
+    for s, d in eset_dir:
+        und_set.add((s, d) if s < d else (d, s))
+    fwd: dict = {}
+    for a, b in und_set:
+        fwd.setdefault(a, []).append(b)
+
+    def flag(u, v):
+        return (1 if (u, v) in eset_dir else 0) + (
+            2 if (v, u) in eset_dir else 0
+        )
+
+    counts: dict = {}
+    n_dropped = 0
+    max_fan = 0
+    for a, bs in fwd.items():
+        fan = len(bs)
+        max_fan = max(max_fan, fan)
+        if fan > cap:
+            n_dropped += fan
+            continue
+        bss = sorted(bs)
+        for i in range(len(bss)):
+            for j in range(i + 1, len(bss)):
+                x, y = bss[i], bss[j]
+                if (x, y) not in und_set:
+                    continue
+                f1, f2, f3 = flag(a, x), flag(a, y), flag(x, y)
+                n_recip = (
+                    (f1 == 3) + (f2 == 3) + (f3 == 3)
+                )
+                if n_recip == 3:
+                    cls = "300"
+                elif n_recip == 2:
+                    cls = "210"
+                elif n_recip == 1:
+                    cls = "120"
+                elif (f1 == 1 and f3 == 1 and f2 == 2) or (
+                    f1 == 2 and f3 == 2 and f2 == 1
+                ):
+                    cls = "030C"
+                else:
+                    cls = "030T"
+                counts[cls] = counts.get(cls, 0) + 1
+    audit = {
+        "guard": "triad_pivot_cap",
+        "n_dropped_rows": n_dropped,
+        "max_group_size": max_fan,
+        "cap": int(cap),
+    }
+    return counts, audit
+
+
 def triad_census(
-    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT
+    triples: DataFrame, max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Collapsed Davis-Leinhardt triad census of the DIRECTED entity
     graph, restricted to closed triads (triangles): one row per class
@@ -3153,6 +3234,23 @@ def triad_census(
     from gliner_spark.cache import attach_caches, forward_caches
     from gliner_spark.metrics import attach_audits, capped_filter
 
+    erows = _collected_dedup(
+        graph_edges_raw(triples), ("src", "dst"), driver_max_edges
+    )
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): _triad_driver
+        # replays the capped compact-forward enumeration + direction
+        # flags + CASE classification exactly; audit frame keeps
+        # skew_metrics working
+        counts, audit = _triad_driver(erows, max_fanout)
+        spark = triples.sparkSession
+        out = _local_df(spark,
+            sorted(counts.items()),
+            "triad_type string, n_triangles long",
+        ).orderBy("triad_type")
+        return forward_caches(
+            attach_audits(out, _audit_frame(spark, audit)), triples
+        )
     # und feeds three subplans (flags, fan window, closure semi-join)
     # and flags joins onto tris three times — persist both branch
     # points once instead of re-running the distinct exchanges
@@ -3413,6 +3511,7 @@ def egonet(
     triples: DataFrame,
     seed_prefix: str = "person:",
     depth: int = EGONET_DEPTH,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """K-hop ego-network export: the INDUCED subgraph on all entities
     within `depth` directed hops of any seed (bfs_distances node set) —
@@ -3429,6 +3528,30 @@ def egonet(
     windows, no fan-out beyond the facts already in the neighborhood."""
     from gliner_spark.cache import forward_caches
 
+    frows = _collected_dedup(
+        triples.select("subj", "pred", "obj"),
+        ("subj", "pred", "obj"),
+        driver_max_edges,
+    )
+    if frows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): BFS distances +
+        # both endpoint joins replayed over one bounded collect of the
+        # distinct facts (edges exclude self-loops, like graph_edges)
+        dist_d = _bfs_dist_driver(
+            [(s_, o_) for s_, _p, o_ in frows if s_ != o_],
+            seed_prefix, depth,
+        )
+        data = sorted(
+            (s_, p_, o_, dist_d[s_], dist_d[o_])
+            for s_, p_, o_ in frows
+            if s_ in dist_d and o_ in dist_d
+        )
+        out = _local_df(triples.sparkSession,
+            data,
+            "subj string, pred string, obj string, "
+            "dist_subj long, dist_obj long",
+        ).orderBy("subj", "pred", "obj")
+        return forward_caches(out, triples)
     dist = bfs_distances(triples, seed_prefix, depth)
     t = triples.select("subj", "pred", "obj").distinct()
     out = (
@@ -3452,7 +3575,10 @@ def egonet(
     return forward_caches(out, triples)
 
 
-def summary_graph(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+def summary_graph(
+    triples: DataFrame, rounds: int = WL_ROUNDS,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
     """Structural KG summary: the QUOTIENT GRAPH of the fact set under
     WL-color equivalence (DataGuide/bisimulation-style graph
     summarization — Goldman & Widom 1997; quotient summaries surveyed
@@ -3477,6 +3603,54 @@ def summary_graph(triples: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
     from gliner_spark.cache import forward_caches
     from gliner_spark.functions.text import FOLD_M, P31, fold_hash
 
+    erows = _collected_dedup(
+        triples.select("subj", "pred", "obj"),
+        ("subj", "pred", "obj"),
+        driver_max_edges,
+    )
+    if erows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): WL colors + the
+        # closed-form isolate fallback + quotient aggregation replayed
+        # in python over one bounded collect of the distinct facts
+        und_pairs = {
+            (s_, o_) if s_ < o_ else (o_, s_)
+            for s_, _p, o_ in erows
+            if s_ != o_
+        }
+        adj = _adj_from_und(sorted(und_pairs))
+        cols_d = _wl_driver_colors(adj, rounds)
+        k_d = pow(FOLD_M, rounds, P31)
+        fb_cache: dict = {}
+
+        def _color(n):
+            c = cols_d.get(n)
+            if c is None:
+                pref = n.split(":", 1)[0]
+                c = fb_cache.get(pref)
+                if c is None:
+                    c = (_fold_hash_py(pref) * k_d) % P31
+                    fb_cache[pref] = c
+            return c
+
+        agg: dict = {}
+        for s_, p_, o_ in erows:
+            key = (_color(s_), p_, _color(o_))
+            slot = agg.get(key)
+            if slot is None:
+                slot = agg[key] = [0, set(), set()]
+            slot[0] += 1
+            slot[1].add(s_)
+            slot[2].add(o_)
+        data = [
+            (sc, p_, oc, n, len(ss), len(os_))
+            for (sc, p_, oc), (n, ss, os_) in sorted(agg.items())
+        ]
+        out = _local_df(triples.sparkSession,
+            data,
+            "subj_color long, pred string, obj_color long, "
+            "n_facts long, n_subjects long, n_objects long",
+        ).orderBy("subj_color", "pred", "obj_color")
+        return forward_caches(out, triples)
     wl = wl_colors(triples, rounds).select("entity", "wl_color")
     k = pow(FOLD_M, rounds, P31)
 

@@ -492,16 +492,53 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     can rebuild only touched components; consumers that need just the
     rewrite mapping use (label, norm, entity_id).
     """
-    # surfaces is the root of every downstream branch (edges, CC nodes,
-    # cluster join) — persist the tiny post-agg table, not the mentions
-    surfaces = surface_table(mentions).persist()
-    # adaptive parallelism: the distinct-surface table is usually orders of
-    # magnitude smaller than mentions (vocabulary saturates). When it fits
-    # one task comfortably, collapse the LSH/CC subplan to a single
-    # partition — every per-round shuffle becomes a single-task exchange
-    # (the count is already paid: it materializes the persist).
-    n_surfaces = surfaces.count()
-    if n_surfaces <= cfg.link_driver_max_surfaces:
+    # r7: the surface table is a pure groupBy-count over (label, norm) —
+    # below RAW_COLLECT_CAP raw mention rows, pull the two columns
+    # through ONE Arrow collect and aggregate vectorized on the driver
+    # (pyarrow group_by count), skipping the cluster-side aggregate
+    # exchange AND the separate count job the old gate paid on every
+    # chain invocation. The gate condition (distinct surfaces <=
+    # link_driver_max_surfaces) is unchanged; oversized corpora degrade
+    # to the old persist+count tier below.
+    from gliner_spark.operators.graph_analytics import RAW_COLLECT_CAP
+
+    surfaces = None
+    srows = None
+    tbl = None
+    try:
+        tbl = (
+            mentions.select("label", "norm")
+            .limit(RAW_COLLECT_CAP + 1)
+            .toArrow()
+        )
+    except Exception:
+        tbl = None
+    if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
+        agg = tbl.group_by(["label", "norm"]).aggregate([([], "count_all")])
+        n_surfaces = agg.num_rows
+        if n_surfaces <= cfg.link_driver_max_surfaces:
+            srows = sorted(
+                zip(
+                    agg.column("label").to_pylist(),
+                    agg.column("norm").to_pylist(),
+                    agg.column("count_all").to_pylist(),
+                )
+            )
+    else:
+        # surfaces is the root of every downstream branch (edges, CC
+        # nodes, cluster join) — persist the tiny post-agg table, not
+        # the mentions
+        surfaces = surface_table(mentions).persist()
+        # adaptive parallelism: the distinct-surface table is usually
+        # orders of magnitude smaller than mentions (vocabulary
+        # saturates). When it fits one task comfortably, collapse the
+        # LSH/CC subplan to a single partition — every per-round shuffle
+        # becomes a single-task exchange (the count is already paid: it
+        # materializes the persist).
+        n_surfaces = surfaces.count()
+        if n_surfaces <= cfg.link_driver_max_surfaces:
+            srows = surfaces.collect()
+    if srows is not None:
         # r7 adaptive small-vocabulary path (guide §1.2 / §2.4): below the
         # bound the whole LSH -> verify -> CC -> representative pipeline
         # runs on the driver over ONE bounded collect of the persisted
@@ -517,7 +554,7 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
 
         spark = mentions.sparkSession
         smap_rows, ent_rows, audit = _canonicalize_driver_rows(
-            surfaces.collect(), cfg
+            srows, cfg
         )
         audit_df = _local_df(spark,
             [
@@ -539,9 +576,16 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
             "label string, norm string, entity_id string, "
             "canonical string, n_mentions long",
         )
-        entities = attach_caches(attach_audits(entities, audit_df), surfaces)
-        smap_out = attach_caches(smap_out, surfaces)
+        entities = attach_audits(entities, audit_df)
+        if surfaces is not None:
+            entities = attach_caches(entities, surfaces)
+            smap_out = attach_caches(smap_out, surfaces)
         return entities, smap_out
+    if surfaces is None:
+        # arrow tier counted the surfaces but the vocabulary is over the
+        # driver bound: build the distributed surface table (no count
+        # job needed — n_surfaces is already known)
+        surfaces = surface_table(mentions).persist()
     surfaces = surfaces.coalesce(1) if n_surfaces <= 100_000 else surfaces
     edges_s = similarity_edges(surfaces, cfg)
 

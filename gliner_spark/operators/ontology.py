@@ -65,24 +65,51 @@ def _closure(dag: dict) -> list:
     return out
 
 
-def rdfs_types(triples: DataFrame) -> DataFrame:
+def rdfs_types(
+    triples: DataFrame, driver_max_rows: int | None = None
+) -> DataFrame:
     """Materialized entity-type table under rdfs9/rdfs11.
 
     Output: (entity, type, depth) — depth = min subclass hops from an
     asserted type (0 = asserted directly by the extractor). One row per
     entailed (entity, type); ordered for the oracle."""
     spark = triples.sparkSession
-    asserted = (
+    from gliner_spark.operators.graph_analytics import _collected_dedup
+
+    asserted_raw = triples.select(
+        F.col("subj").alias("entity"), F.col("subj_type").alias("cls")
+    ).unionByName(
         triples.select(
-            F.col("subj").alias("entity"), F.col("subj_type").alias("cls")
+            F.col("obj").alias("entity"), F.col("obj_type").alias("cls")
         )
-        .unionByName(
-            triples.select(
-                F.col("obj").alias("entity"), F.col("obj_type").alias("cls")
-            )
-        )
-        .distinct()
     )
+    arows = _collected_dedup(
+        asserted_raw, ("entity", "cls"), driver_max_rows
+    )
+    if arows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): the closure is a
+        # python constant already; replay the broadcast join + grouped
+        # min over one bounded collect of the distinct (entity, type)
+        # pairs
+        up_map: dict = {}
+        for c, anc, hops in _closure(SUBCLASS):
+            up_map.setdefault(c, []).append((anc, hops))
+        best: dict = {}
+        for e_, c_ in arows:
+            if best.get((e_, c_), 1 << 30) > 0:
+                best[(e_, c_)] = 0
+            for anc, hops in up_map.get(c_, ()):
+                k = (e_, anc)
+                if hops < best.get(k, 1 << 30):
+                    best[k] = hops
+        data = sorted((e_, t_, d_) for (e_, t_), d_ in best.items())
+        from gliner_spark.operators.graph_analytics import _local_df as _ldf
+
+        out = _ldf(spark,
+            data, "entity string, type string, depth long"
+        ).orderBy("entity", "type")
+        return forward_caches(out, triples)
+    asserted = asserted_raw.distinct()
     closure = _local_df(spark,
         _closure(SUBCLASS), "cls string, anc string, hops int"
     )
@@ -101,7 +128,9 @@ def rdfs_types(triples: DataFrame) -> DataFrame:
     return forward_caches(out, triples)
 
 
-def subproperty_triples(triples: DataFrame) -> DataFrame:
+def subproperty_triples(
+    triples: DataFrame, driver_max_rows: int | None = None
+) -> DataFrame:
     """rdfs7 forward chaining: materialize the triples entailed by the
     subproperty axioms that are not already asserted.
 
@@ -113,6 +142,32 @@ def subproperty_triples(triples: DataFrame) -> DataFrame:
 
     Shape: broadcast axiom join + one distinct + one anti-join."""
     spark = triples.sparkSession
+    from gliner_spark.operators.graph_analytics import _collected_dedup
+
+    brows = _collected_dedup(
+        triples.select("subj", "pred", "obj", "subj_type", "obj_type"),
+        ("subj", "pred", "obj", "subj_type", "obj_type"),
+        driver_max_rows,
+    )
+    if brows is not None:
+        # driver path (GRAPH_DRIVER_MAX_EDGES gate): axiom join,
+        # distinct and anti-join replayed over one bounded collect of
+        # the distinct typed facts
+        known = {(s_, p_, o_) for s_, p_, o_, _st, _ot in brows}
+        inferred = {
+            (s_, SUBPROPERTY[p_], o_, p_, st_, ot_)
+            for s_, p_, o_, st_, ot_ in brows
+            if p_ in SUBPROPERTY
+        }
+        data = sorted(
+            r for r in inferred if (r[0], r[1], r[2]) not in known
+        )
+        out = _local_df(spark,
+            data,
+            "subj string, pred string, obj string, via_pred string, "
+            "subj_type string, obj_type string",
+        ).orderBy("subj", "pred", "obj", "via_pred")
+        return forward_caches(out, triples)
     ax = _local_df(spark,
         sorted(SUBPROPERTY.items()), "pred string, super string"
     )

@@ -34,6 +34,65 @@ from gliner_spark.operators.graph_analytics import _local_df
 
 RPQ_MAX_HOPS = 6
 
+# r7 driver gate: product-BFS state budget for the python replay. The
+# blowup risk of a dense expression is |V| x |Q| visited product states
+# summed over sources; the replay counts them as it goes and bails out
+# to the distributed plan the moment the budget is exceeded, so the
+# gate is sound for ANY expression (no a-priori density estimate
+# needed). Env-tunable; 0 disables the driver path.
+import os as _os
+
+RPQ_STATE_CAP = int(_os.environ.get("GS_RPQ_STATE_CAP", "2000000"))
+
+
+def _rpq_driver(erows, transitions, accepting, max_hops, state_cap):
+    """Python product-graph BFS over one bounded collect of the distinct
+    fact rows. Result-identical to the distributed tagged-min unroll:
+    first-reach BFS depth == min walk length == the unroll's min level
+    (the visited set only suppresses re-visits the min absorbs), and
+    every accepting state is checked at its first reach, per source.
+    Returns sorted (src, dst, min_hops) tuples, or None when the summed
+    visited-state count exceeds state_cap (caller falls back to the
+    distributed plan — the bail-out IS the density pre-gate)."""
+    moves_by_pred: dict = {}
+    for q1, p, d, q2 in transitions:
+        moves_by_pred.setdefault(p, []).append((q1, d, q2))
+    adj: dict = {}
+    nodes = set()
+    for s, p, o in erows:
+        nodes.add(s)
+        nodes.add(o)
+        for q1, d, q2 in moves_by_pred.get(p, ()):
+            if d == "fwd":
+                adj.setdefault((s, q1), []).append((o, q2))
+            else:
+                adj.setdefault((o, q1), []).append((s, q2))
+    acc = set(accepting)
+    results: dict = {}
+    total_states = 0
+    for src in nodes:
+        start = (src, 0)
+        visited = {start}
+        frontier = [start]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for st in frontier:
+                for st2 in adj.get(st, ()):
+                    if st2 not in visited:
+                        visited.add(st2)
+                        nxt.append(st2)
+                        if st2[1] in acc:
+                            key = (src, st2[0])
+                            if key not in results:
+                                results[key] = h
+            if not nxt:
+                break
+            frontier = nxt
+        total_states += len(visited)
+        if total_states > state_cap:
+            return None
+    return sorted((s, d, h) for (s, d), h in results.items())
+
 
 def compile_nfa(expr) -> tuple:
     """Compile a path expression AST to an epsilon-free NFA.
@@ -144,7 +203,9 @@ def compile_nfa(expr) -> tuple:
 
 
 def rpq_match(
-    triples: DataFrame, expr, max_hops: int = RPQ_MAX_HOPS
+    triples: DataFrame, expr, max_hops: int = RPQ_MAX_HOPS,
+    driver_max_edges: int | None = None,
+    state_cap: int | None = None,
 ) -> DataFrame:
     """All (src, dst, min_hops) pairs whose connecting path matches
     `expr` within max_hops edges (bounded RPQ, min_hops exact — the
@@ -158,6 +219,34 @@ def rpq_match(
     if not transitions:
         raise ValueError("path expression has no satisfiable transition")
     spark = triples.sparkSession
+
+    # r7 driver gate (the generalized _cc_driver design): below the edge
+    # bound, run the product BFS in python from one bounded collect of
+    # the distinct fact rows; bail out to the distributed plan if the
+    # visited product-state budget is exceeded (see _rpq_driver). The
+    # distributed unroll below is unchanged — the 100 TB path, and the
+    # fallback for dense expressions.
+    from gliner_spark.operators.graph_analytics import (
+        _collected_dedup,
+        _local_df,
+    )
+
+    cap = RPQ_STATE_CAP if state_cap is None else state_cap
+    if cap > 0 and max_hops >= 1:
+        erows = _collected_dedup(
+            triples.select("subj", "pred", "obj"),
+            ("subj", "pred", "obj"),
+            driver_max_edges,
+        )
+        if erows is not None:
+            data = _rpq_driver(
+                erows, transitions, accepting, max_hops, cap
+            )
+            if data is not None:
+                out = _local_df(
+                    spark, data, "src string, dst string, min_hops long"
+                ).orderBy("src", "dst")
+                return forward_caches(out, triples)
 
     # self-loop facts stay in: SPARQL path semantics match them (the
     # product BFS handles them like any cycle; the visited anti-join
