@@ -66,9 +66,17 @@ def _pair_sim(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    driver_max_vectors: int | None = None,
+) -> DataFrame:
     """Brute-force cosine top-k of each query (vec_id < n_queries) vs all."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors)
+    if qrows is not None:
+        ids, vecs, norms = _np_qz(qrows)
+        rows = _np_exact_topk_rows(ids, vecs, norms, n_queries, k)
+        return _sim_out_df(emb.sparkSession, rows)
     queries = qz.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"),
@@ -85,9 +93,26 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    driver_max_vectors: int | None = None,
+) -> DataFrame:
     """IVF-bucketed ANN: candidates restricted to the query's cell (label)."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors, with_label=True)
+    if qrows is not None:
+        import numpy as np
+
+        ids, vecs, norms = _np_qz(qrows)
+        labels = np.array([r[1] for r in qrows])
+
+        def cand(qi):
+            return labels == labels[qi]
+
+        rows = _np_exact_topk_rows(
+            ids, vecs, norms, n_queries, k, cand_mask=cand
+        )
+        return _sim_out_df(emb.sparkSession, rows)
     queries = qz.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("cell"),
@@ -281,6 +306,7 @@ def kmeans_ivf_topk(
     n_cells: int = K_CELLS,
     nprobe: int = NPROBE,
     cells: list | None = None,
+    driver_max_vectors: int | None = None,
 ) -> DataFrame:
     """IVF with a LEARNED coarse quantizer: deterministic k-means centroids,
     corpus bucketed by nearest cell, queries probe their `nprobe` nearest
@@ -291,6 +317,39 @@ def kmeans_ivf_topk(
     cells: a prebuilt quantizer (save_cells/load_cells) — skips training
     entirely (the build-once / probe-many index shape)."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors)
+    if qrows is not None:
+        import numpy as np
+
+        ids, vecs, norms = _np_qz(qrows)
+        cents = (
+            cells
+            if cells is not None
+            else train_kmeans_cells(
+                qz, k=n_cells,
+                _rows=_driver_training_rows(qrows, KM_SAMPLE_TARGET),
+            )
+        )
+        corpus_cells, d2_all = _np_assign_cells(vecs, cents)
+        cell_ids = np.array([int(c) for c, _v in cents], dtype=np.int64)
+        qsel = np.flatnonzero(ids < n_queries)
+        rows = []
+        for qi in qsel[np.argsort(ids[qsel])]:
+            qid = int(ids[qi])
+            probes = set(_np_probe_cells(d2_all[qi], cell_ids, nprobe))
+            mask = np.isin(corpus_cells, list(probes))
+            mask[ids == qid] = False
+            cidx = np.flatnonzero(mask)
+            if cidx.size == 0:
+                continue
+            dots = vecs[cidx] @ vecs[qi]
+            sims = _np_sims(dots, norms[qi], norms[cidx])
+            take = _np_topk_by_sim(ids[cidx], sims, k)
+            for rank, t in enumerate(take, start=1):
+                rows.append(
+                    (qid, int(ids[cidx][t]), rank, float(sims[t]))
+                )
+        return _sim_out_df(emb.sparkSession, rows)
     cents = cells if cells is not None else train_kmeans_cells(qz, k=n_cells)
 
     corpus = qz.select(
@@ -444,6 +503,7 @@ def pq_topk(
     n_queries: int = 10,
     k: int = 5,
     books: list | None = None,
+    driver_max_vectors: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search (the IVF-PQ scoring half): the corpus
     is stored ONLY as m nibble codes; each query precomputes its exact
@@ -459,6 +519,31 @@ def pq_topk(
     than broadcast, one top-k window. At 10^9 vectors the scan reads
     4-byte codes instead of 512-byte vectors."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors)
+    if qrows is not None:
+        import numpy as np
+
+        ids, vecs, _norms = _np_qz(qrows)
+        if books is None:
+            books = train_pq_codebooks(
+                qz, _rows=_driver_training_rows(qrows, KM_SAMPLE_TARGET)
+            )
+        codes = _np_pq_codes(vecs, books)
+        qsel = np.flatnonzero(ids < n_queries)
+        rows = []
+        m_ = len(books)
+        for qi in qsel[np.argsort(ids[qsel])]:
+            qid = int(ids[qi])
+            dtab = _np_pq_dtab(vecs[qi], books)  # (m, k)
+            d2 = dtab[np.arange(m_)[None, :], codes].sum(axis=1)
+            mask = ids != qid
+            cidx = np.flatnonzero(mask)
+            take = _np_topk_by_d2(ids[cidx], d2[cidx], k)
+            for rank, t in enumerate(take, start=1):
+                rows.append(
+                    (qid, int(ids[cidx][t]), rank, int(d2[cidx][t]))
+                )
+        return _d2_out_df(emb.sparkSession, rows)
     if books is None:
         books = train_pq_codebooks(qz)
     m = len(books)
@@ -509,6 +594,7 @@ def pq_refine_topk(
     k: int = 5,
     shortlist: int = 50,
     books: list | None = None,
+    driver_max_vectors: int | None = None,
 ) -> DataFrame:
     """PQ shortlist + exact re-rank — the standard production refinement
     (FAISS IndexRefineFlat shape): ADC over 8-byte codes shortlists
@@ -524,9 +610,40 @@ def pq_refine_topk(
     touched for 500 rows, not a billion) -> exact sim + top-k window.
     Deterministic end-to-end, replayed by the sim_pq_refine oracle."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors)
+    if qrows is not None:
+        import numpy as np
+
+        ids, vecs, norms = _np_qz(qrows)
+        if books is None:
+            books = train_pq_codebooks(
+                qz, _rows=_driver_training_rows(qrows, KM_SAMPLE_TARGET)
+            )
+        codes = _np_pq_codes(vecs, books)
+        m_ = len(books)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        qsel = np.flatnonzero(ids < n_queries)
+        rows = []
+        for qi in qsel[np.argsort(ids[qsel])]:
+            qid = int(ids[qi])
+            dtab = _np_pq_dtab(vecs[qi], books)
+            d2 = dtab[np.arange(m_)[None, :], codes].sum(axis=1)
+            cidx = np.flatnonzero(ids != qid)
+            short = cidx[_np_topk_by_d2(ids[cidx], d2[cidx], shortlist)]
+            dots = vecs[short] @ vecs[qi]
+            sims = _np_sims(dots, norms[qi], norms[short])
+            take = _np_topk_by_sim(ids[short], sims, k)
+            for rank, t in enumerate(take, start=1):
+                rows.append(
+                    (qid, int(ids[short][t]), rank, float(sims[t]))
+                )
+        return _sim_out_df(emb.sparkSession, rows)
     if books is None:
         books = train_pq_codebooks(qz)
-    cand = pq_topk(emb, n_queries=n_queries, k=shortlist, books=books)
+    cand = pq_topk(
+        emb, n_queries=n_queries, k=shortlist, books=books,
+        driver_max_vectors=0,
+    )
     return _exact_rerank(cand, qz, n_queries, k)
 
 
@@ -579,12 +696,49 @@ def ivfpq_refine_topk(
     nprobe: int = NPROBE,
     cells: list | None = None,
     books: list | None = None,
+    driver_max_vectors: int | None = None,
 ) -> DataFrame:
     """IVF-PQ + refine — the complete FAISS production default
     (IndexIVFPQ wrapped in IndexRefineFlat): coarse nprobe pruning, ADC
     shortlist over 8-byte codes, exact re-rank of shortlist rows only.
     Same exactness story as pq_refine_topk; oracle sim_ivfpq_refine."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors)
+    if qrows is not None:
+        import numpy as np
+
+        ids, vecs, norms = _np_qz(qrows)
+        if cells is None or books is None:
+            trows = _driver_training_rows(qrows, KM_SAMPLE_TARGET)
+            if cells is None:
+                cells = train_kmeans_cells(qz, k=n_cells, _rows=trows)
+            if books is None:
+                books = train_pq_codebooks(qz, _rows=trows)
+        corpus_cells, d2_all = _np_assign_cells(vecs, cells)
+        cell_ids = np.array([int(c) for c, _v in cells], dtype=np.int64)
+        codes = _np_pq_codes(vecs, books)
+        m_ = len(books)
+        qsel = np.flatnonzero(ids < n_queries)
+        rows = []
+        for qi in qsel[np.argsort(ids[qsel])]:
+            qid = int(ids[qi])
+            probes = set(_np_probe_cells(d2_all[qi], cell_ids, nprobe))
+            mask = np.isin(corpus_cells, list(probes))
+            mask[ids == qid] = False
+            cidx = np.flatnonzero(mask)
+            if cidx.size == 0:
+                continue
+            dtab = _np_pq_dtab(vecs[qi], books)
+            d2 = dtab[np.arange(m_)[None, :], codes[cidx]].sum(axis=1)
+            short = cidx[_np_topk_by_d2(ids[cidx], d2, shortlist)]
+            dots = vecs[short] @ vecs[qi]
+            sims = _np_sims(dots, norms[qi], norms[short])
+            take = _np_topk_by_sim(ids[short], sims, k)
+            for rank, t in enumerate(take, start=1):
+                rows.append(
+                    (qid, int(ids[short][t]), rank, float(sims[t]))
+                )
+        return _sim_out_df(emb.sparkSession, rows)
     if cells is None or books is None:
         rows = _collect_training_sample(qz, KM_SAMPLE_TARGET)
         if cells is None:
@@ -594,6 +748,7 @@ def ivfpq_refine_topk(
     cand = ivfpq_topk(
         emb, n_queries=n_queries, k=shortlist, n_cells=n_cells,
         nprobe=nprobe, cells=cells, books=books,
+        driver_max_vectors=0,
     )
     return _exact_rerank(cand, qz, n_queries, k)
 
@@ -631,6 +786,7 @@ def ivfpq_topk(
     nprobe: int = NPROBE,
     cells: list | None = None,
     books: list | None = None,
+    driver_max_vectors: int | None = None,
 ) -> DataFrame:
     """IVF-PQ — the composed production ANN index (FAISS's default shape
     for 10^9+ vectors): the learned coarse quantizer prunes the candidate
@@ -649,6 +805,39 @@ def ivfpq_topk(
     tables as literals-built expressions; ONE equi-join on cell; top-k
     window. No shuffle wider than the broadcast."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors)
+    if qrows is not None:
+        import numpy as np
+
+        ids, vecs, _norms = _np_qz(qrows)
+        if cells is None or books is None:
+            trows = _driver_training_rows(qrows, KM_SAMPLE_TARGET)
+            if cells is None:
+                cells = train_kmeans_cells(qz, k=n_cells, _rows=trows)
+            if books is None:
+                books = train_pq_codebooks(qz, _rows=trows)
+        corpus_cells, d2_all = _np_assign_cells(vecs, cells)
+        cell_ids = np.array([int(c) for c, _v in cells], dtype=np.int64)
+        codes = _np_pq_codes(vecs, books)
+        m_ = len(books)
+        qsel = np.flatnonzero(ids < n_queries)
+        rows = []
+        for qi in qsel[np.argsort(ids[qsel])]:
+            qid = int(ids[qi])
+            probes = set(_np_probe_cells(d2_all[qi], cell_ids, nprobe))
+            mask = np.isin(corpus_cells, list(probes))
+            mask[ids == qid] = False
+            cidx = np.flatnonzero(mask)
+            if cidx.size == 0:
+                continue
+            dtab = _np_pq_dtab(vecs[qi], books)
+            d2 = dtab[np.arange(m_)[None, :], codes[cidx]].sum(axis=1)
+            take = _np_topk_by_d2(ids[cidx], d2, k)
+            for rank, t in enumerate(take, start=1):
+                rows.append(
+                    (qid, int(ids[cidx][t]), rank, int(d2[t]))
+                )
+        return _d2_out_df(emb.sparkSession, rows)
     if cells is None or books is None:
         # ONE count + ONE bounded sample collect feed BOTH trainers
         rows = _collect_training_sample(qz, KM_SAMPLE_TARGET)
@@ -764,6 +953,211 @@ SIM_DRIVER_MAX_VECTORS = int(
 )
 
 
+# --------------------------------------------------------------------------
+# r7 driver fast paths for the ANN family (guide §1.2: the data is
+# corpus-sized but the local harness corpora are small — the measured cost
+# of these queries was almost entirely plan/codegen of the literal
+# centroid/codebook expression trees, ~3.5-4.5 s per query over 2000
+# vectors). Below SIM_DRIVER_MAX_VECTORS the scoring runs in numpy from
+# ONE bounded collect of the SPARK-computed quantized vectors:
+# - every distance (cell assignment, PQ code, ADC, SQ8 recon, dots) is
+#   exact int64, identical to the JVM bigint folds;
+# - the only doubles are sim = double(dot) / sqrt(double(na*nb)) — the
+#   same IEEE convert/sqrt/divide sequence as the JVM (the
+#   _neardup_driver_pairs precedent), with the final F.round applied back
+#   IN Spark;
+# - ranking replays (d2 asc|sim desc, vec_id asc) with numpy lexsort.
+# Distributed plans are unchanged above the bound (the 10^9-vector path).
+# Parity: tests/test_r7_sim_family_driver.py (row identity per op, both
+# orders forced).
+
+
+def _sim_qz_rows(qz, bound, with_label: bool = False):
+    from gliner_spark.operators.graph_analytics import _collected_edges
+
+    cols = (
+        ("vec_id", "label", "q", "norm2")
+        if with_label
+        else ("vec_id", "q", "norm2")
+    )
+    b = SIM_DRIVER_MAX_VECTORS if bound is None else bound
+    return _collected_edges(qz, cols, b)
+
+
+def _np_qz(qrows):
+    """(ids, vecs, norms) int64 arrays from collected qz rows (label
+    column, when present, sits at index 1 — q/norm2 are always the last
+    two)."""
+    import numpy as np
+
+    n = len(qrows)
+    ids = np.fromiter((r[0] for r in qrows), dtype=np.int64, count=n)
+    vecs = np.array([r[-2] for r in qrows], dtype=np.int64)
+    norms = np.fromiter(
+        (int(r[-1]) for r in qrows), dtype=np.int64, count=n
+    )
+    return ids, vecs, norms
+
+
+def _driver_training_rows(qrows, sample_target: int):
+    """_collect_training_sample replayed over already-collected qz rows:
+    same hash-scramble selection, same vec_id sort, namedtuple rows with
+    the .vec_id/.q fields the trainers read."""
+    from collections import namedtuple
+
+    QzRow = namedtuple("QzRow", ["vec_id", "q"])
+    n = len(qrows)
+    s = max(1, (n + sample_target - 1) // sample_target)
+    out = []
+    for r in qrows:
+        vid = int(r[0])
+        if s == 1 or ((vid % _P31) * _SAMPLE_MULT) % _P31 % s == 0:
+            out.append(QzRow(vid, list(r[-2])))
+    out.sort(key=lambda r: r.vec_id)
+    return out
+
+
+def _np_sims(dots, na, nbs):
+    """sim doubles: double(dot) / sqrt(double(na * nb)) — int64 products
+    (ANSI-safe by the same bound as the JVM plan), round-to-nearest
+    int64->double conversion and IEEE sqrt/divide exactly as the JVM."""
+    import numpy as np
+
+    return dots.astype(np.float64) / np.sqrt(
+        (na * nbs).astype(np.float64)
+    )
+
+
+def _np_topk_by_sim(ids, sims, k):
+    """Indices of the top-k by (sim desc, vec_id asc) — row_number over
+    the (desc sim, asc vec_id) window replayed (negation preserves the
+    total order of finite doubles)."""
+    import numpy as np
+
+    order = np.lexsort((ids, -sims))
+    return order[: int(k)]
+
+
+def _np_topk_by_d2(ids, d2, k):
+    import numpy as np
+
+    order = np.lexsort((ids, d2))
+    return order[: int(k)]
+
+
+def _np_assign_cells(vecs, cents):
+    """Nearest-cell id per row under (d2 asc, cell asc) — the
+    _assign_struct(...)[0]['cell'] tie-break. Lexicographic argmin via
+    the combined key d2 * (max_cell + 1) + cell (exact in int64: d2 <=
+    dim * (2 * QUANT)^2 and cells are single digits)."""
+    import numpy as np
+
+    C = np.array([c for _cell, c in cents], dtype=np.int64)
+    cell_ids = np.array([int(cell) for cell, _c in cents], dtype=np.int64)
+    d2 = (
+        (vecs[:, None, :] - C[None, :, :]) ** 2
+    ).sum(axis=2)
+    span = int(cell_ids.max()) + 1
+    key = d2 * span + cell_ids[None, :]
+    best = key.argmin(axis=1)
+    return cell_ids[best], d2
+
+
+def _np_probe_cells(d2_row, cell_ids, nprobe):
+    """The query's nprobe nearest cells under (d2, cell) — the
+    slice(array_sort(...), 1, nprobe) replay."""
+    import numpy as np
+
+    order = np.lexsort((cell_ids, d2_row))
+    return [int(cell_ids[i]) for i in order[: int(nprobe)]]
+
+
+def _np_pq_codes(vecs, books):
+    """(n, m) nearest-sub-centroid codes — _pq_code_expr's
+    (d2, cell)-sorted pick per subspace (argmin first-occurrence == min
+    cell, since cells are enumerated in order)."""
+    import numpy as np
+
+    n = vecs.shape[0]
+    m = len(books)
+    codes = np.empty((n, m), dtype=np.int64)
+    lo = 0
+    for mi in range(m):
+        B = np.array(books[mi], dtype=np.int64)  # (k, sub)
+        sub = B.shape[1]
+        sl = vecs[:, lo:lo + sub]
+        d2 = ((sl[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+        codes[:, mi] = d2.argmin(axis=1)
+        lo += sub
+    return codes
+
+
+def _np_pq_dtab(vec, books):
+    """The query's m x k distance table (exact ints)."""
+    import numpy as np
+
+    tabs = []
+    lo = 0
+    for mi in range(len(books)):
+        B = np.array(books[mi], dtype=np.int64)
+        sub = B.shape[1]
+        sl = vec[lo:lo + sub]
+        tabs.append(((B - sl[None, :]) ** 2).sum(axis=1))
+        lo += sub
+    return np.stack(tabs)  # (m, k)
+
+
+def _sim_out_df(spark, rows):
+    """(query_id, vec_id, rank, sim) local frame with the F.round(sim, 6)
+    applied in Spark (engine-exact bits, the neardup precedent)."""
+    from gliner_spark.operators.graph_analytics import _local_df
+
+    return (
+        _local_df(spark,
+            rows, "query_id long, vec_id long, rank int, sim double"
+        )
+        .select(
+            "query_id", "vec_id", "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _d2_out_df(spark, rows):
+    from gliner_spark.operators.graph_analytics import _local_df
+
+    return _local_df(spark,
+        rows, "query_id long, vec_id long, rank int, d2 long"
+    ).orderBy("query_id", "rank")
+
+
+def _np_exact_topk_rows(ids, vecs, norms, n_queries, k, cand_mask=None):
+    """Exact integer-cosine top-k rows per query; cand_mask(qi) -> bool
+    array restricts candidates (IVF cells / shortlists)."""
+    import numpy as np
+
+    rows = []
+    qsel = np.flatnonzero(ids < n_queries)
+    for qi in qsel[np.argsort(ids[qsel])]:
+        qid = int(ids[qi])
+        mask = np.ones(len(ids), dtype=bool)
+        if cand_mask is not None:
+            mask &= cand_mask(qi)
+        mask[ids == qid] = False
+        cidx = np.flatnonzero(mask)
+        if cidx.size == 0:
+            continue
+        dots = vecs[cidx] @ vecs[qi]
+        sims = _np_sims(dots, norms[qi], norms[cidx])
+        take = _np_topk_by_sim(ids[cidx], sims, k)
+        for rank, t in enumerate(take, start=1):
+            rows.append(
+                (qid, int(ids[cidx][t]), rank, float(sims[t]))
+            )
+    return rows
+
+
 def _neardup_driver_pairs(qrows, dim: int, threshold: float):
     """(pairs, audit) — python/numpy replay of the SRP banding + bucket
     cap + exact integer-cosine verify. Integer dots are exact; the sim
@@ -797,25 +1191,46 @@ def _neardup_driver_pairs(qrows, dim: int, threshold: float):
     cap = HP_MAX_BUCKET
     n_dropped = 0
     max_bucket = 0
-    pair_set = set()
+    # vectorized candidate generation + exact verify (r7): per-bucket
+    # triu index pairs over the vec_id-sorted members, np.unique dedup
+    # across bands, ONE einsum of integer dots — the per-pair python
+    # set/dot loops were ~1 s at 2000 vectors. Same pair set, same
+    # int64/IEEE arithmetic as the scalar form.
+    cand_a, cand_b = [], []
     for members in buckets.values():
         sz = len(members)
         max_bucket = max(max_bucket, sz)
         if sz > cap:
             n_dropped += sz
             continue
-        ms = sorted(members, key=lambda i: vec_ids[i])
-        for x in range(sz):
-            for y in range(x + 1, sz):
-                a, b2 = ms[x], ms[y]
-                if vec_ids[a] != vec_ids[b2]:
-                    pair_set.add((a, b2))
+        if sz < 2:
+            continue
+        ms = np.array(
+            sorted(members, key=lambda i: vec_ids[i]), dtype=np.int64
+        )
+        ii, jj = np.triu_indices(sz, 1)
+        cand_a.append(ms[ii])
+        cand_b.append(ms[jj])
     pairs = []
-    for a, b2 in pair_set:
-        dot = int(Q[a] @ Q[b2])
-        sim = float(dot) / math.sqrt(float(norm2[a] * norm2[b2]))
-        if sim >= threshold:
-            pairs.append((vec_ids[a], vec_ids[b2], sim))
+    if cand_a:
+        ia = np.concatenate(cand_a)
+        ib = np.concatenate(cand_b)
+        _, first = np.unique(ia * n + ib, return_index=True)
+        ia, ib = ia[first], ib[first]
+        vid_arr = np.asarray(vec_ids, dtype=np.int64)
+        keep_ids = vid_arr[ia] != vid_arr[ib]
+        ia, ib = ia[keep_ids], ib[keep_ids]
+        if ia.size:
+            dots = np.einsum("ij,ij->i", Q[ia], Q[ib])
+            n2 = np.asarray(norm2, dtype=np.int64)
+            sims = dots.astype(np.float64) / np.sqrt(
+                (n2[ia] * n2[ib]).astype(np.float64)
+            )
+            keep = np.flatnonzero(sims >= threshold)
+            pairs = [
+                (vec_ids[int(ia[i])], vec_ids[int(ib[i])], float(sims[i]))
+                for i in keep
+            ]
     audit = {
         "guard": "neardup_srp_bucket_cap",
         "n_dropped_rows": n_dropped,
@@ -1000,6 +1415,7 @@ def sq8_topk(
     n_queries: int = 10,
     k: int = 5,
     ranges: list | None = None,
+    driver_max_vectors: int | None = None,
 ) -> DataFrame:
     """Scalar-quantized (SQ8) similarity search — the third member of the
     FAISS compression family next to PQ and IVF-PQ: each dimension is
@@ -1020,6 +1436,40 @@ def sq8_topk(
     the query side is a broadcast; one top-k window — no join wider than
     broadcast, same shape as pq_topk."""
     qz = _quantized(emb)
+    qrows = _sim_qz_rows(qz, driver_max_vectors)
+    if qrows is not None:
+        import numpy as np
+
+        ids, vecs, norms = _np_qz(qrows)
+        if ranges is None:
+            # train_sq8_ranges is a full-corpus per-dim min/max — exact
+            # over the same collected vectors
+            mn_v = vecs.min(axis=0)
+            mx_v = vecs.max(axis=0)
+            ranges = [
+                (int(lo), int(hi)) for lo, hi in zip(mn_v, mx_v)
+            ]
+        mn_a = np.array([lo for lo, _ in ranges], dtype=np.int64)
+        sp_a = np.array(
+            [max(hi - lo, 1) for lo, hi in ranges], dtype=np.int64
+        )
+        # recon_j = mn + ((x - mn) * 255 div span) * span div 255 —
+        # nonneg operands, so numpy floor-div == Spark's truncating div
+        recon = mn_a + ((vecs - mn_a) * 255 // sp_a) * sp_a // 255
+        nr2 = (recon * recon).sum(axis=1)
+        qsel = np.flatnonzero(ids < n_queries)
+        rows = []
+        for qi in qsel[np.argsort(ids[qsel])]:
+            qid = int(ids[qi])
+            cidx = np.flatnonzero(ids != qid)
+            dots = recon[cidx] @ vecs[qi]
+            sims = _np_sims(dots, norms[qi], nr2[cidx])
+            take = _np_topk_by_sim(ids[cidx], sims, k)
+            for rank, t in enumerate(take, start=1):
+                rows.append(
+                    (qid, int(ids[cidx][t]), rank, float(sims[t]))
+                )
+        return _sim_out_df(emb.sparkSession, rows)
     if ranges is None:
         ranges = train_sq8_ranges(qz)
     mn = ", ".join(f"CAST({lo} AS BIGINT)" for lo, _ in ranges)
