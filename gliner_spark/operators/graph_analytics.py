@@ -2305,6 +2305,52 @@ def _audit_frame(spark, audit: dict):
     )
 
 
+def _seed_bfs_matrix(adj, seeds, depth: int):
+    """Vectorized _seed_bfs_driver: (nodes, D) with D[i, j] the
+    first-reach distance of nodes[j] from seeds[i] (-1 unreached) — a
+    CSR numpy level-synchronous BFS, value-identical to the dict replay
+    (first reach == min dist is order-independent). The per-node python
+    loop was ~0.8 s of every seed-BFS-consuming driver path at sf0.1."""
+    import numpy as np
+
+    nodes = list(adj)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.fromiter(
+        (len(adj[x]) for x in nodes), dtype=np.int64, count=n
+    )
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = np.fromiter(
+        (idx[v] for x in nodes for v in adj[x]),
+        dtype=np.int64,
+        count=int(indptr[-1]),
+    )
+    D = np.full((len(seeds), n), -1, dtype=np.int32)
+    for i, s in enumerate(seeds):
+        dist = D[i]
+        si = idx[s]
+        dist[si] = 0
+        front = np.array([si], dtype=np.int64)
+        for d in range(1, depth + 1):
+            cnt = indptr[front + 1] - indptr[front]
+            total = int(cnt.sum())
+            if total == 0:
+                break
+            offsets = np.repeat(indptr[front], cnt)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            nbrs = indices[offsets + within]
+            nbrs = nbrs[dist[nbrs] < 0]
+            if nbrs.size == 0:
+                break
+            nbrs = np.unique(nbrs)
+            dist[nbrs] = d
+            front = nbrs
+    return nodes, D
+
+
 def _seed_bfs_driver(adj, seeds, depth: int) -> dict:
     """{(seed, node): first-reach dist} per-seed BFS to `depth` — the
     pure-python replay of _seed_bfs for driver-gated small graphs."""
@@ -2423,15 +2469,22 @@ def harmonic_centrality(
         # of the distinct undirected edges, integer BFS + harmonic sums
         # in python — arithmetic-identical (HC_UNIT DIV dist == // for
         # nonneg), parity-tested against the distributed plan below
+        import numpy as np
+
         adj = _adj_from_und(rows)
         seeds = _driver_seeds(adj, n_seeds)
-        acc: dict = {}
-        for (s, node), d in _seed_bfs_driver(adj, seeds, depth).items():
-            if d > 0:
-                h, c = acc.get(node, (0, 0))
-                acc[node] = (h + HC_UNIT // d, c + 1)
+        nodes_l, D = _seed_bfs_matrix(adj, seeds, depth)
+        pos = D > 0
+        harm = (
+            (HC_UNIT // np.where(pos, D, 1).astype(np.int64)) * pos
+        ).sum(axis=0)
+        cnt = pos.sum(axis=0)
         out = _local_df(triples.sparkSession,
-            [(n, h, c) for n, (h, c) in acc.items()],
+            [
+                (n, int(h), int(c))
+                for n, h, c in zip(nodes_l, harm.tolist(), cnt.tolist())
+                if c > 0
+            ],
             "entity string, harmonic long, n_seeds_reached long",
         ).orderBy(F.desc("harmonic"), "entity")
         return forward_caches(out, triples)
@@ -2721,6 +2774,80 @@ STRESS_SEEDS = 8
 STRESS_DEPTH = 4
 
 
+def _stress_driver_np(adj, seeds, depth: int) -> dict:
+    """Vectorized _stress_driver: the same per-seed two-phase Brandes
+    over a CSR adjacency with np.add.at accumulation — all int64, value-
+    identical (sigma sums and g sums are order-independent integer
+    additions)."""
+    import numpy as np
+
+    nodes = list(adj)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.fromiter(
+        (len(adj[x]) for x in nodes), dtype=np.int64, count=n
+    )
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = np.fromiter(
+        (idx[v] for x in nodes for v in adj[x]),
+        dtype=np.int64,
+        count=int(indptr[-1]),
+    )
+    stress_sum = np.zeros(n, dtype=np.int64)
+    reach_cnt = np.zeros(n, dtype=np.int64)
+    for s in seeds:
+        si = idx[s]
+        dist = np.full(n, -1, dtype=np.int32)
+        sigma = np.zeros(n, dtype=np.int64)
+        dist[si] = 0
+        sigma[si] = 1
+        levels = [np.array([si], dtype=np.int64)]
+        front = levels[0]
+        for d in range(1, depth + 1):
+            cnt = indptr[front + 1] - indptr[front]
+            total = int(cnt.sum())
+            if total == 0:
+                break
+            offsets = np.repeat(indptr[front], cnt)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            nbr = indices[offsets + within]
+            src_rep = np.repeat(front, cnt)
+            fresh = np.unique(nbr[dist[nbr] < 0])
+            if fresh.size == 0:
+                break
+            dist[fresh] = d
+            mask = dist[nbr] == d
+            np.add.at(sigma, nbr[mask], sigma[src_rep[mask]])
+            levels.append(fresh)
+            front = fresh
+        g = np.ones(n, dtype=np.int64)
+        for li in range(len(levels) - 1, -1, -1):
+            lv = levels[li]
+            cnt = indptr[lv + 1] - indptr[lv]
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            offsets = np.repeat(indptr[lv], cnt)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            nbr = indices[offsets + within]
+            src_rep = np.repeat(lv, cnt)
+            mask = dist[nbr] == li + 1
+            np.add.at(g, src_rep[mask], g[nbr[mask]])
+        for li in range(1, len(levels)):
+            lv = levels[li]
+            stress_sum[lv] += sigma[lv] * (g[lv] - 1)
+            reach_cnt[lv] += 1
+    return {
+        nodes[i]: [int(stress_sum[i]), int(reach_cnt[i])]
+        for i in np.flatnonzero(reach_cnt)
+    }
+
+
 def _stress_driver(adj, seeds, depth: int) -> dict:
     """{node: [stress_sum, n_seeds_reached]} — per-seed two-phase
     Brandes with integer path counts, the driver replay of the
@@ -2826,7 +2953,7 @@ def stress_centrality(
         # replay over one bounded edge collect (_stress_driver)
         adj = _adj_from_und(rows)
         seeds = _driver_seeds(adj, n_seeds)
-        st = _stress_driver(adj, seeds, depth)
+        st = _stress_driver_np(adj, seeds, depth)
         out = _local_df(triples.sparkSession,
             [(n, v[0], v[1]) for n, v in st.items()],
             "entity string, stress long, n_seeds_reached long",
@@ -2973,12 +3100,16 @@ def distance_profile(
         # driver path (GRAPH_DRIVER_MAX_EDGES gate) — same BFS replay as
         # harmonic_centrality; the histogram/cumulative/permille are
         # exact integer folds (1000 * cum DIV total == // for nonneg)
+        import numpy as np
+
         adj = _adj_from_und(rows)
         seeds = _driver_seeds(adj, n_seeds)
-        hist_d: dict = {}
-        for d in _seed_bfs_driver(adj, seeds, depth).values():
-            if d > 0:
-                hist_d[d] = hist_d.get(d, 0) + 1
+        _nodes_l, D = _seed_bfs_matrix(adj, seeds, depth)
+        vals = D[D > 0]
+        bc = np.bincount(vals, minlength=depth + 1)
+        hist_d = {
+            d: int(c) for d, c in enumerate(bc.tolist()) if d > 0 and c
+        }
         total = sum(hist_d.values())
         data, cum = [], 0
         for d in sorted(hist_d):

@@ -303,22 +303,89 @@ def cooc_candidates(
         _collected_dedup,
     )
 
-    ed_raw = triples.select("doc_id", F.col("subj").alias("entity")).union(
-        triples.filter(F.col("obj_type") != "media").select(
-            "doc_id", F.col("obj").alias("entity")
-        )
+    # r7: ONE raw Arrow collect of the fact rows feeds BOTH driver-side
+    # dedups ((doc, entity) incidences and the adjacency set) — the two
+    # separate collects (one over a union that scanned the table twice)
+    # were the dominant cost of the driver path. Gate conditions
+    # unchanged: each distinct set must fit the row bound; raw tables
+    # past RAW_COLLECT_CAP degrade to the old two-collect tiers.
+    from gliner_spark.operators.graph_analytics import (
+        GRAPH_DRIVER_MAX_EDGES,
+        RAW_COLLECT_CAP,
     )
-    erows = _collected_dedup(ed_raw, ("doc_id", "entity"), driver_max_rows)
-    adj_rows = (
-        _collected_dedup(
-            triples.filter(F.col("subj") != F.col("obj"))
-            .select("subj", "obj"),
-            ("subj", "obj"),
-            driver_max_rows,
-        )
-        if erows is not None
-        else None
+
+    bound = (
+        GRAPH_DRIVER_MAX_EDGES if driver_max_rows is None
+        else driver_max_rows
     )
+    erows = adj_rows = None
+    tbl = None
+    if bound > 0:
+        try:
+            tbl = (
+                triples.select("doc_id", "subj", "obj", "obj_type")
+                .limit(RAW_COLLECT_CAP + 1)
+                .toArrow()
+            )
+        except Exception:
+            tbl = None
+    if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t1 = tbl.select(["doc_id", "subj"]).rename_columns(
+            ["doc_id", "entity"]
+        )
+        t2 = (
+            tbl.filter(pc.not_equal(tbl.column("obj_type"), "media"))
+            .select(["doc_id", "obj"])
+            .rename_columns(["doc_id", "entity"])
+        )
+        ed_t = (
+            pa.concat_tables([t1, t2])
+            .group_by(["doc_id", "entity"])
+            .aggregate([])
+        )
+        adj_t = (
+            tbl.filter(pc.not_equal(tbl.column("subj"), tbl.column("obj")))
+            .select(["subj", "obj"])
+            .group_by(["subj", "obj"])
+            .aggregate([])
+        )
+        if ed_t.num_rows <= bound and adj_t.num_rows <= bound:
+            erows = sorted(
+                zip(
+                    ed_t.column("doc_id").to_pylist(),
+                    ed_t.column("entity").to_pylist(),
+                )
+            )
+            adj_rows = sorted(
+                zip(
+                    adj_t.column("subj").to_pylist(),
+                    adj_t.column("obj").to_pylist(),
+                )
+            )
+    elif bound > 0:
+        ed_raw = triples.select(
+            "doc_id", F.col("subj").alias("entity")
+        ).union(
+            triples.filter(F.col("obj_type") != "media").select(
+                "doc_id", F.col("obj").alias("entity")
+            )
+        )
+        erows = _collected_dedup(
+            ed_raw, ("doc_id", "entity"), driver_max_rows
+        )
+        adj_rows = (
+            _collected_dedup(
+                triples.filter(F.col("subj") != F.col("obj"))
+                .select("subj", "obj"),
+                ("subj", "obj"),
+                driver_max_rows,
+            )
+            if erows is not None
+            else None
+        )
     if erows is not None and adj_rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate, here on distinct
         # (doc, entity) incidences): capped pair counting, marginals and

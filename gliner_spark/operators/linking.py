@@ -328,6 +328,51 @@ def closure_clusters(
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
+    # r7 driver gate (GRAPH_DRIVER_MAX_EDGES): the verified pair set is
+    # Zipf-collapsed and usually tiny (often already a local relation
+    # from a driver-gated pair source) — union-find + sizes + keep
+    # replayed in python from one bounded collect; the distributed CC
+    # below is unchanged above the bound. component = MIN reachable id,
+    # identical to _cc_driver's union-by-min.
+    from gliner_spark.operators.graph_analytics import (
+        _collected_dedup,
+        _local_df,
+    )
+
+    erows = _collected_dedup(edges, ("src", "dst"), None)
+    if erows is not None:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s_, d_ in erows:
+            parent.setdefault(s_, s_)
+            parent.setdefault(d_, d_)
+            rs, rd = find(s_), find(d_)
+            if rs != rd:
+                parent[rd] = rs
+        groups: dict = {}
+        for node in parent:
+            groups.setdefault(find(node), []).append(node)
+        data = []
+        for members in groups.values():
+            cluster = min(members)
+            sz = len(members)
+            for node in members:
+                data.append((node, cluster, sz, node == cluster))
+        data.sort(key=lambda r: (r[1], r[0]))
+        id_t = dict(pairs.dtypes)[a_col]
+        return _local_df(pairs.sparkSession,
+            data,
+            f"{out_col} {id_t}, cluster {id_t}, "
+            "cluster_size long, keep boolean",
+        ).orderBy("cluster", out_col)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
