@@ -388,10 +388,53 @@ WINNOW_MIN_SHARED = 2
 WINNOW_BUCKET_CAP = 16
 
 
+def _winnow_pairs_driver(grows, min_shared: int, bucket_cap: int):
+    """(pair_rows, audit) — winnow fingerprint pairing replay: distinct
+    per-doc fp sets -> inverted index -> audited bucket cap (postings of
+    over-cap fingerprints dropped AND counted, like capped_filter) ->
+    shared-fp counts per doc pair, >= min_shared."""
+    from gliner_spark.operators.text_analysis import (
+        WINNOW_W,
+        _winnow_fps_driver,
+    )
+
+    fps = _winnow_fps_driver(grows, WINNOW_W)
+    doc_fps = {d: {f for _p, f in v} for d, v in fps.items()}
+    inv: dict = {}
+    for d, fset in doc_fps.items():
+        for f in fset:
+            inv.setdefault(f, []).append(d)
+    n_dropped = 0
+    max_docs = 0
+    pair_n: dict = {}
+    for f, ds in inv.items():
+        sz = len(ds)
+        max_docs = max(max_docs, sz)
+        if sz > bucket_cap:
+            n_dropped += sz
+            continue
+        dss = sorted(ds)
+        for i in range(len(dss)):
+            for j in range(i + 1, len(dss)):
+                key = (dss[i], dss[j])
+                pair_n[key] = pair_n.get(key, 0) + 1
+    pair_rows = sorted(
+        (a, b, c) for (a, b), c in pair_n.items() if c >= min_shared
+    )
+    audit = {
+        "guard": "winnow_bucket_cap",
+        "n_dropped_rows": n_dropped,
+        "max_group_size": max_docs,
+        "cap": int(bucket_cap),
+    }
+    return pair_rows, audit
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     min_shared: int = WINNOW_MIN_SHARED,
     bucket_cap: int = WINNOW_BUCKET_CAP,
+    driver_max_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup / overlap candidate pairs from WINNOWING fingerprints
     (the MOSS pipeline's second half): doc pairs sharing at least
@@ -410,8 +453,32 @@ def winnow_overlap_pairs(
     on fp and a grouped count. Never an all-pairs product; output is
     bounded by C(bucket_cap, 2) rows per fingerprint."""
     from gliner_spark.metrics import attach_audits, capped_filter
-    from gliner_spark.operators.text_analysis import winnow_fingerprints
+    from gliner_spark.operators.text_analysis import (
+        _winnow_fps_driver,
+        _winnow_gram_rows,
+        winnow_fingerprints,
+    )
 
+    # r7 driver gate (DD_DRIVER_MAX_DOCS): fingerprint selection,
+    # inverted index, bucket cap and shared-count pairing replayed from
+    # one bounded collect of the Spark-computed gram arrays; the
+    # distributed plan below is unchanged above the bound
+    from gliner_spark.operators.text_analysis import WINNOW_K
+
+    grows = _winnow_gram_rows(docs, WINNOW_K, driver_max_docs)
+    if grows is not None:
+        pair_rows, audit = _winnow_pairs_driver(
+            grows, min_shared, bucket_cap
+        )
+        spark = docs.sparkSession
+        id_t = dict(docs.dtypes)["doc_id"]
+        from gliner_spark.operators.graph_analytics import _audit_frame
+
+        out = _local_df(spark,
+            pair_rows,
+            f"doc_a {id_t}, doc_b {id_t}, n_shared long",
+        ).orderBy("doc_a", "doc_b")
+        return attach_audits(out, _audit_frame(spark, audit))
     inv = (
         winnow_fingerprints(docs, sort=False)
         .select("doc_id", "fp")
@@ -443,6 +510,7 @@ def containment_pairs(
     min_shared: int = WINNOW_MIN_SHARED,
     bucket_cap: int = WINNOW_BUCKET_CAP,
     min_permille: int = CONTAIN_MIN_PERMILLE,
+    driver_max_docs: int | None = None,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT detection — quotation / near-superset
     pairs (Broder 1997's containment c(A,B) = |S(A) ∩ S(B)| / |S(A)|
@@ -462,8 +530,43 @@ def containment_pairs(
     verifier bit-for-bit."""
     from gliner_spark.cache import attach_caches
     from gliner_spark.metrics import attach_audits, audits_of
-    from gliner_spark.operators.text_analysis import gram_postings
+    from gliner_spark.operators.text_analysis import (
+        WINNOW_K,
+        _winnow_gram_rows,
+        gram_postings,
+    )
 
+    # r7 driver gate (DD_DRIVER_MAX_DOCS): candidates + exact
+    # distinct-gram containment verify replayed from the same one
+    # bounded gram collect; distributed plan unchanged above the bound
+    grows = _winnow_gram_rows(docs, WINNOW_K, driver_max_docs)
+    if grows is not None:
+        cand_rows, audit = _winnow_pairs_driver(
+            grows, min_shared, bucket_cap
+        )
+        gh_sets = {d: set(ghs) for d, ghs in grows}
+        data = []
+        for a, b, _n in cand_rows:
+            sa, sb = gh_sets[a], gh_sets[b]
+            inter = len(sa & sb)
+            if inter == 0:
+                continue  # the verify join is INNER on shared grams
+            ca = 1000 * inter // len(sa) if sa else 0
+            cb = 1000 * inter // len(sb) if sb else 0
+            if max(ca, cb) >= min_permille:
+                data.append((a, b, inter, len(sa), len(sb), ca, cb))
+        data.sort()
+        spark = docs.sparkSession
+        id_t = dict(docs.dtypes)["doc_id"]
+        from gliner_spark.operators.graph_analytics import _audit_frame
+
+        out = _local_df(spark,
+            data,
+            f"doc_a {id_t}, doc_b {id_t}, n_shared_grams long, "
+            "n_grams_a long, n_grams_b long, "
+            "contain_a_permille long, contain_b_permille long",
+        ).orderBy("doc_a", "doc_b")
+        return attach_audits(out, _audit_frame(spark, audit))
     cand = winnow_overlap_pairs(docs, min_shared, bucket_cap)
     pairs = cand.select("doc_a", "doc_b")
     post = gram_postings(docs).select("doc_id", "gh").distinct().persist()

@@ -612,6 +612,54 @@ def gram_postings(docs: DataFrame, k: int = WINNOW_K) -> DataFrame:
     ).select("doc_id", F.posexplode(grams).alias("pos", "gh"))
 
 
+def _winnow_gram_rows(docs: DataFrame, k: int, bound: int | None):
+    """Bounded collect of the SPARK-computed per-doc gram-hash arrays
+    (one row per doc) — the shared input of the r7 winnow-family driver
+    replays. Engine-exact by construction: tokenization and gram
+    hashing stay in Spark expressions."""
+    from gliner_spark.operators.dedup import DD_DRIVER_MAX_DOCS
+    from gliner_spark.operators.graph_analytics import _collected_edges
+
+    b = DD_DRIVER_MAX_DOCS if bound is None else bound
+    # two-stage select like gram_postings: _ids must be a materialized
+    # projection, NOT an inlined expression — inlining re-tokenizes the
+    # document once per gram slice (O(n_tokens^2) per doc)
+    staged = docs.select(
+        "doc_id", token_id_array("text").alias("_ids")
+    ).select("doc_id", gram_hash_array(F.col("_ids"), k).alias("_ghs"))
+    return _collected_edges(staged, ("doc_id", "_ghs"), b)
+
+
+def _winnow_fps_driver(rows, w: int):
+    """{doc_id: sorted [(fp_pos, fp), ...]} — the winnowing window-min
+    selection replayed (packed rightmost-tie key, full windows only,
+    whole-doc window when grams < w), value-identical to the
+    distributed window plan."""
+    import numpy as np
+
+    pos_cap = 1 << WINNOW_POS_BITS
+    out = {}
+    for doc_id, ghs in rows:
+        m = len(ghs)
+        if m == 0:
+            continue
+        g = np.asarray(ghs, dtype=np.int64)
+        keys = g * pos_cap + (pos_cap - 1 - np.arange(m, dtype=np.int64))
+        if m < w:
+            wmins = keys.min(keepdims=True)
+        else:
+            wmins = np.lib.stride_tricks.sliding_window_view(
+                keys, w
+            ).min(axis=1)
+        fps = {
+            (int(pos_cap - 1 - wk % pos_cap), int(wk // pos_cap))
+            for wk in wmins.tolist()
+        }
+        out[doc_id] = sorted(fps)
+    return out
+
+
+
 def winnow_fingerprints(
     docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
     sort: bool = True,
@@ -639,6 +687,12 @@ def winnow_fingerprints(
     partition-by-doc window — the same single-shuffle shape as
     sessionization. Fingerprints per doc are ~n/w·2/(w+1), so output is
     a constant fraction of the corpus regardless of scale."""
+    # NOTE r7: deliberately NOT driver-gated — the fingerprint table is
+    # corpus-row-sized (~n_grams/w rows per doc), so a local-relation
+    # emission costs as much as the single window shuffle it would
+    # replace (measured a wash at sf0.1); the winnow-family gates live
+    # in the PAIR consumers (winnow_overlap_pairs / containment_pairs),
+    # whose outputs are pair-sized.
     staged = gram_postings(docs, k)
     from pyspark.sql import Window
 
