@@ -267,7 +267,8 @@ def test_pq_refine_fetches_vectors_by_join_not_scan_product(spark):
     from gliner_spark.operators.similarity import pq_refine_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    p = _plan(pq_refine_topk(emb))
+    # driver_max_vectors=0 pins the DISTRIBUTED plan (r7 gate override)
+    p = _plan(pq_refine_topk(emb, driver_max_vectors=0))
     n_nlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
     assert n_nlj <= 1, p[:3000]
     assert "CartesianProduct" not in p, p[:3000]
@@ -300,7 +301,9 @@ def test_sq8_scoring_is_broadcast_only(spark):
     from gliner_spark.operators.similarity import sq8_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    p = _plan(sq8_topk(emb))
+    # driver_max_vectors=0 pins the DISTRIBUTED plan (r7 gate override
+    # pattern): the default path is the numpy driver replay
+    p = _plan(sq8_topk(emb, driver_max_vectors=0))
     assert "CartesianProduct" not in p, p[:2000]
     n_nlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
     assert n_nlj == 1, p[:2000]
@@ -484,11 +487,12 @@ def test_rdfs_and_optional_plans_are_scale_safe(spark):
         "doc_id string, subj string, pred string, obj string, "
         "subj_type string, obj_type string, score double",
     )
-    p = _plan(rdfs_types(triples))
+    # driver_max_rows=0 pins the DISTRIBUTED plans (r7 gate override)
+    p = _plan(rdfs_types(triples, driver_max_rows=0))
     assert "BroadcastHashJoin" in p, p[:2000]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
-    p = _plan(subproperty_triples(triples))
+    p = _plan(subproperty_triples(triples, driver_max_rows=0))
     assert "BroadcastHashJoin" in p, p[:2000]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
