@@ -3503,7 +3503,43 @@ def pagerank_weighted(
         .groupBy("src", "dst")
         .agg(F.countDistinct("doc_id").cast("long").alias("w"))
     )
-    wrows = _collected_edges(ew_frame, ("src", "dst", "w"), driver_max_edges)
+    # r7: replay the distinct-doc weight aggregate on the driver from one
+    # raw Arrow collect (pyarrow count_distinct == Spark countDistinct on
+    # exact strings) — the cluster aggregate was two exchanges per call;
+    # gate condition (weighted edges <= bound) unchanged, raw tables past
+    # RAW_COLLECT_CAP degrade to the old aggregate-then-collect tier
+    bound_w = (
+        GRAPH_DRIVER_MAX_EDGES if driver_max_edges is None
+        else driver_max_edges
+    )
+    wrows = None
+    if bound_w > 0:
+        tbl = None
+        try:
+            tbl = (
+                triples.filter(F.col("subj") != F.col("obj"))
+                .select("subj", "obj", "doc_id")
+                .limit(RAW_COLLECT_CAP + 1)
+                .toArrow()
+            )
+        except Exception:
+            tbl = None
+        if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
+            agg = tbl.group_by(["subj", "obj"]).aggregate(
+                [("doc_id", "count_distinct")]
+            )
+            if agg.num_rows <= bound_w:
+                wrows = sorted(
+                    zip(
+                        agg.column("subj").to_pylist(),
+                        agg.column("obj").to_pylist(),
+                        agg.column("doc_id_count_distinct").to_pylist(),
+                    )
+                )
+        else:
+            wrows = _collected_edges(
+                ew_frame, ("src", "dst", "w"), driver_max_edges
+            )
     if wrows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate): weighted bigint
         # rounds replayed exactly ((rank * w) DIV out_w == // nonneg)
