@@ -44,50 +44,160 @@ COOC_DOC_CAP = 64       # per-doc entity-count cap for the pair self-join
 COOC_MIN_SUPPORT = 2    # min co-occurring docs to emit a candidate pair
 
 
-def _negatives_driver(rows, pool_cap: int):
-    """Python replay of the corruption protocol over collected distinct
-    positives (subj, pred, obj, obj_type): hash-ranked <=cap pool per
-    type (sorted), fold-hash pick with the true-object skip, filtered
-    against the true triple set. Exact: fold_hash replayed, pmod == %
-    for the nonneg hash."""
+def _fold_keys_composed(subs, preds, objs):
+    """fold_hash(f"{s}|{p}|{o}") for every row, composed from per-UNIQUE
+    -part folds: each char step is h -> (h*M + c) % P, so
+    fold(A+B) = (fold(A) * M^len(B) + fold(B)) % P. Hash only the unique
+    strings (_fold_hash_many), then compose per row with int64 modmuls
+    (h < P < 2^31, M^len % P < 2^31 -> products < 2^62, overflow-free).
+    Identical values to folding each concatenated key char by char —
+    the per-char fold over every 40-char row key was the dominant cost
+    of the negatives replay."""
+    import numpy as np
+
     from gliner_spark.operators.graph_analytics import _fold_hash_many
 
-    pos = [(r[0], r[1], r[2], r[3]) for r in rows]
-    trues = {(s, p, o) for s, p, o, _t in pos}
-    ents: dict = {}
-    for _s, _p, o, t in pos:
-        ents.setdefault(t, set()).add(o)
+    P, M = 2147483647, 1000003
+
+    def per_row(strs):
+        uniq = sorted(set(strs))
+        folds = _fold_hash_many(uniq)
+        lens = np.fromiter((len(s) for s in uniq), np.int64, count=len(uniq))
+        idx = {s: i for i, s in enumerate(uniq)}
+        ii = np.fromiter((idx[s] for s in strs), np.int64, count=len(strs))
+        return folds[ii], lens[ii]
+
+    fs, _ls = per_row(subs)
+    fp, lp = per_row(preds)
+    fo, lo = per_row(objs)
+    maxlen = int(max(lp.max(), lo.max())) + 1
+    pow_m = np.empty(maxlen + 1, np.int64)
+    pow_m[0] = 1
+    for i in range(1, maxlen + 1):
+        pow_m[i] = (pow_m[i - 1] * M) % P
+    bar = ord("|")  # fold("|") = (0*M + 124) % P
+    h = (fs * M + bar) % P
+    h = (h * pow_m[lp] + fp) % P
+    h = (h * M + bar) % P
+    h = (h * pow_m[lo] + fo) % P
+    return h
+
+
+def _negatives_driver(cols, pool_cap: int):
+    """Python replay of the corruption protocol over collected distinct
+    positives (subs, preds, objs, typs column lists): hash-ranked <=cap
+    pool per type (sorted), fold-hash pick with the true-object skip,
+    filtered against the true triple set. Exact: fold_hash replayed
+    (selection keys composed from per-unique-part folds — identical
+    values), pmod == % for the nonneg hash; the picks/skips are
+    vectorized per-type gathers."""
     import heapq
 
+    import numpy as np
+
+    from gliner_spark.operators.graph_analytics import _fold_hash_many
+
+    subs, preds, objs, typs = cols
+    if not subs:
+        return []
+    trues = set(zip(subs, preds, objs))
+    ents: dict = {}
+    for o, t in zip(objs, typs):
+        ents.setdefault(t, set()).add(o)
     pools: dict = {}
     for t, es in ents.items():
         es_l = sorted(es)
         hs = _fold_hash_many(es_l)
-        picked = [
+        pools[t] = sorted(
             e
-            for _h, e in heapq.nsmallest(
-                pool_cap, zip(hs.tolist(), es_l)
-            )
-        ]
-        pools[t] = sorted(picked)
-    # vectorized fold of every selection key (identical values to the
-    # per-row _fold_hash_py fold of f"{s}|{p}|{o}")
-    keys = _fold_hash_many([f"{s}|{p}|{o}" for s, p, o, _t in pos]).tolist()
+            for _h, e in heapq.nsmallest(pool_cap, zip(hs.tolist(), es_l))
+        )
+    keys = _fold_keys_composed(subs, preds, objs)
+    sub_arr = np.asarray(subs, dtype=object)
+    pred_arr = np.asarray(preds, dtype=object)
+    obj_arr = np.asarray(objs, dtype=object)
+    typ_arr = np.asarray(typs, dtype=object)
     out = []
-    for (s, p, o, t), kh in zip(pos, keys):
-        pool = pools[t]
+    for t, pool in pools.items():
+        pool_np = np.asarray(pool, dtype=object)
         n = len(pool)
-        idx = kh % n
-        c0 = pool[idx]
-        c1 = pool[(idx + 1) % n]
-        neg = c1 if c0 == o else c0
-        if neg == o:
-            continue
-        if (s, p, neg) in trues:
-            continue
-        out.append((s, p, o, neg, t))
+        mask = np.nonzero(typ_arr == t)[0]
+        idx = keys[mask] % n
+        c0 = pool_np[idx]
+        c1 = pool_np[(idx + 1) % n]
+        o_m = obj_arr[mask]
+        neg = np.where(c0 == o_m, c1, c0)
+        keep = np.nonzero(neg != o_m)[0]
+        s_m, p_m = sub_arr[mask], pred_arr[mask]
+        for i in keep:
+            s, p, ng = s_m[i], p_m[i], neg[i]
+            if (s, p, ng) not in trues:
+                out.append((s, p, o_m[i], ng, t))
     out.sort()
     return out
+
+
+def _positive_cols(triples: DataFrame, driver_max_rows: int | None):
+    """Tiered bounded collect of the distinct positives
+    (subj, pred, obj, min(obj_type)) — the shared driver-gate entry of
+    negative_samples / transe_margin_eval / ranking_metrics (one copy so
+    the gate condition can never diverge between the sampler and the
+    evals that consume it). Raw fact rows <= RAW_COLLECT_CAP are
+    collected through Arrow and the groupBy-min replayed with pyarrow
+    (hash_min over UTF-8 binary order == Spark's string min == python's
+    codepoint min); bigger raw tables degrade to the old
+    aggregate-then-collect tier. Returns COLUMN lists
+    (subs, preds, objs, typs), sorted by (subj, pred, obj) in C++
+    rather than as python row tuples (every consumer is column-
+    oriented), if the distinct-positive count fits the bound; else None
+    (caller keeps the distributed plan)."""
+    from gliner_spark.operators.graph_analytics import (
+        GRAPH_DRIVER_MAX_EDGES,
+        RAW_COLLECT_CAP,
+        _arrow_collect_bounded,
+        _collected_edges,
+    )
+
+    bound = (
+        GRAPH_DRIVER_MAX_EDGES if driver_max_rows is None
+        else driver_max_rows
+    )
+    if bound <= 0:
+        return None
+    tbl = _arrow_collect_bounded(
+        triples.select("subj", "pred", "obj", "obj_type"),
+        RAW_COLLECT_CAP,
+    )
+    if tbl is not None:
+        agg = tbl.group_by(["subj", "pred", "obj"]).aggregate(
+            [("obj_type", "min")]
+        )
+        if agg.num_rows > bound:
+            return None
+        agg = agg.sort_by(
+            [("subj", "ascending"), ("pred", "ascending"),
+             ("obj", "ascending")]
+        )
+        return (
+            agg.column("subj").to_pylist(),
+            agg.column("pred").to_pylist(),
+            agg.column("obj").to_pylist(),
+            agg.column("obj_type_min").to_pylist(),
+        )
+    pos_frame = triples.groupBy("subj", "pred", "obj").agg(
+        F.min("obj_type").alias("obj_type")
+    )
+    rows = _collected_edges(
+        pos_frame, ("subj", "pred", "obj", "obj_type"), driver_max_rows
+    )
+    if rows is None:
+        return None
+    return (
+        [r[0] for r in rows],
+        [r[1] for r in rows],
+        [r[2] for r in rows],
+        [r[3] for r in rows],
+    )
 
 
 def negative_samples(
@@ -114,73 +224,28 @@ def negative_samples(
     """
     from gliner_spark.cache import attach_caches
 
-    # one positive per distinct FACT: min(obj_type) makes the pool
-    # choice deterministic if a foreign table carries the same (s,p,o)
-    # under two obj_types (our chain's obj determines its type, but the
-    # protocol must not double-count on inputs where it doesn't).
-    # Persisted: trues/ents/cand all branch from it — without the
-    # persist each branch would re-run the whole upstream chain.
-    pos_frame = triples.groupBy("subj", "pred", "obj").agg(
-        F.min("obj_type").alias("obj_type")
-    )
-    from gliner_spark.operators.graph_analytics import (
-        GRAPH_DRIVER_MAX_EDGES,
-        RAW_COLLECT_CAP,
-        _collected_edges,
-    )
-
-    # r7: collect the RAW fact rows and replay the groupBy-min on the
-    # driver (pyarrow hash_min over UTF-8 binary order == Spark's string
-    # min == python's codepoint min) — the cluster-side aggregate was a
-    # full 32-partition exchange per call; the gate condition (distinct
-    # positives <= bound) is unchanged, and raw tables past
-    # RAW_COLLECT_CAP degrade to the old aggregate-then-collect tier.
-    bound = (
-        GRAPH_DRIVER_MAX_EDGES if driver_max_rows is None
-        else driver_max_rows
-    )
-    rows = None
-    if bound > 0:
-        tbl = None
-        try:
-            tbl = (
-                triples.select("subj", "pred", "obj", "obj_type")
-                .limit(RAW_COLLECT_CAP + 1)
-                .toArrow()
-            )
-        except Exception:
-            tbl = None
-        if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
-            agg = tbl.group_by(["subj", "pred", "obj"]).aggregate(
-                [("obj_type", "min")]
-            )
-            if agg.num_rows <= bound:
-                rows = sorted(
-                    zip(
-                        agg.column("subj").to_pylist(),
-                        agg.column("pred").to_pylist(),
-                        agg.column("obj").to_pylist(),
-                        agg.column("obj_type_min").to_pylist(),
-                    )
-                )
-        else:
-            rows = _collected_edges(
-                pos_frame, ("subj", "pred", "obj", "obj_type"),
-                driver_max_rows,
-            )
-    if rows is not None:
+    cols = _positive_cols(triples, driver_max_rows)
+    if cols is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate, here on distinct
         # positives): _negatives_driver replays the protocol exactly;
         # downstream scorers (transe_margin_eval family) then run over a
         # local relation — one narrow stage instead of pool/broadcast/
         # anti-join shuffles
         out = _local_df(triples.sparkSession,
-            _negatives_driver(rows, pool_cap),
+            _negatives_driver(cols, pool_cap),
             "subj string, pred string, pos_obj string, neg_obj string, "
             "obj_type string",
         ).orderBy("subj", "pred", "pos_obj", "neg_obj")
         return forward_caches(out, triples)
-    pos = pos_frame.persist()
+    # one positive per distinct FACT: min(obj_type) makes the pool
+    # choice deterministic if a foreign table carries the same (s,p,o)
+    # under two obj_types (our chain's obj determines its type, but the
+    # protocol must not double-count on inputs where it doesn't).
+    # Persisted: trues/ents/cand all branch from it — without the
+    # persist each branch would re-run the whole upstream chain.
+    pos = triples.groupBy("subj", "pred", "obj").agg(
+        F.min("obj_type").alias("obj_type")
+    ).persist()
     trues = pos.select("subj", "pred", F.col("obj").alias("neg_obj"))
 
     ents = pos.select(
@@ -321,15 +386,15 @@ def cooc_candidates(
     erows = adj_rows = None
     tbl = None
     if bound > 0:
-        try:
-            tbl = (
-                triples.select("doc_id", "subj", "obj", "obj_type")
-                .limit(RAW_COLLECT_CAP + 1)
-                .toArrow()
-            )
-        except Exception:
-            tbl = None
-    if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
+        from gliner_spark.operators.graph_analytics import (
+            _arrow_collect_bounded,
+        )
+
+        tbl = _arrow_collect_bounded(
+            triples.select("doc_id", "subj", "obj", "obj_type"),
+            RAW_COLLECT_CAP,
+        )
+    if tbl is not None:
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -672,8 +737,23 @@ RULE_MIN_SUPPORT = 2          # min # shared (x, y) pairs to emit a rule
 RULE_MIN_CONF_PERMILLE = 500  # inference threshold: conf >= 50.0%
 
 
+def _rule_edge_rows(triples: DataFrame, driver_max_rows: int | None):
+    """Bounded collect of the distinct non-loop edges (subj, pred, obj)
+    — the shared driver-gate entry of mine_rules / apply_rules."""
+    from gliner_spark.operators.graph_analytics import _collected_dedup
+
+    return _collected_dedup(
+        triples.filter(F.col("subj") != F.col("obj")).select(
+            "subj", "pred", "obj"
+        ),
+        ("subj", "pred", "obj"),
+        driver_max_rows,
+    )
+
+
 def mine_rules(
-    triples: DataFrame, min_support: int = RULE_MIN_SUPPORT
+    triples: DataFrame, min_support: int = RULE_MIN_SUPPORT,
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """AMIE-style mining of 2-atom horn rules over the constructed KG
     (Galarraga et al. 2013): `body(x, y) => head(x, y)` (direct) and
@@ -695,6 +775,19 @@ def mine_rules(
     the key is the full pair), aggregate output is <= |P|^2 rows, and
     the per-predicate count table joins back broadcast. No UDFs, no
     windows, two shuffles."""
+    # r7: below the distinct-edge bound the pair-grouped rule counting
+    # replays on the driver from one bounded collect (all-integer
+    # output); the self-join plan (unchanged) is the scale path above it
+    rows = _rule_edge_rows(triples, driver_max_rows)
+    if rows is not None:
+        out = _local_df(
+            triples.sparkSession,
+            _mine_rules_driver(rows, min_support),
+            "body_pred string, head_pred string, inverse long, "
+            "support long, n_body long, n_head long, "
+            "conf_permille long, hc_permille long",
+        ).orderBy("body_pred", "head_pred", "inverse")
+        return forward_caches(out, triples)
     d = (
         triples.filter(F.col("subj") != F.col("obj"))
         .select("subj", "pred", "obj")
@@ -773,10 +866,73 @@ def mine_rules(
     return forward_caches(out, triples)
 
 
+def _mine_rules_driver(rows, min_support: int):
+    """Driver replay of mine_rules over the collected distinct
+    (subj, pred, obj) edges (subj != obj): group edges by (x, y) pair,
+    count co-predicate products per pair for direct rules and
+    reversed-pair products for inverse rules, then the same nonneg
+    integer permilles. All-integer output sorted by
+    (body_pred, head_pred, inverse)."""
+    from collections import Counter
+
+    n_pred = Counter(p for _s, p, _o in rows)
+    by_pair: dict = {}
+    for s, p, o in rows:
+        by_pair.setdefault((s, o), []).append(p)
+    support: Counter = Counter()
+    for (s, o), preds in by_pair.items():
+        for h in preds:
+            # direct: body(x,p,y) and head(x,h,y), p != h
+            for p in preds:
+                if p != h:
+                    support[(p, h, 0)] += 1
+            # inverse: body(y,p,x) => head(x,h,y) — body edges on the
+            # REVERSED pair (body == head detects symmetric predicates)
+            inv_preds = by_pair.get((o, s))
+            if inv_preds:
+                for p in inv_preds:
+                    support[(p, h, 1)] += 1
+    out = []
+    for (bp, hp, inv), sup in support.items():
+        if sup >= min_support:
+            out.append((
+                bp, hp, inv, sup, n_pred[bp], n_pred[hp],
+                (1000 * sup) // n_pred[bp], (1000 * sup) // n_pred[hp],
+            ))
+    out.sort()
+    return out
+
+
+def _apply_rules_driver(rows, min_conf_permille: int, min_support: int):
+    """Driver replay of apply_rules: mine the rules locally, keep those
+    at/above the confidence floor, and emit each body edge's implied
+    head triple when it is absent from the distinct edge set — one row
+    per (implied triple, rule), exactly the broadcast-join + anti-join
+    plan's output. Sorted by (subj, pred, obj, rule_body, inverse)."""
+    rules = [
+        r
+        for r in _mine_rules_driver(rows, min_support)
+        if r[6] >= min_conf_permille
+    ]
+    dset = {(s, p, o) for s, p, o in rows}
+    by_body: dict = {}
+    for bp, hp, inv, _sup, _nb, _nh, conf, _hc in rules:
+        by_body.setdefault(bp, []).append((hp, inv, conf))
+    out = []
+    for s, p, o in rows:
+        for hp, inv, conf in by_body.get(p, ()):
+            si, oi = (o, s) if inv == 1 else (s, o)
+            if (si, hp, oi) not in dset:
+                out.append((si, hp, oi, p, inv, conf))
+    out.sort()
+    return out
+
+
 def apply_rules(
     triples: DataFrame,
     min_conf_permille: int = RULE_MIN_CONF_PERMILLE,
     min_support: int = RULE_MIN_SUPPORT,
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """Rule-based KG completion: materialize the triples IMPLIED by the
     high-confidence mined rules but absent from the graph — the
@@ -795,9 +951,20 @@ def apply_rules(
     body-edge join (narrow); the "already known" check is one left-anti
     shuffle join against the distinct triple set. Nothing widens beyond
     |body edges| * |rules per body predicate|."""
-    rules = mine_rules(triples, min_support=min_support).filter(
-        F.col("conf_permille") >= min_conf_permille
-    )
+    # r7: same driver gate as mine_rules (shared edge collect; the rules
+    # are re-mined locally — cheaper than a second cluster pass)
+    rows = _rule_edge_rows(triples, driver_max_rows)
+    if rows is not None:
+        out = _local_df(
+            triples.sparkSession,
+            _apply_rules_driver(rows, min_conf_permille, min_support),
+            "subj string, pred string, obj string, rule_body string, "
+            "inverse long, conf_permille long",
+        ).orderBy("subj", "pred", "obj", "rule_body", "inverse")
+        return forward_caches(out, triples)
+    rules = mine_rules(
+        triples, min_support=min_support, driver_max_rows=driver_max_rows
+    ).filter(F.col("conf_permille") >= min_conf_permille)
     d = (
         triples.filter(F.col("subj") != F.col("obj"))
         .select("subj", "pred", "obj")
@@ -849,8 +1016,155 @@ def apply_rules(
 TRANSE_DIM = 8  # matches kg_scoring's default hash-embedding width
 
 
+def _hash_embed_np(strs, dim: int):
+    """kg_scoring.hash_embedding replayed over numpy: component j =
+    ((fold(name)*(2j+5)+j) % P31 % 256 * 2 - 255) / 256. Every step is
+    exact int64 arithmetic (base < 2^31, factor <= 2*dim+3 keeps the
+    product < 2^36) followed by one exact dyadic division, so the
+    matrix is bit-identical to the JVM expression by construction."""
+    import numpy as np
+
+    from gliner_spark.functions.text import P31
+    from gliner_spark.operators.graph_analytics import _fold_hash_many
+
+    base = _fold_hash_many(list(strs))
+    j = np.arange(dim, dtype=np.int64)
+    k = (base[:, None] * (2 * j + 5) + j) % P31 % 256
+    return (k * 2 - 255).astype(np.float64) / 256.0
+
+
+def _energies_np(scorer: str, h, r, t, dim: int):
+    """Per-row energy e = -score(h, r, t) for the four eval scorers,
+    replayed in numpy with the JVM's EXACT operation order: every in-row
+    sum is the same ordered left fold (a column loop is sequential in
+    array order — vectorized across rows, not across the fold), every
+    term uses the same left-associated multiply/add tree, and
+    abs/sqrt/divide are the identical IEEE-754 primitives. transe /
+    distmult / complex are dyadic (fold order is belt-and-braces there);
+    rotate's sqrt+divide terms are NOT dyadic, so the order match is
+    what makes the bits identical."""
+    import numpy as np
+
+    n = h.shape[0]
+    d2 = dim // 2
+    acc = np.zeros(n)
+    if scorer == "transe":
+        for d in range(dim):
+            acc = acc + np.abs(h[:, d] + r[:, d] - t[:, d])
+        return acc  # score = -l1; e = -score = +l1
+    if scorer == "distmult":
+        for d in range(dim):
+            acc = acc + h[:, d] * r[:, d] * t[:, d]
+        return -acc
+    if scorer == "complex":
+        for i in range(d2):
+            acc = acc + (
+                h[:, i] * r[:, i] * t[:, i]
+                + h[:, i] * r[:, i + d2] * t[:, i + d2]
+                + h[:, i + d2] * r[:, i] * t[:, i + d2]
+                - h[:, i + d2] * r[:, i + d2] * t[:, i]
+            )
+        return -acc
+    if scorer == "rotate":
+        for i in range(d2):
+            r_re, r_im = r[:, i], r[:, i + d2]
+            h_re, h_im = h[:, i], h[:, i + d2]
+            mod = np.sqrt(r_re * r_re + r_im * r_im)
+            hr_re = (h_re * r_re - h_im * r_im) / mod
+            hr_im = (h_re * r_im + h_im * r_re) / mod
+            dre = hr_re - t[:, i]
+            dimm = hr_im - t[:, i + d2]
+            acc = acc + np.sqrt(dre * dre + dimm * dimm)
+        return acc  # score = -fold; e = -score = +fold
+    raise ValueError(f"unknown scorer {scorer!r}")
+
+
+def _round_micro_np(e):
+    """F.round(col * 1e6).cast('long') replayed: the multiply is the
+    same IEEE op, then HALF_UP on the value's SHORTEST-DECIMAL
+    representation (Spark's Round on DoubleType goes through
+    BigDecimal.valueOf = Double.toString; python's repr is the same
+    shortest round-trip decimal). Vectorized binary fast path; rows
+    within 1e-6 of a .5 boundary take the exact Decimal path — ulp(y)
+    at these magnitudes (y < ~2e7) is < 4e-9, so the band always
+    contains every case where the shortest decimal can sit on the
+    boundary the binary comparison would miscall."""
+    import numpy as np
+
+    y = e * 1e6
+    f = np.floor(y)
+    frac = y - f
+    q = f + (frac > 0.5)
+    near = np.abs(frac - 0.5) < 1e-6
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for i in np.nonzero(near)[0]:
+            q[i] = float(
+                Decimal(repr(float(y[i]))).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+    return q.astype(np.int64)
+
+
+def _margin_eval_driver(pairs_rows, dim: int, scorer: str):
+    """Driver replay of transe_margin_eval's scoring + per-pred
+    aggregate over the collected negative pairs. Energies via
+    _energies_np (bit-exact); rotate quantizes per-row micro-units with
+    _round_micro_np BEFORE grouping, exactly like the JVM plan. Sums
+    are order-exact (dyadic rationals for transe/distmult/complex,
+    int64 for rotate), the mean is the same double-division chain, and
+    the final round-6 is applied back IN Spark by the caller. Returns
+    (pred, n_pairs, n_ranked_correct, accuracy_permille, raw_mean)
+    rows sorted by pred."""
+    import numpy as np
+
+    if not pairs_rows:
+        return []
+    subs = [r[0] for r in pairs_rows]
+    preds = [r[1] for r in pairs_rows]
+    pobjs = [r[2] for r in pairs_rows]
+    nobjs = [r[3] for r in pairs_rows]
+
+    def emb_of(strs):
+        uniq = sorted(set(strs))
+        idx = {s: i for i, s in enumerate(uniq)}
+        mat = _hash_embed_np(uniq, dim)
+        return mat[
+            np.fromiter(
+                (idx[s] for s in strs), dtype=np.int64, count=len(strs)
+            )
+        ]
+
+    h = emb_of(subs)
+    r = emb_of(preds)
+    e_pos = _energies_np(scorer, h, r, emb_of(pobjs), dim)
+    e_neg = _energies_np(scorer, h, r, emb_of(nobjs), dim)
+    if scorer == "rotate":
+        e_pos = _round_micro_np(e_pos)
+        e_neg = _round_micro_np(e_neg)
+    by: dict = {}
+    for i, p in enumerate(preds):
+        by.setdefault(p, []).append(i)
+    out = []
+    for p in sorted(by):
+        ii = np.asarray(by[p])
+        ep, en = e_pos[ii], e_neg[ii]
+        n = len(ii)
+        n_corr = int((ep < en).sum())
+        if scorer == "rotate":
+            # long sum -> cast double -> / count -> / 1e6 (same chain)
+            raw = float(int((en - ep).sum())) / float(n) / 1_000_000.0
+        else:
+            raw = float((en - ep).sum()) / float(n)
+        out.append((p, n, n_corr, (1000 * n_corr) // n, raw))
+    return out
+
+
 def transe_margin_eval(
-    triples: DataFrame, dim: int = TRANSE_DIM, scorer: str = "transe"
+    triples: DataFrame, dim: int = TRANSE_DIM, scorer: str = "transe",
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """Pairwise ranking evaluation of a KG-embedding scorer over the
     (positive, corrupted-negative) pairs from negative_samples — the
@@ -884,6 +1198,36 @@ def transe_margin_eval(
     folded in-row) and one map-side-combined aggregate per predicate.
     """
     from gliner_spark.operators.kg_scoring import hash_embedding
+
+    if scorer not in ("transe", "distmult", "complex", "rotate"):
+        raise ValueError(f"unknown scorer {scorer!r}")
+
+    # r7: below the shared distinct-positive bound the sampler AND the
+    # scoring/aggregate stage replay on the driver — the JVM stage's
+    # cost over the local negatives relation was planning/codegen of the
+    # per-dim hash-embedding expression trees (the sim_pq finding), not
+    # data. _energies_np reproduces the ordered folds bit-for-bit; the
+    # final round-6 is applied back in Spark below. Above the bound the
+    # distributed plan (unchanged) is the scale path.
+    cols = _positive_cols(triples, driver_max_rows)
+    if cols is not None:
+        data = _margin_eval_driver(
+            _negatives_driver(cols, NEG_POOL_CAP), dim, scorer
+        )
+        out = (
+            _local_df(
+                triples.sparkSession, data,
+                "pred string, n_pairs long, n_ranked_correct long, "
+                "accuracy_permille long, _m double",
+            )
+            .select(
+                "pred", "n_pairs", "n_ranked_correct",
+                "accuracy_permille",
+                F.round("_m", 6).alias("mean_margin"),
+            )
+            .orderBy("pred")
+        )
+        return forward_caches(out, triples)
 
     l1 = _l1_expr(dim)
 
@@ -919,7 +1263,7 @@ def transe_margin_eval(
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
 
-    pairs = negative_samples(triples)
+    pairs = negative_samples(triples, driver_max_rows=driver_max_rows)
     emb = pairs.select(
         "pred",
         hash_embedding("subj", dim).alias("h"),
@@ -978,10 +1322,123 @@ def transe_margin_eval(
 RANK_POOL_CAP = 64  # sampled-ranking candidate pool per object type
 
 
+def _ranking_driver(cols, dim: int, pool_cap: int):
+    """Driver replay of ranking_metrics over the collected distinct
+    positives: hash-ranked per-type pools, the filtered strict-rank
+    count as a blocked broadcast compare (block x pool energies via the
+    same ordered fold — pool_cap bounds the inner axis, 64k-positive
+    blocks bound the working set), and the all-integer per-pred
+    aggregates. Every energy is dyadic, every comparison and DIV exact,
+    so the rows are bit-identical to the distributed plan. Returns
+    (pred, n_facts, mrr_micro, hits1/3/10_permille) sorted by pred."""
+    import heapq
+
+    import numpy as np
+
+    from gliner_spark.operators.graph_analytics import _fold_hash_many
+
+    subs, preds, objs, typs = cols
+    if not subs:
+        return []
+    n_pos = len(subs)
+
+    uniq_ents = sorted(set(objs))
+    eid = {e: i for i, e in enumerate(uniq_ents)}
+    t_all = _hash_embed_np(uniq_ents, dim)
+    obj_id = np.fromiter((eid[o] for o in objs), np.int64, count=n_pos)
+
+    def emb_of(strs):
+        uniq = sorted(set(strs))
+        idx = {s: i for i, s in enumerate(uniq)}
+        mat = _hash_embed_np(uniq, dim)
+        return mat[
+            np.fromiter(
+                (idx[s] for s in strs), dtype=np.int64, count=len(strs)
+            )
+        ]
+
+    h = emb_of(subs)
+    r = emb_of(preds)
+    t = t_all[obj_id]
+    e_pos = np.zeros(n_pos)
+    for d in range(dim):
+        e_pos = e_pos + np.abs(h[:, d] + r[:, d] - t[:, d])
+
+    # filtered-setting exclusion keys: (s, p, cand) is dropped when it
+    # is a true triple — trues IS the positive set itself
+    sp: dict = {}
+    sp_idx = np.empty(n_pos, np.int64)
+    for i, key in enumerate(zip(subs, preds)):
+        sp_idx[i] = sp.setdefault(key, len(sp))
+    n_ents = len(uniq_ents)
+    true_keys = np.unique(sp_idx * n_ents + obj_id)
+
+    pools: dict = {}
+    ents_by_type: dict = {}
+    for o, tt in zip(objs, typs):
+        ents_by_type.setdefault(tt, set()).add(o)
+    for tt, es in ents_by_type.items():
+        es_l = sorted(es)
+        hs = _fold_hash_many(es_l)
+        picked = [
+            e
+            for _h, e in heapq.nsmallest(pool_cap, zip(hs.tolist(), es_l))
+        ]
+        pools[tt] = np.fromiter(
+            (eid[e] for e in picked), np.int64, count=len(picked)
+        )
+
+    idx_by_type: dict = {}
+    for i, tt in enumerate(typs):
+        idx_by_type.setdefault(tt, []).append(i)
+    ranks = np.empty(n_pos, np.int64)
+    block = 65536
+    for tt, idxs in idx_by_type.items():
+        pool_ids = pools[tt]
+        t_pool = t_all[pool_ids]  # (m, dim)
+        idxs = np.asarray(idxs)
+        for s0 in range(0, len(idxs), block):
+            blk = idxs[s0:s0 + block]
+            hb, rb = h[blk], r[blk]
+            acc = np.zeros((len(blk), len(pool_ids)))
+            for d in range(dim):
+                acc = acc + np.abs(
+                    (hb[:, d] + rb[:, d])[:, None] - t_pool[None, :, d]
+                )
+            valid = pool_ids[None, :] != obj_id[blk][:, None]
+            keys = sp_idx[blk][:, None] * n_ents + pool_ids[None, :]
+            # membership via searchsorted against the sorted unique key
+            # array (np.isin would re-sort the big matrix every block)
+            ins = np.searchsorted(true_keys, keys)
+            ins[ins == len(true_keys)] = 0
+            valid &= true_keys[ins] != keys
+            ranks[blk] = 1 + ((acc < e_pos[blk][:, None]) & valid).sum(
+                axis=1
+            )
+
+    by: dict = {}
+    for i, p in enumerate(preds):
+        by.setdefault(p, []).append(i)
+    out = []
+    for p in sorted(by):
+        rr = ranks[np.asarray(by[p])]
+        n = len(rr)
+        out.append((
+            p,
+            n,
+            int((1_000_000 // rr).sum()) // n,
+            (1000 * int((rr <= 1).sum())) // n,
+            (1000 * int((rr <= 3).sum())) // n,
+            (1000 * int((rr <= 10).sum())) // n,
+        ))
+    return out
+
+
 def ranking_metrics(
     triples: DataFrame,
     dim: int = TRANSE_DIM,
     pool_cap: int = RANK_POOL_CAP,
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """Filtered link-prediction RANKING evaluation — the standard KGE
     protocol (Bordes et al. 2013; "filtered" setting of Wang et al.
@@ -1006,6 +1463,22 @@ def ranking_metrics(
     all-pairs anything; the rank is one grouped count + a left join."""
     from gliner_spark.cache import attach_caches
     from gliner_spark.operators.kg_scoring import hash_embedding
+
+    # r7: same shared distinct-positive gate as negative_samples /
+    # transe_margin_eval — the |positives| x pool candidate scoring is
+    # an all-integer-output blocked numpy compare on the driver below
+    # the bound; the distributed broadcast-pool plan (unchanged) is the
+    # scale path above it.
+    cols = _positive_cols(triples, driver_max_rows)
+    if cols is not None:
+        out = _local_df(
+            triples.sparkSession,
+            _ranking_driver(cols, dim, pool_cap),
+            "pred string, n_facts long, mrr_micro long, "
+            "hits1_permille long, hits3_permille long, "
+            "hits10_permille long",
+        ).orderBy("pred")
+        return forward_caches(out, triples)
 
     l1 = _l1_expr(dim)
 

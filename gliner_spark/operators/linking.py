@@ -545,20 +545,17 @@ def canonicalize(mentions: DataFrame, cfg: PipelineConfig):
     # chain invocation. The gate condition (distinct surfaces <=
     # link_driver_max_surfaces) is unchanged; oversized corpora degrade
     # to the old persist+count tier below.
-    from gliner_spark.operators.graph_analytics import RAW_COLLECT_CAP
+    from gliner_spark.operators.graph_analytics import (
+        RAW_COLLECT_CAP,
+        _arrow_collect_bounded,
+    )
 
     surfaces = None
     srows = None
-    tbl = None
-    try:
-        tbl = (
-            mentions.select("label", "norm")
-            .limit(RAW_COLLECT_CAP + 1)
-            .toArrow()
-        )
-    except Exception:
-        tbl = None
-    if tbl is not None and tbl.num_rows <= RAW_COLLECT_CAP:
+    tbl = _arrow_collect_bounded(
+        mentions.select("label", "norm"), RAW_COLLECT_CAP
+    )
+    if tbl is not None:
         agg = tbl.group_by(["label", "norm"]).aggregate([([], "count_all")])
         n_surfaces = agg.num_rows
         if n_surfaces <= cfg.link_driver_max_surfaces:

@@ -101,3 +101,16 @@ def test_collected_dedup_raw_cap_degrades_to_distinct_tier(
 
 def test_default_bound_is_env_tunable():
     assert GRAPH_DRIVER_MAX_EDGES > 0
+
+
+def test_fold_keys_composed_matches_concat_fold():
+    # fold(A+B) composition must equal the per-char fold of the
+    # concatenated selection key for arbitrary part shapes
+    from gliner_spark.operators.kg_completion import _fold_keys_composed
+
+    subs = ["person:00", "x", "", "αβ:girl", "a|b", "person:very-long-name-here"]
+    preds = ["works_at", "", "p", "rel|x", "знает", "r"]
+    objs = ["org:01", "o", "org:02", "", "mixed:véry", "org:with|bar"]
+    composed = _fold_keys_composed(subs, preds, objs).tolist()
+    direct = _fold_hash_many([f"{s}|{p}|{o}" for s, p, o in zip(subs, preds, objs)]).tolist()
+    assert composed == direct

@@ -46,22 +46,48 @@ def test_negatives_driver_matches(spark, triples):
     assert len(drv) > 0
 
 
+def _bits(rows):
+    # repr distinguishes -0.0 from 0.0 and every double bit pattern
+    return [tuple(repr(v) for v in r) for r in rows]
+
+
 @pytest.mark.parametrize("scorer", ["transe", "distmult", "complex", "rotate"])
 def test_margin_eval_over_driver_negatives(spark, triples, scorer):
     from gliner_spark.operators.kg_completion import transe_margin_eval
 
-    # the eval consumes negative_samples; force-compare end to end
+    # r7 pass 3: the whole eval (sampler + scoring + aggregate) replays
+    # on the driver below the gate; force-compare end to end, bit-exact
+    # on the mean_margin doubles
     drv = _rows(transe_margin_eval(triples, scorer=scorer))
-    import gliner_spark.operators.kg_completion as kc
+    dist = _rows(transe_margin_eval(triples, scorer=scorer, driver_max_rows=0))
+    assert _bits(drv) == _bits(dist)
+    assert len(drv) > 0
 
-    old = kc.negative_samples
-    try:
-        kc.negative_samples = lambda t, **kw: old(t, driver_max_rows=0)
-        dist = _rows(transe_margin_eval(triples, scorer=scorer))
-    finally:
-        kc.negative_samples = old
+
+def test_margin_eval_unknown_scorer_raises(spark, triples):
+    from gliner_spark.operators.kg_completion import transe_margin_eval
+
+    with pytest.raises(ValueError):
+        transe_margin_eval(triples, scorer="nope")
+
+
+def test_ranking_metrics_driver_matches(spark, triples):
+    from gliner_spark.operators.kg_completion import ranking_metrics
+
+    drv = _rows(ranking_metrics(triples))
+    dist = _rows(ranking_metrics(triples, driver_max_rows=0))
     assert drv == dist
     assert len(drv) > 0
+
+
+def test_ranking_metrics_driver_matches_small_pool(spark, triples):
+    # a 2-entity pool forces the true-object and filtered exclusions to
+    # decide almost every rank
+    from gliner_spark.operators.kg_completion import ranking_metrics
+
+    drv = _rows(ranking_metrics(triples, pool_cap=2))
+    dist = _rows(ranking_metrics(triples, pool_cap=2, driver_max_rows=0))
+    assert drv == dist
 
 
 def test_cooc_driver_matches(spark, triples):
