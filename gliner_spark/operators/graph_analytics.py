@@ -2045,6 +2045,7 @@ def metapath_counts(
     triples: DataFrame,
     preds: tuple = METAPATH,
     max_fanout: int = TWO_HOP_MAX_FANOUT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Typed metapath instance counts: (src, dst, n_paths) over walks
     src -p1-> m1 -p2-> ... -pk-> dst following the GIVEN predicate
@@ -2063,6 +2064,56 @@ def metapath_counts(
 
     if len(preds) < 2:
         raise ValueError("metapath needs at least 2 predicates")
+    # r7: below the distinct-edge bound the audited hub-capped walk
+    # joins replay on the driver from one bounded collect of the
+    # metapath predicates' edges (all-integer output; per-step audit
+    # frames keep skew_metrics working). The capped join chain
+    # (unchanged) is the scale path above it.
+    rows = _collected_dedup(
+        triples.filter(F.col("pred").isin(list(preds))).select(
+            "subj", "pred", "obj"
+        ),
+        ("subj", "pred", "obj"),
+        driver_max_edges,
+    )
+    if rows is not None:
+        from collections import Counter
+
+        spark = triples.sparkSession
+        by_pred: dict = {}
+        for s, p, o in rows:
+            by_pred.setdefault(p, []).append((s, o))
+        frontier = by_pred.get(preds[0], [])
+        audit_frames = []
+        for k, p in enumerate(preds[1:], start=1):
+            adj: dict = {}
+            for s, o in by_pred.get(p, []):
+                adj.setdefault(s, []).append(o)
+            n_dropped = sum(
+                len(v) for v in adj.values() if len(v) > max_fanout
+            )
+            max_sz = max((len(v) for v in adj.values()), default=0)
+            ok = {
+                s: v for s, v in adj.items() if len(v) <= max_fanout
+            }
+            frontier = [
+                (s, nxt)
+                for (s, mid) in frontier
+                for nxt in ok.get(mid, ())
+            ]
+            audit_frames.append(_audit_frame(spark, {
+                "guard": f"metapath_hub_cap_{k}",
+                "n_dropped_rows": n_dropped,
+                "max_group_size": max_sz,
+                "cap": int(max_fanout),
+            }))
+        cnt = Counter((s, d) for s, d in frontier if s != d)
+        out = _local_df(
+            spark,
+            sorted((s, d, n) for (s, d), n in cnt.items()),
+            "src string, dst string, n_paths long",
+        ).orderBy("src", "dst")
+        return forward_caches(attach_audits(out, *audit_frames), triples)
     steps = [
         triples.filter(F.col("pred") == p)
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
@@ -3182,7 +3233,9 @@ def distance_profile(
     return attach_caches(forward_caches(out, triples), dist)
 
 
-def assortativity(triples: DataFrame) -> DataFrame:
+def assortativity(
+    triples: DataFrame, driver_max_edges: int | None = None
+) -> DataFrame:
     """Degree assortativity of the undirected entity graph (Newman 2002
     Phys. Rev. Lett. 89, 208701): the Pearson correlation of the degrees
     at either end of an edge — positive means hubs attach to hubs
@@ -3202,6 +3255,49 @@ def assortativity(triples: DataFrame) -> DataFrame:
     one map-side-combined 1-row aggregate."""
     from gliner_spark.cache import forward_caches
 
+    # r7: below the undirected-edge bound the exact integer edge moments
+    # replay on the driver from one bounded collect; the raw IEEE
+    # division is NOT replayed — the moment row goes back as a local
+    # relation and the SAME when/round expression below emits the
+    # coefficient, so the bits cannot drift
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        deg: dict = {}
+        for a, b in rows:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        s_jk = s_sum = s_sq = 0
+        for a, b in rows:
+            j, k = deg[a], deg[b]
+            s_jk += j * k
+            s_sum += j + k
+            s_sq += j * j + k * k
+        moments = _local_df(
+            triples.sparkSession,
+            [(len(rows), s_jk, s_sum, s_sq)],
+            "n_edges long, s_jk long, s_sum long, s_sq long",
+        )
+        out = moments.select(
+            "n_edges", "s_jk", "s_sum", "s_sq",
+            F.when(
+                (2 * F.col("n_edges") * F.col("s_sq")
+                 - F.col("s_sum") * F.col("s_sum")) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    (4 * F.col("n_edges") * F.col("s_jk")
+                     - F.col("s_sum") * F.col("s_sum")).cast("double")
+                    / (2 * F.col("n_edges") * F.col("s_sq")
+                       - F.col("s_sum") * F.col("s_sum")),
+                    6,
+                )
+            )
+            .alias("assortativity"),
+        )
+        return forward_caches(out, triples)
     und = undirected_edges(triples).localCheckpoint()
     sym = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")

@@ -659,20 +659,61 @@ def walk_corpus(
             )
             for node, nbrs in adj.items()
         }
-        data = []
-        for entity in pools:
-            ent_f = fold_c[entity]
-            for wid in range(walks_per_node):
-                cur = entity
-                parts = [entity]
-                for step in range(1, length):
-                    pool = pools[cur]
-                    mid_f, mid_len = mids[(wid, step)]
-                    h = (ent_f * powM[mid_len] + mid_f) % P
-                    h = (h * powM[node_len[cur]] + fold_c[cur]) % P
-                    cur = pool[h % len(pool)]
-                    parts.append(cur)
-                data.append((entity, wid, "->".join(parts)))
+        # r7 pass 3: the per-walk python loop is replaced by a
+        # step-synchronous numpy walk over CSR pools in id space —
+        # identical fold arithmetic (int64 modmuls, products < 2^62),
+        # identical picks, ~16k walk-steps per vector op instead of per
+        # python iteration
+        import numpy as np
+
+        nid = {n: i for i, n in enumerate(nodes_l)}
+        n_nodes = len(nodes_l)
+        folds_a = np.fromiter(
+            (fold_c[n] for n in nodes_l), np.int64, count=n_nodes
+        )
+        lens_a = np.fromiter(
+            (node_len[n] for n in nodes_l), np.int64, count=n_nodes
+        )
+        pool_off = np.zeros(n_nodes + 1, np.int64)
+        pool_dat: list = []
+        for i, n in enumerate(nodes_l):
+            ids = [nid[x] for x in pools[n]]
+            pool_dat.extend(ids)
+            pool_off[i + 1] = pool_off[i] + len(ids)
+        pool_dat = np.asarray(pool_dat, dtype=np.int64)
+        pool_deg = np.diff(pool_off)
+        pow_a = np.asarray(powM, dtype=np.int64)
+        ent = np.repeat(
+            np.arange(n_nodes, dtype=np.int64), walks_per_node
+        )
+        wid_a = np.tile(
+            np.arange(walks_per_node, dtype=np.int64), n_nodes
+        )
+        cur = ent.copy()
+        path_ids = [ent]
+        for step in range(1, length):
+            mf = np.fromiter(
+                (mids[(w, step)][0] for w in range(walks_per_node)),
+                np.int64, count=walks_per_node,
+            )[wid_a]
+            ml = np.fromiter(
+                (mids[(w, step)][1] for w in range(walks_per_node)),
+                np.int64, count=walks_per_node,
+            )[wid_a]
+            h = (folds_a[ent] * pow_a[ml] + mf) % P
+            h = (h * pow_a[lens_a[cur]] + folds_a[cur]) % P
+            cur = pool_dat[pool_off[cur] + h % pool_deg[cur]]
+            path_ids.append(cur)
+        cols_l = [a.tolist() for a in path_ids]
+        wids_l = wid_a.tolist()
+        data = [
+            (
+                nodes_l[cols_l[0][i]],
+                wids_l[i],
+                "->".join(nodes_l[c[i]] for c in cols_l),
+            )
+            for i in range(len(wids_l))
+        ]
         out = _local_df(triples.sparkSession,
             data, "entity string, walk_id long, walk string"
         ).orderBy("entity", "walk_id")

@@ -392,7 +392,8 @@ def test_mine_rules_broadcasts_pred_counts(spark):
         "doc_id string, subj string, pred string, obj string, "
         "subj_type string, obj_type string, score double",
     )
-    p = _plan(mine_rules(triples))
+    # driver_max_rows=0 pins the DISTRIBUTED plan (r7 gate override)
+    p = _plan(mine_rules(triples, driver_max_rows=0))
     assert "BroadcastHashJoin" in p, p[:2000]
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]

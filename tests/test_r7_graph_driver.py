@@ -154,3 +154,46 @@ def test_driver_paths_match_with_firing_caps(spark, graph, name):
     assert drv == dist, f"{name}: capped driver path diverges"
     # the cap genuinely fired on this graph
     assert any(v["n_dropped_rows"] > 0 for v in m.values()), m
+
+
+def test_metapath_driver_matches(spark, graph):
+    from gliner_spark.metrics import skew_metrics
+    from gliner_spark.operators.graph_analytics import metapath_counts
+
+    drv_df = metapath_counts(graph, preds=("r", "s"))
+    m = skew_metrics(drv_df)
+    drv = _rows(drv_df)
+    dist = _rows(metapath_counts(graph, preds=("r", "s"), driver_max_edges=0))
+    assert drv == dist
+    assert len(drv) > 0
+    assert "metapath_hub_cap_1" in m
+
+
+def test_metapath_driver_matches_firing_cap(spark, graph):
+    from gliner_spark.metrics import skew_metrics
+    from gliner_spark.operators.graph_analytics import metapath_counts
+
+    drv_df = metapath_counts(graph, preds=("r", "s", "r"), max_fanout=2)
+    m = skew_metrics(drv_df)
+    drv = _rows(drv_df)
+    dist_df = metapath_counts(
+        graph, preds=("r", "s", "r"), max_fanout=2, driver_max_edges=0
+    )
+    md = skew_metrics(dist_df)
+    dist = _rows(dist_df)
+    assert drv == dist
+    # the cap must actually fire and the audits must agree with the
+    # distributed capped_filter aggregates
+    assert m["metapath_hub_cap_1"]["n_dropped_rows"] > 0
+    assert m == md
+
+
+def test_assortativity_driver_matches(spark, graph):
+    from gliner_spark.operators.graph_analytics import assortativity
+
+    drv = [tuple(map(repr, r)) for r in _rows(assortativity(graph))]
+    dist = [
+        tuple(map(repr, r))
+        for r in _rows(assortativity(graph, driver_max_edges=0))
+    ]
+    assert drv == dist
