@@ -38,10 +38,144 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _pattern_edge_index(triples: DataFrame, all_atoms, driver_max_rows):
+    """Driver-gate entry of conjunctive_match / optional_match: one
+    bounded collect of the distinct (subj, pred, obj) edges restricted
+    to the pattern's constant predicates. Returns {pred: [(s, o), ...]}
+    or None (caller keeps the distributed plan)."""
+    from gliner_spark.operators.graph_analytics import _collected_dedup
+
+    preds = sorted({p for _s, p, _o in all_atoms if not _is_var(p)})
+    rows = _collected_dedup(
+        triples.filter(F.col("pred").isin(preds)).select(
+            "subj", "pred", "obj"
+        ),
+        ("subj", "pred", "obj"),
+        driver_max_rows,
+    )
+    if rows is None:
+        return None
+    idx: dict = {}
+    for s, p, o in rows:
+        idx.setdefault(p, []).append((s, o))
+    return idx
+
+
+def _atom_rows(edge_index, i: int, s: str, p: str, o: str):
+    """_bind_pattern's atom_df replayed: (cols, distinct rows) of one
+    atom's bindings, with the same validation errors."""
+    if _is_var(p):
+        raise ValueError(f"atom {i}: predicate must be constant, got {p!r}")
+    if _is_var(s) and _is_var(o) and s == o:
+        raise ValueError(f"atom {i}: self-loop variable {s!r} twice")
+    edges = edge_index.get(p, [])
+    if _is_var(s) and _is_var(o):
+        cols = (s[1:], o[1:])
+        rows = set(edges)
+    elif _is_var(s):
+        cols = (s[1:],)
+        rows = {(es,) for es, eo in edges if eo == o}
+    elif _is_var(o):
+        cols = (o[1:],)
+        rows = {(eo,) for es, eo in edges if es == s}
+    else:
+        # fully ground atom: <=1-row existence gate
+        cols = (f"_ground_{i}",)
+        rows = {(1,)} if any(e == (s, o) for e in edges) else set()
+    return cols, sorted(rows)
+
+
+class _BgpFanoutBail(Exception):
+    """Raised when a replay join would materialize more rows than the
+    driver should hold — the caller falls back to the distributed plan
+    (sound for ANY pattern: the count precedes the materialize, so the
+    bail costs one counting pass, never the blowup itself)."""
+
+
+def _join_rows(left, right, shared, max_rows: int, how: str = "inner"):
+    """Hash equi-join of two (cols, rows) binding frames on the shared
+    variables; 'left' adds NULL extension for unmatched left rows.
+    Column layout = left cols + right's non-shared cols (the final
+    select fixes output order, so layout only has to be consistent).
+    Counts the prospective output FIRST and raises _BgpFanoutBail past
+    max_rows."""
+    lcols, lrows = left
+    rcols, rrows = right
+    li = [lcols.index(v) for v in shared]
+    ri = [rcols.index(v) for v in shared]
+    rrest = [i for i, c in enumerate(rcols) if c not in shared]
+    out_cols = tuple(lcols) + tuple(rcols[i] for i in rrest)
+    idx: dict = {}
+    for rr in rrows:
+        idx.setdefault(tuple(rr[i] for i in ri), []).append(
+            tuple(rr[i] for i in rrest)
+        )
+    keys = [tuple(lr[i] for i in li) for lr in lrows]
+    n_out = sum(
+        len(idx.get(k, ())) or (1 if how == "left" else 0) for k in keys
+    )
+    if n_out > max_rows:
+        raise _BgpFanoutBail(n_out)
+    out = []
+    nulls = (None,) * len(rrest)
+    for lr, key in zip(lrows, keys):
+        exts = idx.get(key)
+        if exts:
+            for ext in exts:
+                out.append(lr + ext)
+        elif how == "left":
+            out.append(lr + nulls)
+    return out_cols, out
+
+
+def _cross_rows(left, right, max_rows: int):
+    lcols, lrows = left
+    rcols, rrows = right
+    if len(lrows) * len(rrows) > max_rows:
+        raise _BgpFanoutBail(len(lrows) * len(rrows))
+    return tuple(lcols) + tuple(rcols), [
+        lr + rr for lr in lrows for rr in rrows
+    ]
+
+
+def _bind_pattern_rows(edge_index, atoms, max_rows: int):
+    """_bind_pattern replayed over the collected edge index: the same
+    atom frames, connectivity checks and equi-join chain, as
+    (cols, rows). Row multisets are identical to the distributed chain
+    (atom frames distinct + uniqueness-preserving equi-joins). Raises
+    _BgpFanoutBail if any join would exceed max_rows."""
+    if not atoms:
+        raise ValueError("empty pattern")
+    bound = None
+    bound_vars: set = set()
+    for i, (s, p, o) in enumerate(atoms):
+        frame = _atom_rows(edge_index, i, s, p, o)
+        avars = {t[1:] for t in (s, o) if _is_var(t)}
+        if bound is None:
+            bound, bound_vars = frame, avars
+            continue
+        shared = sorted(bound_vars & avars)
+        if shared:
+            bound = _join_rows(bound, frame, shared, max_rows)
+        elif not avars:
+            bound = _cross_rows(bound, frame, max_rows)
+        elif not bound_vars:
+            bound = _cross_rows(frame, bound, max_rows)
+        else:
+            raise ValueError(
+                f"atom {i} {(s, p, o)!r} shares no variable with the "
+                "pattern so far — disconnected patterns are cartesian "
+                "products and are rejected; reorder the atoms"
+            )
+        bound_vars |= avars
+    return bound, bound_vars
+
+
 def conjunctive_match(
     triples: DataFrame,
     atoms: list,
     neq: tuple = (),
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """Match a conjunctive pattern against (subj, pred, obj) triples.
 
@@ -60,6 +194,52 @@ def conjunctive_match(
     selectivity of shared variables, never by cartesian blowup —
     connectivity is enforced. Self-joins of the same predicate are
     fine (distinct alias per atom)."""
+    # r7: below the pattern-predicates edge bound the whole BGP chain
+    # replays on the driver (hash equi-joins over the collected distinct
+    # edges, same validation, same NULL-excluding neq); the predicate-
+    # pushed join plan (unchanged) is the scale path above it. A
+    # fan-out bail keeps the replay sound for ANY pattern: every join
+    # counts its output before materializing and a blowup falls back to
+    # the distributed plan at the cost of one counting pass.
+    edge_index = _pattern_edge_index(triples, atoms, driver_max_rows)
+    if edge_index is not None:
+        from gliner_spark.operators.graph_analytics import (
+            GRAPH_DRIVER_MAX_EDGES,
+            _local_df,
+        )
+
+        bound_cap = (
+            GRAPH_DRIVER_MAX_EDGES if driver_max_rows is None
+            else driver_max_rows
+        )
+        try:
+            (cols, rows), bound_vars = _bind_pattern_rows(
+                edge_index, atoms, bound_cap
+            )
+        except _BgpFanoutBail:
+            edge_index = None
+        if edge_index is not None:
+            for a, b in neq:
+                ia, ib = cols.index(a), cols.index(b)
+                rows = [
+                    r for r in rows
+                    if r[ia] is not None and r[ib] is not None
+                    and r[ia] != r[ib]
+                ]
+            out_cols = sorted(v for v in bound_vars)
+            spark = triples.sparkSession
+            if not out_cols:
+                out = _local_df(
+                    spark, [(True,)] if rows else [], "matched boolean"
+                )
+            else:
+                sel = [cols.index(c) for c in out_cols]
+                out = _local_df(
+                    spark,
+                    [tuple(r[i] for i in sel) for r in rows],
+                    ", ".join(f"{c} string" for c in out_cols),
+                ).orderBy(*out_cols)
+            return forward_caches(out, triples)
     bound, bound_vars = _bind_pattern(triples, atoms)
     for a, b in neq:
         bound = bound.filter(F.col(a) != F.col(b))
@@ -166,6 +346,15 @@ def optional_match(
 
     Determinism contract: distinct bindings, variable columns sorted
     lexicographically, NULLs last within the final orderBy."""
+    # r7 NOTE: optional_match is deliberately NOT driver-gated. The
+    # conjunctive gate was measured and kept (38k-row outputs, 1.35 ->
+    # 0.60 s at sf0.1), but OPTIONAL's null-extended fan-out is
+    # output-sized (~2M rows for the declared query at sf0.1): the
+    # local materialize + createDataFrame measured 5.0 s against the
+    # distributed plan's 1.3 s, and a bail-after-collect would tax
+    # every at-scale call with a wasted collect. Result-sized outputs
+    # belong on the cluster; the distributed plan below (already
+    # no-op-distinct-free from pass 1) stays the only path.
     bound, bound_vars = _bind_pattern(triples, atoms)
     req_vars = set(bound_vars)
     introduced: set = set()

@@ -436,6 +436,7 @@ def test_conjunctive_match_plan_all_equi_joins(spark):
         triples,
         [("?p", "works_at", "?o"), ("?o", "based_in", "?l"),
          ("?p", "visited", "?l")],
+        driver_max_rows=0,  # pin the DISTRIBUTED plan (r7 gate override)
     )
     p = _plan(df)
     assert "CartesianProduct" not in p, p[:2000]
