@@ -324,7 +324,8 @@ def ngram_jaccard_dedup(
     candidate stage (persisted at the branch point)."""
     from gliner_spark.cache import attach_caches
 
-    assert n == 3, "gram fold below is specialized for n=3"
+    if n != 3:  # a bare assert would be stripped under python -O
+        raise ValueError("gram fold below is specialized for n=3")
     staged = staged_token_ids(docs).persist()
     ids_arr = F.col("_ids")
     sz = F.size(ids_arr)
