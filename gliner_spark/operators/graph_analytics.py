@@ -74,9 +74,22 @@ def _arrow_collect_bounded(df: DataFrame, cap: int):
     is still enforced on the collected table, so downstream tier
     conditions are unchanged."""
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        size = int(str(stats.sizeInBytes()))
-        if STATS_SKIP_BYTES < size < (1 << 63) - 1:
+        # sum the plan's LEAF sizes, not the top-level estimate: join
+        # plans multiply row guesses into garbage (a ~30 MB chain join
+        # reported 1.2e15 bytes) while leaves are trustworthy — file
+        # scans report real bytes, cached relations their materialized
+        # estimate, and unknown sources the Long.MaxValue-band sentinel
+        # (ignored: unknown is not huge; the raw-tier collect frames are
+        # row-bounded projections, and a pathological fan-out is still
+        # caught by maxResultSize below). A petabyte scan's leaves carry
+        # real file bytes, so the at-scale path skips without any job.
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            sz = int(str(leaves.apply(i).stats().sizeInBytes()))
+            if sz < (1 << 60):
+                total += sz
+        if total > STATS_SKIP_BYTES:
             return None
     except Exception:
         pass  # stats unavailable -> maxResultSize still bounds memory
@@ -113,7 +126,11 @@ def _collected_dedup(raw_df: DataFrame, cols, max_edges: int | None):
         return list(
             zip(*(d.column(i).to_pylist() for i in range(d.num_columns)))
         )
-    return _collected_edges(raw_df.distinct(), cols, max_edges)
+    rows = _collected_edges(raw_df.distinct(), cols, max_edges)
+    # honor the SORTED contract on the degraded tier too (collect order
+    # is partition-dependent; consumers like the vectorized cooc pair
+    # counting rely on contiguous sorted groups)
+    return None if rows is None else sorted(rows)
 
 
 def _local_df(spark, rows, ddl: str):

@@ -418,13 +418,14 @@ def cooc_candidates(
             .aggregate([])
         )
         if ed_t.num_rows <= bound and adj_t.num_rows <= bound:
-            erows = sorted(
-                zip(
-                    ed_t.column("doc_id").to_pylist(),
-                    ed_t.column("entity").to_pylist(),
-                )
+            ed_t = ed_t.sort_by(
+                [("doc_id", "ascending"), ("entity", "ascending")]
             )
-            adj_rows = sorted(
+            erows = (
+                ed_t.column("doc_id").to_pylist(),
+                ed_t.column("entity").to_pylist(),
+            )
+            adj_rows = list(
                 zip(
                     adj_t.column("subj").to_pylist(),
                     adj_t.column("obj").to_pylist(),
@@ -438,56 +439,99 @@ def cooc_candidates(
                 "doc_id", F.col("obj").alias("entity")
             )
         )
-        erows = _collected_dedup(
+        ed_pairs = _collected_dedup(
             ed_raw, ("doc_id", "entity"), driver_max_rows
         )
-        adj_rows = (
-            _collected_dedup(
+        if ed_pairs is not None:
+            erows = (
+                [r[0] for r in ed_pairs],
+                [r[1] for r in ed_pairs],
+            )
+            adj_rows = _collected_dedup(
                 triples.filter(F.col("subj") != F.col("obj"))
                 .select("subj", "obj"),
                 ("subj", "obj"),
                 driver_max_rows,
             )
-            if erows is not None
-            else None
-        )
     if erows is not None and adj_rows is not None:
         # driver path (GRAPH_DRIVER_MAX_EDGES gate, here on distinct
         # (doc, entity) incidences): capped pair counting, marginals and
-        # the non-adjacency filter in python; the lift double is computed
-        # raw (exact int->double products, both < 2^53) and rounded back
-        # IN Spark with the same F.round
-        by_doc: dict = {}
-        for r in erows:
-            by_doc.setdefault(r[0], []).append(r[1])
-        n_dropped = 0
-        max_doc = 0
-        kept_docs = 0
-        marg: dict = {}
-        pair_n: dict = {}
-        for _doc, es in by_doc.items():
-            sz = len(es)
-            max_doc = max(max_doc, sz)
-            if sz > doc_cap:
-                n_dropped += sz
-                continue
-            kept_docs += 1
-            ess = sorted(es)
-            for e in ess:
-                marg[e] = marg.get(e, 0) + 1
-            for i in range(len(ess)):
-                for j in range(i + 1, len(ess)):
-                    key = (ess[i], ess[j])
-                    pair_n[key] = pair_n.get(key, 0) + 1
-        adj = {(min(r[0], r[1]), max(r[0], r[1])) for r in adj_rows}
-        data = [
-            (
-                a, b, n, marg[a], marg[b],
-                float(kept_docs * n) / float(marg[a] * marg[b]),
+        # the non-adjacency filter — vectorized (r7 pass 3: the python
+        # pair loop was 0.8 s of the 1.2 s wall at sf0.1). Incidences
+        # arrive SORTED by (doc, entity), so per-doc entity lists are
+        # ascending slices; entities get ids in string sort order (int
+        # order == codepoint order == pair canonical order), pairs are
+        # cached triu_indices gathers counted by np.unique, marginals
+        # one bincount, adjacency one searchsorted. The lift double is
+        # computed raw (exact int->double products, both < 2^53) and
+        # rounded back IN Spark with the same F.round.
+        import numpy as np
+
+        docs_l, ents_l = erows
+        uniq_ents = sorted(set(ents_l))
+        n_ents = len(uniq_ents)
+        eid = {e: i for i, e in enumerate(uniq_ents)}
+        ids = np.fromiter(
+            (eid[e] for e in ents_l), np.int64, count=len(ents_l)
+        )
+        if docs_l:
+            d_arr = np.asarray(docs_l, dtype=object)
+            starts = np.concatenate((
+                [0], np.nonzero(d_arr[1:] != d_arr[:-1])[0] + 1,
+                [len(docs_l)],
+            ))
+            sizes = np.diff(starts)
+        else:
+            starts = np.zeros(1, np.int64)
+            sizes = np.zeros(0, np.int64)
+        kept = sizes <= doc_cap
+        n_dropped = int(sizes[~kept].sum())
+        max_doc = int(sizes.max()) if len(sizes) else 0
+        kept_docs = int(kept.sum())
+        doc_idx = np.repeat(np.arange(len(sizes)), sizes)
+        marg_a = (
+            np.bincount(ids[kept[doc_idx]], minlength=n_ents)
+            if len(sizes)
+            else np.zeros(n_ents, np.int64)
+        )
+        tri_cache: dict = {}
+        key_chunks = []
+        for k in np.nonzero(kept & (sizes >= 2))[0]:
+            s = int(sizes[k])
+            seg = ids[starts[k]:starts[k] + s]
+            if s not in tri_cache:
+                tri_cache[s] = np.triu_indices(s, 1)
+            ii, jj = tri_cache[s]
+            key_chunks.append(seg[ii] * n_ents + seg[jj])
+        if key_chunks:
+            uk, cnt = np.unique(
+                np.concatenate(key_chunks), return_counts=True
             )
-            for (a, b), n in pair_n.items()
-            if n >= min_support and (a, b) not in adj
-        ]
+        else:
+            uk = np.zeros(0, np.int64)
+            cnt = uk
+        adj_list = []
+        for r in adj_rows:
+            x, y = (r[0], r[1]) if r[0] < r[1] else (r[1], r[0])
+            ia, ib = eid.get(x), eid.get(y)
+            if ia is not None and ib is not None:
+                adj_list.append(ia * n_ents + ib)
+        mask = cnt >= min_support
+        if len(uk) and adj_list:
+            adj_keys = np.unique(np.asarray(adj_list, np.int64))
+            ins = np.searchsorted(adj_keys, uk)
+            ins[ins == len(adj_keys)] = 0
+            mask &= adj_keys[ins] != uk
+        data = []
+        for t in np.nonzero(mask)[0]:
+            key = int(uk[t])
+            n = int(cnt[t])
+            ia, ib = key // n_ents, key % n_ents
+            ma, mb = int(marg_a[ia]), int(marg_a[ib])
+            data.append((
+                uniq_ents[ia], uniq_ents[ib], n, ma, mb,
+                float(kept_docs * n) / float(ma * mb),
+            ))
         audit = {
             "guard": "cooc_doc_cap",
             "n_dropped_rows": n_dropped,
@@ -1433,18 +1477,23 @@ def _ranking_driver(cols, dim: int, pool_cap: int):
     for i, tt in enumerate(typs):
         idx_by_type.setdefault(tt, []).append(i)
     ranks = np.empty(n_pos, np.int64)
-    block = 65536
+    # h + r is the same exact sum for every candidate — hoist it once
+    # per positive; 8k-row blocks keep each (block x pool) temp ~4 MB
+    # (cache-resident — the 64k blocks measured 3-5x slower under the
+    # bench's interleaved memory pressure, the near-dup einsum finding)
+    hr = h + r
+    block = 8192
     for tt, idxs in idx_by_type.items():
         pool_ids = pools[tt]
         t_pool = t_all[pool_ids]  # (m, dim)
         idxs = np.asarray(idxs)
         for s0 in range(0, len(idxs), block):
             blk = idxs[s0:s0 + block]
-            hb, rb = h[blk], r[blk]
+            hrb = hr[blk]
             acc = np.zeros((len(blk), len(pool_ids)))
             for d in range(dim):
                 acc = acc + np.abs(
-                    (hb[:, d] + rb[:, d])[:, None] - t_pool[None, :, d]
+                    hrb[:, d][:, None] - t_pool[None, :, d]
                 )
             valid = pool_ids[None, :] != obj_id[blk][:, None]
             keys = sp_idx[blk][:, None] * n_ents + pool_ids[None, :]
