@@ -288,12 +288,62 @@ def graph_edges(triples: DataFrame) -> DataFrame:
     return graph_edges_raw(triples).distinct()
 
 
-def entity_degrees(triples: DataFrame) -> DataFrame:
+def entity_degrees(
+    triples: DataFrame, driver_max_edges: int | None = None
+) -> DataFrame:
     """Per-node degree profile: out/in edge counts and distinct predicates.
 
     Two grouped aggregates (map-side partial) merged on the node id via a
     full outer join — the fact table is scanned once per direction and
     never self-joined."""
+    from gliner_spark.cache import forward_caches
+
+    # r7 pass 3: below the node bound both role aggregates replay as
+    # pyarrow group_bys over ONE raw Arrow collect and merge in a dict
+    # (the full-outer join + fills in python; all-integer output)
+    bound = (
+        GRAPH_DRIVER_MAX_EDGES if driver_max_edges is None
+        else driver_max_edges
+    )
+    tbl = None
+    if bound > 0:
+        tbl = _arrow_collect_bounded(
+            triples.select("subj", "pred", "obj"), RAW_COLLECT_CAP
+        )
+    if tbl is not None:
+        out_t = tbl.group_by(["subj"]).aggregate(
+            [("pred", "count_distinct"), ([], "count_all")]
+        )
+        in_t = tbl.group_by(["obj"]).aggregate(
+            [("pred", "count_distinct"), ([], "count_all")]
+        )
+        if max(out_t.num_rows, in_t.num_rows) <= bound:
+            prof: dict = {}
+            for e, npred, odeg in zip(
+                out_t.column("subj").to_pylist(),
+                out_t.column("pred_count_distinct").to_pylist(),
+                out_t.column("count_all").to_pylist(),
+            ):
+                prof[e] = [odeg, 0, npred, 0]
+            for e, npred, ideg in zip(
+                in_t.column("obj").to_pylist(),
+                in_t.column("pred_count_distinct").to_pylist(),
+                in_t.column("count_all").to_pylist(),
+            ):
+                p = prof.setdefault(e, [0, 0, 0, 0])
+                p[1] = ideg
+                p[3] = npred
+            data = sorted(
+                (e, p[0], p[1], p[2], p[3], p[0] + p[1])
+                for e, p in prof.items()
+            )
+            out = _local_df(
+                triples.sparkSession,
+                data,
+                "entity string, out_deg long, in_deg long, "
+                "n_pred_out long, n_pred_in long, degree long",
+            ).orderBy("entity")
+            return forward_caches(out, triples)
     out = triples.groupBy(F.col("subj").alias("entity")).agg(
         F.count(F.lit(1)).alias("out_deg"),
         F.countDistinct("pred").alias("n_pred_out"),
@@ -1849,7 +1899,9 @@ def cardinality_constraints(triples: DataFrame) -> DataFrame:
     return forward_caches(out, triples)
 
 
-def entity_provenance(triples: DataFrame) -> DataFrame:
+def entity_provenance(
+    triples: DataFrame, driver_max_edges: int | None = None
+) -> DataFrame:
     """Per-entity provenance card: distinct supporting documents, triple
     participation split by role, distinct predicates, and the first/last
     document ids — the "where did this node come from" record every KG
@@ -1860,6 +1912,63 @@ def entity_provenance(triples: DataFrame) -> DataFrame:
     aggregate — a single shuffle on the entity id."""
     from gliner_spark.cache import forward_caches
 
+    # r7 pass 3: the whole card aggregates in pyarrow C++ over one raw
+    # Arrow collect (count_distinct / count_all / sum / min / max —
+    # UTF-8 binary min/max == Spark string min/max); gate on the
+    # distinct entity count
+    bound = (
+        GRAPH_DRIVER_MAX_EDGES if driver_max_edges is None
+        else driver_max_edges
+    )
+    tbl = None
+    if bound > 0:
+        tbl = _arrow_collect_bounded(
+            triples.select("doc_id", "pred", "subj", "obj"),
+            RAW_COLLECT_CAP,
+        )
+    if tbl is not None:
+        import pyarrow as pa
+
+        n = tbl.num_rows
+        sides_t = pa.concat_tables([
+            tbl.select(["doc_id", "pred", "subj"])
+            .rename_columns(["doc_id", "pred", "entity"])
+            .append_column("as_subj", pa.array([1] * n, pa.int64())),
+            tbl.select(["doc_id", "pred", "obj"])
+            .rename_columns(["doc_id", "pred", "entity"])
+            .append_column("as_subj", pa.array([0] * n, pa.int64())),
+        ])
+        agg = sides_t.group_by(["entity"]).aggregate([
+            ("doc_id", "count_distinct"),
+            ([], "count_all"),
+            ("as_subj", "sum"),
+            ("pred", "count_distinct"),
+            ("doc_id", "min"),
+            ("doc_id", "max"),
+        ])
+        if agg.num_rows <= bound:
+            agg = agg.sort_by([("entity", "ascending")])
+            cols = [
+                agg.column("entity").to_pylist(),
+                agg.column("doc_id_count_distinct").to_pylist(),
+                agg.column("count_all").to_pylist(),
+                agg.column("as_subj_sum").to_pylist(),
+                agg.column("pred_count_distinct").to_pylist(),
+                agg.column("doc_id_min").to_pylist(),
+                agg.column("doc_id_max").to_pylist(),
+            ]
+            data = [
+                (e, nd, nt, ns, nt - ns, np_, fd, ld)
+                for e, nd, nt, ns, np_, fd, ld in zip(*cols)
+            ]
+            out = _local_df(
+                triples.sparkSession,
+                data,
+                "entity string, n_docs long, n_triples long, "
+                "n_as_subj long, n_as_obj long, n_preds long, "
+                "first_doc string, last_doc string",
+            ).orderBy("entity")
+            return forward_caches(out, triples)
     sides = triples.select(
         "doc_id", "pred", F.col("subj").alias("entity"),
         F.lit(1).alias("as_subj"),
@@ -2302,7 +2411,9 @@ def wl_colors(
     return attach_caches(forward_caches(out, triples), und)
 
 
-def degree_histogram(triples: DataFrame) -> DataFrame:
+def degree_histogram(
+    triples: DataFrame, driver_max_edges: int | None = None
+) -> DataFrame:
     """Exact log2-bucketed degree-distribution histogram of the
     undirected entity graph — the first scale-free / power-law profile
     read on a constructed KG (Barabasi-Albert style degree plots), and
@@ -2319,6 +2430,41 @@ def degree_histogram(triples: DataFrame) -> DataFrame:
     log2(max_degree) rows at ANY corpus scale."""
     from gliner_spark.cache import forward_caches
 
+    # r7 pass 3: bucket index = bit_length - 1 == length(bin(d)) - 1
+    # exactly; the replay is one collected-edge degree counter plus an
+    # all-integer bucket fold
+    rows = _collected_dedup(
+        undirected_edges_raw(triples), ("a", "b"), driver_max_edges
+    )
+    if rows is not None:
+        deg: dict = {}
+        for a, b_ in rows:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b_] = deg.get(b_, 0) + 1
+        buckets: dict = {}
+        for d in deg.values():
+            k = d.bit_length() - 1
+            bb = buckets.get(k)
+            if bb is None:
+                buckets[k] = [d, d, 1, d]
+            else:
+                if d < bb[0]:
+                    bb[0] = d
+                if d > bb[1]:
+                    bb[1] = d
+                bb[2] += 1
+                bb[3] += d
+        data = sorted(
+            (k, 1 << k, (2 << k) - 1, v[0], v[1], v[2], v[3])
+            for k, v in buckets.items()
+        )
+        out = _local_df(
+            triples.sparkSession,
+            data,
+            "bucket long, lo long, hi long, min_degree long, "
+            "max_degree long, n_entities long, sum_degree long",
+        ).orderBy("bucket")
+        return forward_caches(out, triples)
     und = undirected_edges(triples)
     deg = (
         und.select(F.col("a").alias("node"))
@@ -3366,7 +3512,8 @@ PRED_ASSOC_MIN_SUPPORT = 2
 
 
 def pred_association(
-    triples: DataFrame, min_support: int = PRED_ASSOC_MIN_SUPPORT
+    triples: DataFrame, min_support: int = PRED_ASSOC_MIN_SUPPORT,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Subject-level predicate association — which predicates co-occur
     on the same subject more than chance (the attribute-association
@@ -3384,6 +3531,72 @@ def pred_association(
     support filter, two broadcast-able frequency joins."""
     from gliner_spark.cache import forward_caches
 
+    # r7 pass 3: below the incidence bound the pair self-join replays
+    # like the vectorized cooc counting — collected distinct (subj,
+    # pred) rows arrive sorted, per-subject pred lists are ascending
+    # slices, pairs via triu gathers + np.unique, lift raw double with
+    # the same F.round applied back in Spark
+    sp_rows = _collected_dedup(
+        triples.select("subj", "pred"), ("subj", "pred"), driver_max_edges
+    )
+    if sp_rows is not None:
+        import numpy as np
+
+        subs_l = [r[0] for r in sp_rows]
+        preds_l = [r[1] for r in sp_rows]
+        uniq_p = sorted(set(preds_l))
+        n_p = len(uniq_p)
+        pid = {p: i for i, p in enumerate(uniq_p)}
+        ids = np.fromiter(
+            (pid[p] for p in preds_l), np.int64, count=len(preds_l)
+        )
+        if subs_l:
+            s_arr = np.asarray(subs_l, dtype=object)
+            starts = np.concatenate((
+                [0], np.nonzero(s_arr[1:] != s_arr[:-1])[0] + 1,
+                [len(subs_l)],
+            ))
+            sizes = np.diff(starts)
+        else:
+            starts = np.zeros(1, np.int64)
+            sizes = np.zeros(0, np.int64)
+        n_subj = len(sizes)
+        freq = np.bincount(ids, minlength=n_p)
+        tri_cache: dict = {}
+        chunks = []
+        for k in np.nonzero(sizes >= 2)[0]:
+            s = int(sizes[k])
+            seg = ids[starts[k]:starts[k] + s]
+            if s not in tri_cache:
+                tri_cache[s] = np.triu_indices(s, 1)
+            ii, jj = tri_cache[s]
+            chunks.append(seg[ii] * n_p + seg[jj])
+        data = []
+        if chunks:
+            uk, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+            for t in np.nonzero(cnt >= min_support)[0]:
+                key = int(uk[t])
+                npair = int(cnt[t])
+                ia, ib = key // n_p, key % n_p
+                na, nb = int(freq[ia]), int(freq[ib])
+                data.append((
+                    uniq_p[ia], uniq_p[ib], npair, na, nb,
+                    float(n_subj * npair) / float(na * nb),
+                ))
+        out = (
+            _local_df(
+                triples.sparkSession,
+                data,
+                "pred_a string, pred_b string, n_pair long, "
+                "n_a long, n_b long, _raw double",
+            )
+            .select(
+                "pred_a", "pred_b", "n_pair", "n_a", "n_b",
+                F.round("_raw", 6).alias("lift"),
+            )
+            .orderBy("pred_a", "pred_b")
+        )
+        return forward_caches(out, triples)
     sp = triples.select("subj", "pred").distinct()
     n_subj = sp.agg(F.countDistinct("subj").cast("long").alias("n_subj"))
     freq = sp.groupBy("pred").agg(

@@ -197,3 +197,35 @@ def test_assortativity_driver_matches(spark, graph):
         for r in _rows(assortativity(graph, driver_max_edges=0))
     ]
     assert drv == dist
+
+
+@pytest.mark.parametrize("opname", ["degrees", "degree_hist", "provenance", "pred_assoc"])
+def test_profile_ops_driver_match(spark, graph, opname):
+    from gliner_spark.operators.graph_analytics import (
+        degree_histogram,
+        entity_degrees,
+        entity_provenance,
+        pred_association,
+    )
+
+    fns = {
+        "degrees": entity_degrees,
+        "degree_hist": degree_histogram,
+        "provenance": entity_provenance,
+        "pred_assoc": pred_association,
+    }
+    fn = fns[opname]
+    drv = [tuple(map(repr, r)) for r in _rows(fn(graph))]
+    dist = [
+        tuple(map(repr, r)) for r in _rows(fn(graph, driver_max_edges=0))
+    ]
+    assert drv == dist
+    assert len(drv) > 0
+
+
+def test_pred_assoc_driver_matches_min_support(spark, graph):
+    from gliner_spark.operators.graph_analytics import pred_association
+
+    drv = _rows(pred_association(graph, min_support=5))
+    dist = _rows(pred_association(graph, min_support=5, driver_max_edges=0))
+    assert drv == dist
